@@ -1,0 +1,33 @@
+"""Aggregation of the driver contract: queries() + oracle_sql().
+
+Each operator module under ``operators/`` / ``sources/`` exposes a
+``QUERIES`` dict of name -> (spark, sf_dir) -> DataFrame and an
+``ORACLE`` dict of name -> equivalent DuckDB SQL. This module merges
+them; ``__spark_entry__.py`` re-exports.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import aggregates, anomaly, windows
+
+_MODULES = [anomaly, aggregates, windows]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        for name, fn in m.QUERIES.items():
+            assert name not in out, f"duplicate contract query {name}"
+            out[name] = fn
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(getattr(m, "ORACLE", {}))
+    return out

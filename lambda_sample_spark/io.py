@@ -1,0 +1,57 @@
+"""Testdata loaders.
+
+Tables (driver-generated parquet under /root/testdata/sf*/):
+  region nation customer supplier part orders lineitem events documents
+  embeddings
+
+The parquet files store timestamps as TIMESTAMP(NANOS); Spark reads them
+as long nanoseconds under ``spark.sql.legacy.parquet.nanosAsLong`` and we
+convert to TimestampType (microsecond precision, matching what DuckDB
+presents for the same files) here, using integer division so no precision
+is lost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .session import apply_runtime_confs
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Columns written as TIMESTAMP(NANOS) that surface as long ns.
+TS_NS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in TS_NS_COLUMNS.get(name, []):
+        if dtypes.get(c) == "bigint":
+            # integer ns -> integer us (div = integral division, no
+            # double round-trip), then reinterpret as timestamp.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
