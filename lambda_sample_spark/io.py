@@ -48,6 +48,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer ns -> integer us (div = integral division, no
             # double round-trip), then reinterpret as timestamp.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # micros-precision timestamps come back as TIMESTAMP_NTZ under
+    # Spark 4's NTZ inference; normalize to TimestampType (session TZ
+    # is UTC, so wall-clock values are preserved, matching DuckDB's
+    # naive reading of the same files).
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

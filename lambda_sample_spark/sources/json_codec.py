@@ -1,0 +1,78 @@
+"""JSON decode/encode + regex field extraction (SURVEY.md §2.1/2.2).
+
+Reference citations (/root/reference/):
+  S4  bytes->struct decode   mqtt/Consumer.scala:53-57 (payloads are
+      JSON despite the Smile import — BinarySerializer.scala:41-44)
+  S12 result JSON encode     lib/JsonSerializer.scala:13-15
+  P13 regex extract          dashboard/Dashboard.scala:31,96-102
+  P14 scalar unit conversion Dashboard.scala:99
+
+All pure built-in expressions (from_json / to_json / regexp_extract)
+— JVM-side, codegen'd, no Python on the data path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+from .common_sources import events
+
+PROPS_SCHEMA = StructType([StructField("k", IntegerType())])
+
+
+def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: parse the JSON props payload into a typed column."""
+    df = events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
+    )
+
+
+def json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: serialize a struct back to a compact JSON string with a
+    fixed field order (the Jackson field-order fidelity point —
+    SURVEY.md §7 hard part 5)."""
+    df = events(spark, sf_dir)
+    return df.select(
+        "event_id",
+        F.to_json(F.struct("event_id", "event_type")).alias("js"),
+    )
+
+
+def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13+P14: regex field extraction + x1000 unit conversion (the
+    hey-CSV response-time parsing path)."""
+    df = events(spark, sf_dir)
+    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
+    return df.select(
+        "event_id",
+        (k * F.lit(1000)).cast("bigint").alias("k_scaled"),
+    )
+
+
+ORACLE = {
+    "q_json_decode": """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""",
+    "q_json_encode": """
+SELECT event_id,
+       CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS js
+FROM events
+""",
+    "q_regex_extract": """
+SELECT event_id,
+       CAST(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) * 1000 AS BIGINT) AS k_scaled
+FROM events
+""",
+}
+
+QUERIES = {
+    "q_json_decode": json_decode,
+    "q_json_encode": json_encode,
+    "q_regex_extract": regex_extract,
+}
