@@ -12,10 +12,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators import aggregates, anomaly, joins, tpch, windows
+from .operators import (
+    aggregates,
+    anomaly,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    text,
+    tpch,
+    windows,
+)
 from .sources import csv_source, generator, json_codec
 
-_MODULES = [anomaly, aggregates, windows, joins, tpch, csv_source, generator, json_codec]
+_MODULES = [
+    anomaly,
+    aggregates,
+    windows,
+    joins,
+    tpch,
+    text,
+    dedup,
+    similarity,
+    multimodal,
+    csv_source,
+    generator,
+    json_codec,
+]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed
+metadata (SURVEY.md §2.8 X5).
+
+Design: payloads are ``BinaryType`` columns; metadata travels in a
+struct (modality, width/height or sample rate, codec). Decode /
+feature-extract runs as Arrow-batched ``mapInPandas`` so each Python
+worker touches a whole batch. The image/audio codec libraries are not
+available in this container, so the *decode* step is stubbed behind a
+deterministic fake (content-hash-derived "features"), while the
+Spark-side plumbing — schema, batching, partitioning — is real.
+
+At 100 TB: binary payloads dominate storage; the plumbing keeps them
+out of shuffles (dedup/group on the 16-byte content hash, never the
+payload) and feature extraction streams batch-at-a-time through
+mapInPandas without materializing rows on the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import documents
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "doc_id BIGINT, payload BINARY, "
+    "meta STRUCT<modality: STRING, width: INT, height: INT, codec: STRING>"
+)
+
+FEATURES_SCHEMA = "doc_id BIGINT, content_hash STRING, features ARRAY<DOUBLE>"
+
+
+def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal table from documents: payload = utf-8 bytes
+    of the text (stands in for image bytes), metadata derived
+    deterministically."""
+    docs = documents(spark, sf_dir)
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        (F.col("n_chars") % 1024).cast("int").alias("width"),
+        ((F.col("n_chars") * 7) % 1024).cast("int").alias("height"),
+        F.lit("fake/raw").alias("codec"),
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def decode_payload(payload: bytes) -> bytes:
+    """Real image/audio decode would live here (PIL / torchaudio /
+    ffmpeg). Not available in this environment."""
+    raise NotImplementedError(
+        "media decode requires codec libraries not present in this container; "
+        "extract_features uses a deterministic fake instead"
+    )
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a decoded-media feature vector:
+    bytes of md5(payload) scaled to [0, 1)."""
+    import hashlib
+
+    digest = hashlib.md5(payload).digest()
+    return [b / 256.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column.
+
+    mapInPandas signature: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame],
+    so one Python worker handles whole Arrow batches — the real decode
+    would drop in at ``_fake_features`` without touching the plumbing.
+    """
+
+    # NB: the closure must be fully self-contained (no references to
+    # module globals) so cloudpickle ships it by value — Spark's Python
+    # workers do not have this package on their sys.path when the
+    # driver imports us from a file path.
+    feature_dim = FEATURE_DIM
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as pd  # local import: keep the closure self-contained
+
+        def fake_features(b: bytes) -> list[float]:
+            digest = hashlib.md5(b).digest()
+            return [x / 256.0 for x in digest[:feature_dim]]
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content_hash": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "features": payloads.map(lambda b: fake_features(bytes(b))),
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query (rows-only): synthesize -> extract features ->
+    content-hash dedup (keep lowest doc_id per identical payload)."""
+    media = synthesize_media(spark, sf_dir)
+    feats = extract_features(media)
+    return (
+        feats.groupBy("content_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_dups"))
+        .select("doc_id", "content_hash", "n_dups")
+    )
+
+
+ORACLE: dict[str, str] = {}  # rows-only: mapInPandas feature path
+
+QUERIES = {"q_multimodal_features": multimodal_features}

@@ -1,0 +1,178 @@
+"""Text analysis for training-data pipelines (SURVEY.md §2.8 X4 +
+north-star extensions): token stats, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path operators are built-in column expressions (split /
+transform / filter / md5) — JVM-side, no Python UDFs. Language ID is
+the one exception-shaped operator: it builds per-language character
+n-gram profiles from a training split and scores held-out documents by
+profile overlap — expressed as DataFrame ops (explode + join + argmax),
+no driver loop, so it scales horizontally.
+
+Scale notes: everything is per-row narrow work except lang-ID's profile
+join, which broadcasts the (tiny) profile table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import documents, r6
+
+# tokenization: trim + split on runs of whitespace (empty-safe)
+def _tokens(c):
+    return F.split(F.trim(c), r"\s+")
+
+
+STOPWORDS = ["the", "a", "of", "and"]
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-language corpus statistics."""
+    docs = documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    per_doc = docs.select(
+        "lang",
+        F.col("n_chars"),
+        n_tok.alias("n_tok"),
+        (n_stop / n_tok).alias("stop_ratio"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        r6(F.avg("n_chars")).alias("avg_chars"),
+        r6(F.avg("n_tok")).alias("avg_tokens"),
+        r6(F.avg("stop_ratio")).alias("avg_stop_ratio"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + distinct tokens per doc."""
+    docs = documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length score x (1 - stopword ratio), clamped.
+    (The shape of a C4/Gopher-style quality filter, kept deterministic
+    and oracle-checkable.)"""
+    docs = documents(spark, sf_dir)
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    quality = len_score * (F.lit(1.0) - n_stop / n_tok)
+    return docs.select("doc_id", r6(quality).alias("quality"))
+
+
+def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content hash (md5 hex — identical
+    across engines) for exact-dup detection and caching keys."""
+    docs = documents(spark, sf_dir)
+    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by character-trigram profile overlap (rows-only).
+
+    Train: docs with doc_id % 10 < 8 build per-lang top-50 trigram
+    profiles. Score: every doc's trigrams join the broadcast profile;
+    predicted lang = argmax overlap count (ties broken by lang asc).
+    """
+    docs = documents(spark, sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    train = grams.where(F.col("doc_id") % 10 < 8)
+    counts = train.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
+    topw = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram"))
+    profile = (
+        counts.withColumn("rk", F.row_number().over(topw))
+        .where(F.col("rk") <= 50)
+        .select("lang", "gram")
+        .withColumnRenamed("lang", "profile_lang")
+    )
+    test = grams.where(F.col("doc_id") % 10 >= 8).dropDuplicates(["doc_id", "gram"])
+    scored = (
+        test.join(F.broadcast(profile), on=test.gram == profile.gram)
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    pick = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("profile_lang").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.col("profile_lang").alias("predicted_lang"),
+            F.col("overlap").cast("bigint").alias("overlap"),
+        )
+    )
+
+
+ORACLE = {
+    "q_text_stats": r"""
+WITH per_doc AS (
+  SELECT lang, n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(n_tok), 6) AS avg_tokens,
+       round(avg(n_stop * 1.0 / n_tok), 6) AS avg_stop_ratio
+FROM per_doc GROUP BY lang
+""",
+    "q_token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
+FROM documents
+""",
+    "q_quality_score": r"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(n_chars / 500.0, 1.0) * (1.0 - n_stop * 1.0 / n_tok), 6) AS quality
+FROM t
+""",
+    "q_fingerprint": """
+SELECT doc_id, md5(text) AS fp FROM documents
+""",
+}
+
+QUERIES = {
+    "q_text_stats": text_stats,
+    "q_token_count": token_count,
+    "q_quality_score": quality_score,
+    "q_fingerprint": fingerprint,
+    "q_lang_id": lang_id,  # rows-only (profile argmax; not worth SQL contortions)
+}
