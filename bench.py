@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver materialization). The flagship q_fast_anomaly time is the
+headline metric (BASELINE.md: the reference's `GET /` recompute path);
+per-query times cover the wider operator surface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "q_fast_anomaly",
+    "q_recent_topk",
+    "q_upsert_lww",
+    "q_quantiles",
+    "q_share_of_total",
+    "q_lookup_join_left",
+    "q_weighted_ensemble",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_join_agg",
+    "q_tpch_q6",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_similarity_topk",
+    "q_text_stats",
+    "q_json_decode",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from lambda_sample_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="lambda-sample-spark-bench")
+    queries = entrymod.queries()
+
+    # warm the JVM + file-listing caches with the flagship once
+    force(queries["q_fast_anomaly"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "fast_anomaly_sec",
+        "value": timings["q_fast_anomaly"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "total_sec": round(sum(timings.values()), 4),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

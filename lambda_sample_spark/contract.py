@@ -23,6 +23,7 @@ from .operators import (
     tpch,
     windows,
 )
+from .ml import forest
 from .sources import csv_source, generator, json_codec
 
 _MODULES = [
@@ -38,6 +39,7 @@ _MODULES = [
     csv_source,
     generator,
     json_codec,
+    forest,
 ]
 
 

@@ -1,0 +1,181 @@
+"""Batch-layer ML: per-key random-forest anomaly classifiers
+(SURVEY.md §2.7 M1-M3).
+
+Reference semantics (/root/reference/):
+  M1 train: Smile ``randomForest("anomaly" ~ "value", df)`` on the
+     newest 20,000 rows per sensor (Trainer.scala:38-57,59-74);
+     single-class training data is a logged skip (Trainer.scala:47-49).
+  M2 predict: posterior P(anomaly) = ``posteriori(1)``
+     (Analyzer.scala:72-83).
+  M3 persistence: model blob round-trip (BinarySerializer.scala:88-101)
+     -> MLlib native save/load.
+
+Faithful variant: a loop of MLlib fits, one model per key — correct
+for a small configured fleet (the reference has 4 sensors). Scalable
+variant for many keys: ``groupBy(key).applyInPandas`` training one
+model per group inside the workers (sketched in train_per_key_pandas —
+a pure-numpy histogram scorer, since sklearn isn't in this
+environment). Parity is statistical, not exact (Smile vs MLlib RNG),
+matching the reference's own wide-tolerance test philosophy
+(AnalyzerSpec.scala:50-54).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Label threshold ~ p96.5 of the events value distribution => ~3.5%
+# positives, matching the reference fixture's anomaly rate
+# (FIXTURES.md: 789/23164 ~ 3.4%). MLlib's histogram splitter cannot
+# isolate rarer positives at default maxBins.
+LABEL_THRESHOLD = 166.0
+RECENT_TRAIN_N = 20000  # application.conf:14 (cassandra.full)
+
+
+def _labeled_events(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "anomaly", (F.col("value") > LABEL_THRESHOLD).cast("int")
+    )
+
+
+def train_models(train_df: DataFrame, key_col: str = "event_type") -> dict[str, object]:
+    """M1 (faithful): one MLlib RandomForest per key. Keys with a
+    single label class are skipped (reference logs-and-skips)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    keys = [r[0] for r in train_df.select(key_col).distinct().collect()]
+    assembler = VectorAssembler(inputCols=["value"], outputCol="features")
+    models: dict[str, object] = {}
+    for key in sorted(keys):
+        subset = train_df.where(F.col(key_col) == key)
+        n_classes = subset.select("anomaly").distinct().count()
+        if n_classes < 2:
+            continue  # Trainer.scala:47-49 behavior
+        assembled = assembler.transform(subset)
+        rf = RandomForestClassifier(
+            featuresCol="features",
+            labelCol="anomaly",
+            numTrees=50,
+            # default maxBins=32 buckets rare positives together with
+            # negatives in one quantile bin and the tree never splits;
+            # 256 bins give the splitter boundaries fine enough for a
+            # few-percent positive rate
+            maxBins=256,
+            seed=42,
+        )
+        models[key] = rf.fit(assembled)
+    return models
+
+
+def predict_posterior(model, df: DataFrame) -> DataFrame:
+    """M2: P(anomaly=1) via the probability vector."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembled = VectorAssembler(inputCols=["value"], outputCol="features").transform(df)
+    return model.transform(assembled).withColumn(
+        "p_anomaly", vector_to_array(F.col("probability")).getItem(1)
+    )
+
+
+def train_per_key_pandas(train_df: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """M1 (scalable variant): many-models training via applyInPandas —
+    one worker-side fit per key, no driver loop. The in-group learner
+    is a pure-numpy histogram scorer (20 equi-width bins of value ->
+    empirical P(anomaly|bin)) because sklearn isn't available here; a
+    real deployment would drop sklearn/xgboost into the same closure.
+
+    Returns one row per key: the serialized bin edges + posteriors.
+    """
+    schema = (
+        f"{key_col} STRING, n_rows BIGINT, bin_edges ARRAY<DOUBLE>, "
+        "bin_posteriors ARRAY<DOUBLE>"
+    )
+    kc = key_col
+
+    def fit_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        v = pdf["value"].to_numpy()
+        y = pdf["anomaly"].to_numpy()
+        edges = np.linspace(v.min(), v.max() + 1e-9, 21)
+        idx = np.clip(np.digitize(v, edges) - 1, 0, 19)
+        post = np.zeros(20)
+        for b in range(20):
+            mask = idx == b
+            post[b] = float(y[mask].mean()) if mask.any() else 0.0
+        return pd.DataFrame(
+            {
+                kc: [pdf[kc].iloc[0]],
+                "n_rows": [len(pdf)],
+                "bin_edges": [edges.tolist()],
+                "bin_posteriors": [post.tolist()],
+            }
+        )
+
+    return train_df.groupBy(key_col).applyInPandas(fit_group, schema=schema)
+
+
+def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (rows-only): train per-key forests on the newest 20k
+    rows per key; report model facts."""
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N))
+    models = train_models(labeled)
+    rows = [
+        (
+            k,
+            m.getNumTrees,
+            float(m.featureImportances[0]) if len(m.featureImportances) else 0.0,
+        )
+        for k, m in sorted(models.items())
+    ]
+    return spark.createDataFrame(
+        rows, "event_type STRING, num_trees INT, feature_importance DOUBLE"
+    )
+
+
+def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (rows-only): posterior P(anomaly) for probe values
+    (mirrors AnalyzerSpec's sample triple) per trained key."""
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N))
+    models = train_models(labeled)
+    probes = spark.createDataFrame(
+        [(10.0,), (480.0,), (166.0,)], "value DOUBLE"
+    )
+    outs = []
+    for key, model in sorted(models.items()):
+        scored = predict_posterior(model, probes).select(
+            F.lit(key).alias("event_type"), "value", "p_anomaly"
+        )
+        outs.append(scored)
+    if not outs:
+        return spark.createDataFrame([], "event_type STRING, value DOUBLE, p_anomaly DOUBLE")
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, outs)
+
+
+def q_histogram_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (rows-only): the scalable many-models path."""
+    from ..operators.common import events
+
+    labeled = _labeled_events(events(spark, sf_dir))
+    return train_per_key_pandas(labeled)
+
+
+ORACLE: dict[str, str] = {}  # all rows-only: ML nondeterminism across engines
+
+QUERIES = {
+    "q_rf_train": rf_train,
+    "q_rf_predict": rf_predict,
+    "q_histogram_models": q_histogram_models,
+}

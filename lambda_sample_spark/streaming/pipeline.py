@@ -1,0 +1,151 @@
+"""Structured Streaming re-expression of the reference's speed layer
+(SURVEY.md §2.6, §3.2, §7 Phase 4).
+
+Reference wiring (/root/reference/):
+  T1 producer tick 200 ms       mqtt/Producer.scala:110-114
+  S4 decode                     mqtt/Consumer.scala:53-57
+  T4 ingest-time timestamping   Consumer.scala:64 (ms precision —
+     timestamps are truncated to ms for Cassandra fidelity)
+  S5 keyed upsert               Consumer.scala:59-66
+  T2/T6 snapshot refresh with change detection
+                                HistoryWriter.scala:41-54,89-101
+  T5 count-window re-analysis   CassandraClient.scala:23-25
+
+Design choices (SURVEY.md §7 hard parts):
+  - The entry store is an append-only parquet log + read-side
+    last-write-wins view (lww_entries) — the Delta-MERGE-free way to
+    reproduce Cassandra's keyed-upsert semantics. Exactly-once =
+    checkpointing + idempotent keyed reads.
+  - The per-key count window (newest 200) is recomputed from the store
+    each trigger via foreachBatch — exactly what the reference does
+    (re-read Cassandra per Analyze); the stateful
+    flatMapGroupsWithState variant is intentionally not the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.generator import ANOMALY_RATE, BOUND, SENSORS
+
+ENTRY_SCHEMA = "sensor STRING, ts TIMESTAMP, value DOUBLE, anomaly INT"
+
+
+def sensor_stream(spark: SparkSession, rows_per_second: int = 20) -> DataFrame:
+    """S1/T1 as a rate source: 20 rows/s ≈ 4 sensors x 1 msg / 200 ms
+    (application.conf:6-7), transformed into the MqttEntry shape with
+    the producer's two regimes (Producer.scala:62-66)."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    # Materialize every random draw ONCE in its own projection:
+    # nondeterministic expressions are re-evaluated per reference, so
+    # deriving anomaly and value from the same F.rand() call tree
+    # would let the label and the regime disagree.
+    drawn = rate.select(
+        F.col("value").alias("seq"),
+        F.rand(42).alias("r_regime"),
+        F.rand(43).alias("r_sign"),
+        F.rand(44).alias("r_norm"),
+        F.rand(45).alias("r_anom"),
+    )
+    sensor = F.element_at(
+        F.array(*[F.lit(s) for s in SENSORS]),
+        (F.col("seq") % len(SENSORS) + 1).cast("int"),
+    )
+    anomaly = (F.col("r_regime") < ANOMALY_RATE).cast("int")
+    sign = F.when(F.col("r_sign") < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    normal_mag = F.floor(F.col("r_norm") * BOUND)
+    anomal_mag = BOUND + F.floor(F.col("r_anom") * (BOUND // 2))
+    val = sign * F.when(anomaly == 1, anomal_mag).otherwise(normal_mag)
+    # T4: ingest-time timestamp truncated to ms (Cassandra stores ms)
+    ts_ms = F.timestamp_millis(F.unix_millis(F.current_timestamp()))
+    return drawn.select(
+        sensor.alias("sensor"),
+        ts_ms.alias("ts"),
+        val.cast("double").alias("value"),
+        anomaly.alias("anomaly"),
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    entry_dir: str,
+    checkpoint_dir: str,
+    rows_per_second: int = 20,
+    trigger_ms: int = 200,
+):
+    """S5: ingest the sensor stream into the entry store.
+
+    foreachBatch appends with the batch id as the write version; the
+    keyed-upsert contract is realized by reading through lww_entries.
+    Checkpointing makes replays idempotent (same (sensor, ts, batch)
+    keys overwrite in the read-side dedup).
+    """
+    stream = sensor_stream(spark, rows_per_second)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(entry_dir)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+
+
+def lww_entries(spark: SparkSession, entry_dir: str) -> DataFrame:
+    """Read-side last-write-wins view of the append log: newest write
+    per (sensor, ts) wins — reproduces CQL UPDATE semantics
+    (Consumer.scala:59-66)."""
+    log = spark.read.schema(ENTRY_SCHEMA + ", batch_id LONG").parquet(entry_dir)
+    w = Window.partitionBy("sensor", "ts").orderBy(F.col("batch_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "batch_id")
+    )
+
+
+def refresh_snapshot(
+    spark: SparkSession, entry_dir: str, snapshot_dir: str, recent_n: int = 200
+) -> bool:
+    """T2/T6: recompute the per-sensor fast analysis from the store and
+    overwrite the snapshot table; returns False (skip) when nothing
+    changed since the last snapshot (HistoryWriter.scala:89-101)."""
+    from ..functions.scoring import heuristic_score
+
+    entries = lww_entries(spark, entry_dir)
+    w = Window.partitionBy("sensor").orderBy(F.col("ts").desc(), F.col("value"))
+    recent = entries.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= recent_n
+    )
+    agg = recent.groupBy("sensor").agg(
+        F.avg("value").alias("avg_value"),
+        F.stddev_pop("value").alias("sd_value"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("latest_value"),
+        F.max("ts").alias("ts"),
+    )
+    snap = agg.select(
+        "sensor",
+        "ts",
+        heuristic_score(
+            F.col("latest_value"), F.col("avg_value"), F.col("sd_value")
+        ).alias("fast_anomaly"),
+        F.col("avg_value").alias("avg_anomaly"),
+    )
+    try:
+        prev = spark.read.parquet(snapshot_dir)
+        prev_max = prev.agg(F.max("ts")).collect()[0][0]
+        new_max = snap.agg(F.max("ts")).collect()[0][0]
+        if prev_max is not None and new_max == prev_max:
+            return False  # notUpdatedYet — skip the write
+    except Exception:
+        pass  # first snapshot
+    snap.write.mode("overwrite").parquet(snapshot_dir)
+    return True

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pathlib
 
 SENSORS = ["Warehouse 13", "The Forsaken Inn", "Old Mill", "Motel 6"]
-ROWS_PER_SENSOR = 600
+ROWS_PER_SENSOR = 2000
 BASE_MS = 1509971554528  # 2017-11-06 12:32:34.528 UTC (fixture epoch)
 
 
@@ -46,7 +46,10 @@ def main() -> None:
                 anomaly = 1
                 mag = 100 + r % 51
             else:
-                if r % 200 == 0:  # ~0.5% chance to start a burst of 8
+                # ~1% chance to start a burst of 8; the first 250 rows
+                # per sensor stay burst-free so the golden first-200
+                # window matches the reference's (normal-only) stats
+                if r % 100 == 0 and i >= 250:
                     in_burst = 7
                     anomaly = 1
                     mag = 100 + r % 51

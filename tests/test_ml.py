@@ -1,0 +1,58 @@
+"""ML-layer tests mirroring the reference's tolerance-band philosophy
+(AnalyzerSpec.scala:41-55): posterior bands, not exact values."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.ml.forest import (
+    _labeled_events,
+    predict_posterior,
+    train_models,
+    train_per_key_pandas,
+)
+from lambda_sample_spark.sources.csv_source import read_entries_csv
+
+
+@pytest.fixture(scope="module")
+def fixture_models(spark):
+    df = read_entries_csv(spark).withColumnRenamed("sensor", "event_type")
+    return train_models(df), df
+
+
+def test_rf_posterior_bands(spark, fixture_models):
+    """Normal value -> low P(anomaly); extreme -> high; boundary ->
+    anywhere (the reference's 0.5 +/- 0.5 band)."""
+    models, _ = fixture_models
+    assert models, "at least one sensor must train"
+    model = models[sorted(models)[0]]
+    probes = spark.createDataFrame([(10.0,), (200.0,), (-100.0,)], "value DOUBLE")
+    scored = {
+        r.value: r.p_anomaly for r in predict_posterior(model, probes).collect()
+    }
+    assert scored[10.0] <= 0.2  # 0.1 +/- 0.1
+    assert scored[200.0] >= 0.8  # 0.9 +/- 0.1
+    assert 0.0 <= scored[-100.0] <= 1.0  # 0.5 +/- 0.5
+
+
+def test_single_class_skip(spark):
+    """Single-class keys are skipped, not errors (Trainer.scala:47-49)."""
+    df = spark.createDataFrame(
+        [("only", float(i), 0) for i in range(50)],
+        "event_type STRING, value DOUBLE, anomaly INT",
+    )
+    assert train_models(df) == {}
+
+
+def test_histogram_models_scalable_path(spark, sf_dir):
+    from lambda_sample_spark.operators.common import events
+
+    labeled = _labeled_events(events(spark, sf_dir))
+    out = train_per_key_pandas(labeled).collect()
+    assert len(out) == 5  # one model row per event_type
+    for row in out:
+        assert len(row.bin_edges) == 21
+        assert len(row.bin_posteriors) == 20
+        assert all(0.0 <= p <= 1.0 for p in row.bin_posteriors)
