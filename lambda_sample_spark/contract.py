@@ -17,7 +17,10 @@ from .operators import (
     anomaly,
     dedup,
     joins,
+    joins_ext,
+    multidim,
     multimodal,
+    sessions,
     similarity,
     text,
     tpch,
@@ -30,7 +33,10 @@ _MODULES = [
     anomaly,
     aggregates,
     windows,
+    sessions,
     joins,
+    joins_ext,
+    multidim,
     tpch,
     text,
     dedup,

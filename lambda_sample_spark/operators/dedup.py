@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .common import documents, r6
 
@@ -47,29 +48,69 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard similarity >= 0.95 between same-language
-    pairs (exact baseline for near-dup detection)."""
+    pairs — EXACT result via prefix filtering (PPJoin).
+
+    A naive token equi-join fans out quadratically on frequent tokens
+    (a token in k docs emits k^2 pairs). Prefix filtering keeps the
+    result exact while joining only on each document's rarest tokens:
+    if J(A,B) >= t, the first |X| - ceil(t*|X|) + 1 tokens of each set
+    under a global (doc-frequency, token) order must intersect. At
+    t=0.95 that prefix is ~5% of each document, made of its rarest
+    tokens — so the candidate join touches almost no hot keys, which is
+    what makes this the 100 TB-safe exact variant (MinHash-LSH below is
+    the approximate one). Candidates then get an exact intersection
+    count via joins restricted to candidate doc ids.
+    """
+    t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
+
+    # global token order: ascending document frequency, rarest first
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ranked = (
+        toks.join(dfreq, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.where(
+        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "lang", "tok", "sz")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # size compatibility: J >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
         )
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.sz").alias("sz1"),
+            F.col("b.sz").alias("sz2"),
+        )
+        .distinct()
+    )
+
+    # verify candidates only: exact intersection via two candidate-
+    # restricted joins (cost ~ |candidates| * avg doc size, not all-pairs)
+    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
+    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
+    inter = (
+        cand.join(t1, "d1")
+        .join(t2, ["d2", "tok"])
+        .groupBy("d1", "d2", "sz1", "sz2")
         .agg(F.count("*").alias("inter"))
     )
-    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("sz2"))
     jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
     return (
-        inter.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
-        .where(jac >= JACCARD_THRESHOLD)
+        inter.where(jac >= t)
         .select("d1", "d2", r6(jac).alias("jaccard"))
     )
 

@@ -1,0 +1,165 @@
+"""Extended join strategies beyond the reference's single key-lookup
+(SURVEY.md §2.4: hash/semi/anti/outer/as-of joins are "absent in
+reference" — this module supplies them over the TPC-H-ish testdata).
+
+Scale notes:
+  - semi/anti joins never materialize the probe side's payload — Spark
+    plans LeftSemi/LeftAnti hash joins (or broadcast variants) that
+    shuffle only the join keys of the small side.
+  - the outer-join distribution (TPC-H Q13 shape) is the classic
+    two-level aggregate: join -> per-customer count -> tiny second agg.
+  - the as-of join is the union+ordered-scan formulation: tag both
+    inputs, union, one shuffle on the key, one ordered pass carrying
+    the last build-side value forward. This is O(n log n) per key with
+    NO range-explosion — the 100 TB-safe as-of, vs. the naive
+    inequality join whose candidate set is quadratic. (Same plan shape
+    a point-in-time-correct feature-store lookup uses.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+
+def semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with >=1 lineitem shipped after the order
+    date (EXISTS -> left-semi hash join), counted per priority."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> left-anti join: customers with no high-value
+    order (o_totalprice > 150k), counted per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 150000)
+    never = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return never.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+
+
+def outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution including zero-order
+    customers (left outer join + two-level aggregate)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the most recent event value of the
+    matching user at-or-before the order date (left semantics — orders
+    whose key has no prior event keep NULL).
+
+    Union+window formulation: tag build rows seq=0 and probe rows
+    seq=1, union, then ``last(value, ignorenulls) over (partition by
+    key order by ts, seq rows unbounded preceding)`` carries the
+    newest build value forward into each probe row. One shuffle, one
+    sort, zero range explosion. Events are pre-deduplicated to one row
+    per (user_id, ts) so the pick is deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("ev_value"))
+    )
+    build = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts"),
+        F.lit(0).alias("seq"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("ev_value"),
+    )
+    probe = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("seq"),
+        F.col("o_orderkey"),
+        F.lit(None).cast("double").alias("ev_value"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("ts", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        build.unionByName(probe)
+        .withColumn("asof_value", F.last("ev_value", ignorenulls=True).over(w))
+        .where(F.col("seq") == 1)
+        .select(
+            "o_orderkey",
+            F.col("k").alias("o_custkey"),
+            F.unix_millis("ts").alias("o_orderdate_ms"),
+            "asof_value",
+        )
+    )
+
+
+ORACLE = {
+    "q_semi_join": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o_orderpriority
+""",
+    "q_anti_join": """
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       min(c_custkey) AS min_custkey
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000
+)
+GROUP BY c_mktsegment
+""",
+    "q_outer_custdist": """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+""",
+    "q_asof_join": """
+WITH ev AS (
+  SELECT user_id, ts, max(value) AS ev_value
+  FROM events GROUP BY user_id, ts
+)
+SELECT o.o_orderkey, o.o_custkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+       e.ev_value AS asof_value
+FROM orders o
+ASOF LEFT JOIN ev e
+  ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+""",
+}
+
+QUERIES = {
+    "q_semi_join": semi_join,
+    "q_anti_join": anti_join,
+    "q_outer_custdist": outer_custdist,
+    "q_asof_join": asof_join,
+}

@@ -1,0 +1,145 @@
+"""Multi-dimensional aggregates: rollup, cube, pivot, distinct
+aggregation (SURVEY.md §2.3 notes these are absent in the reference —
+they complete the aggregation surface a warehouse workload expects).
+
+Scale notes: ROLLUP/CUBE expand each input row into its grouping-set
+combinations BEFORE the shuffle, so partial (map-side) aggregation
+still applies — one shuffle regardless of the number of grouping sets.
+PIVOT with an explicit value list compiles to one groupBy with
+conditional aggregates (no extra shuffle, no second pass to discover
+pivot values — always pass the list at 100 TB). COUNT(DISTINCT) plans
+a two-stage expand+agg; the approx variant (``approx_count_distinct``,
+HyperLogLog++) is the constant-memory path when exactness isn't
+required — kept out of the oracle-checked surface (sketches aren't
+bit-comparable across engines) but exposed for the bench.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import EVENT_TYPES, events, r6
+
+
+def _with_day(df: DataFrame) -> DataFrame:
+    return df.withColumn("day_ms", F.unix_millis(F.date_trunc("day", "ts")))
+
+
+def rollup_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (event_type, day): per-type-per-day, per-type, and grand
+    totals in one pass; grouping_id disambiguates the NULL levels."""
+    ev = _with_day(events(spark, sf_dir))
+    return (
+        ev.rollup("event_type", "day_ms")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "day_ms", "n", "sum_value", "gid")
+    )
+
+
+def cube_type_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (event_type, user bucket): all four grouping sets."""
+    ev = events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    return (
+        ev.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            r6(F.avg("value")).alias("avg_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "user_bucket", "n", "avg_value", "gid")
+    )
+
+
+def pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT event counts per user bucket with an explicit value list
+    (never let Spark scan for distinct pivot values at scale)."""
+    ev = events(spark, sf_dir).withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("bigint")
+    )
+    out = (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # absent combinations pivot to NULL; the relational reading is 0
+    return out.select(
+        "user_bucket",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    )
+
+
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per key; the HLL sketch
+    (approx_count_distinct) is the documented 100 TB path."""
+    return (
+        events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate (rows-only: sketches aren't
+    cross-engine comparable). Constant memory per group at any scale."""
+    return (
+        events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+ORACLE = {
+    "q_rollup_day": """
+SELECT event_type,
+       epoch_ms(date_trunc('day', ts)) AS day_ms,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       grouping(event_type, date_trunc('day', ts)) AS gid
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+""",
+    "q_cube_type_user": """
+SELECT event_type,
+       user_id % 10 AS user_bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value,
+       grouping(event_type, user_id % 10) AS gid
+FROM events
+GROUP BY CUBE (event_type, user_id % 10)
+""",
+    "q_pivot_types": """
+SELECT user_id % 10 AS user_bucket,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events
+GROUP BY 1
+""",
+    "q_distinct_users": """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+}
+
+QUERIES = {
+    "q_rollup_day": rollup_day,
+    "q_cube_type_user": cube_type_user,
+    "q_pivot_types": pivot_types,
+    "q_distinct_users": distinct_users,
+    "q_approx_distinct_users": approx_distinct_users,  # rows-only
+}
