@@ -33,9 +33,18 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_join_agg",
     "q_tpch_q6",
+    "q_semi_join",
+    "q_outer_custdist",
+    "q_asof_join",
+    "q_sessionize",
+    "q_moving_stats",
+    "q_rollup_day",
+    "q_distinct_users",
     "q_dedup_exact",
     "q_ngram_jaccard",
+    "q_dedup_near",
     "q_similarity_topk",
+    "q_ann_lsh_topk",
     "q_text_stats",
     "q_json_decode",
 ]

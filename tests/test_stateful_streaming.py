@@ -1,0 +1,110 @@
+"""Stateful count-window streaming: applyInPandasWithState keeps the
+per-sensor newest-200 buffer; scores must match the batch formulation
+on the same data."""
+
+from __future__ import annotations
+
+import math
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.streaming.stateful import (
+    RECENT_N,
+    stateful_fast_anomaly,
+)
+
+
+def test_stateful_matches_batch(spark, tmp_path):
+    # deterministic input: two sensors, 300 rows each (window must
+    # truncate to the newest 200), one spike at the end of sensor "a"
+    src = str(tmp_path / "src")
+    rows = []
+    for i in range(300):
+        rows.append(("a", i, 10.0 if i < 299 else 500.0))
+        rows.append(("b", i, float(i % 7)))
+    (
+        spark.createDataFrame(rows, "sensor string, seq int, value double")
+        .withColumn("ts", F.timestamp_millis(F.lit(1700000000000) + F.col("seq") * 200))
+        .drop("seq")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+
+    stream = spark.readStream.schema(
+        "sensor string, value double, ts timestamp"
+    ).parquet(src)
+    q = (
+        stateful_fast_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r.sensor: r
+        for r in spark.sql(
+            "SELECT * FROM stateful_out ORDER BY sensor"
+        ).collect()
+    }
+
+    # batch reference: newest-200 per key, population stddev, score
+    batch = (
+        spark.read.parquet(src)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window
+                .partitionBy("sensor")
+                .orderBy(F.col("ts").desc())
+            ),
+        )
+        .where(F.col("rn") <= RECENT_N)
+        .groupBy("sensor")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_value"),
+            F.stddev_pop("value").alias("sd_value"),
+        )
+    )
+    bref = {r.sensor: r for r in batch.collect()}
+
+    for s in ("a", "b"):
+        assert out[s].n == RECENT_N == bref[s].n
+        assert math.isclose(out[s].avg_value, bref[s].avg_value, rel_tol=1e-9)
+        assert math.isclose(out[s].sd_value, bref[s].sd_value, rel_tol=1e-9)
+
+    # sensor a ends on the 500.0 spike: score must clamp to 1.0
+    assert out["a"].latest_value == 500.0
+    assert out["a"].fast_anomaly == 1.0
+    # sensor b's latest (299 % 7 = 5) is within its own noise: score < 1
+    assert 0.0 <= out["b"].fast_anomaly < 1.0
+
+
+def test_state_is_bounded(spark, tmp_path):
+    # feed two batches; state after both must still hold <= RECENT_N
+    src = str(tmp_path / "src2")
+    df = spark.range(1000).select(
+        F.lit("x").alias("sensor"),
+        F.timestamp_millis(1700000000000 + F.col("id") * 100).alias("ts"),
+        (F.col("id") % 100).cast("double").alias("value"),
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "sensor string, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        stateful_fast_anomaly(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_bounded")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM stateful_bounded").collect()
+    assert rows and all(r.n <= RECENT_N for r in rows)
