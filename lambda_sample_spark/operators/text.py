@@ -61,6 +61,22 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH = r"\w+|[^\w\s]"  # word runs + single punctuation, GPT-2-ish
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a subword-style regex (word runs +
+    standalone punctuation) approximating an LLM tokenizer's
+    pre-tokenization split — the cheap cluster-side token estimator."""
+    docs = documents(spark, sf_dir)
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
+    return docs.select(
+        "doc_id",
+        F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(pieces)).cast("bigint").alias("n_distinct_bpe"),
+    )
+
+
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length score x (1 - stopword ratio), clamped.
     (The shape of a C4/Gopher-style quality filter, kept deterministic
@@ -152,6 +168,12 @@ SELECT doc_id,
        CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
 FROM documents
 """,
+    "q_token_count_bpe": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]', 0))) AS BIGINT) AS n_distinct_bpe
+FROM documents
+""",
     "q_quality_score": r"""
 WITH t AS (
   SELECT doc_id, n_chars,
@@ -172,6 +194,7 @@ SELECT doc_id, md5(text) AS fp FROM documents
 QUERIES = {
     "q_text_stats": text_stats,
     "q_token_count": token_count,
+    "q_token_count_bpe": token_count_bpe,
     "q_quality_score": quality_score,
     "q_fingerprint": fingerprint,
     "q_lang_id": lang_id,  # rows-only (profile argmax; not worth SQL contortions)

@@ -53,6 +53,29 @@ def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+META_FIELDS = ["name", "ts", "fast_anomaly", "full_anomaly", "avg_anomaly"]
+
+
+def all_meta_json(meta_df: DataFrame) -> str:
+    """S12: serialize an analysis result frame into the reference's
+    ``AllMeta`` JSON envelope with Jackson's field order
+    (Analyzer.scala:24-32; golden shape ``{"entries":[]}`` —
+    EndpointSpec.scala:42). Field order is fixed by the explicit
+    struct; an empty frame serializes to exactly ``{"entries":[]}``.
+
+    This is the one deliberate driver-side materialization in the
+    engine: it is the HTTP response edge, sized by the sensor fleet
+    (rows = #sensors), not by the data.
+    """
+    row = (
+        meta_df.select(F.struct(*META_FIELDS).alias("s"))
+        .agg(F.collect_list("s").alias("entries"))
+        .select(F.to_json(F.struct("entries")).alias("js"))
+        .first()
+    )
+    return row["js"]
+
+
 ORACLE = {
     "q_json_decode": """
 SELECT event_id,

@@ -1,0 +1,65 @@
+"""Event-time windowed aggregation with watermarked late-data handling.
+
+The reference has NO event time — processing-time timers only, late
+data harmless because the store is keyed/upserted (SURVEY.md §2.6).
+At pipeline scale that is not enough: an engine ingesting from
+replayable logs needs event-time windows whose state can be evicted.
+This module is that piece: tumbling event-time windows with a
+watermark bounding how late a row may arrive.
+
+Scale notes: the watermark is what makes unbounded-stream state finite
+— windows older than (max event time - delay) finalize, emit (append
+mode), and their state is evicted; rows arriving below the watermark
+are dropped instead of growing state forever. Window state is
+hash-partitioned by (window, key) across executors and checkpointed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    entries_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Tumbling event-time window counts per sensor; rows later than
+    ``watermark_delay`` behind the max seen event time are dropped and
+    closed windows emit exactly once (append mode)."""
+    return (
+        entries_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window).alias("w"), "sensor")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "sensor",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def start_windowed_counts(
+    entries_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+):
+    """Run the windowed aggregate to a parquet sink in append mode —
+    only finalized (watermark-passed) windows are ever written."""
+    return (
+        windowed_counts(entries_stream, window, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -80,3 +80,27 @@ def test_population_not_sample_stddev(spark, first_sensor_window):
         .collect()[0][0]
     )
     assert sd_pop != sd_samp
+
+
+def test_all_meta_json_empty_envelope(spark):
+    # EndpointSpec.scala:32-46 golden: empty analysis serializes to
+    # EXACTLY {"entries":[]}
+    from lambda_sample_spark.sources.json_codec import META_FIELDS, all_meta_json
+
+    empty = spark.createDataFrame(
+        [],
+        "name string, ts bigint, fast_anomaly double, "
+        "full_anomaly double, avg_anomaly double",
+    )
+    assert all_meta_json(empty) == '{"entries":[]}'
+
+    one = spark.createDataFrame(
+        [("Motel 6", 1700000000000, 0.5, -1.0, 12.0)],
+        "name string, ts bigint, fast_anomaly double, "
+        "full_anomaly double, avg_anomaly double",
+    )
+    js = all_meta_json(one)
+    # Jackson field order preserved (SURVEY.md §7 hard part 5)
+    order = [js.index(f'"{f}"') for f in META_FIELDS]
+    assert order == sorted(order)
+    assert js.startswith('{"entries":[{"name":"Motel 6"')
