@@ -115,31 +115,81 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (rows-only): MinHash-LSH near-dup candidate pairs.
+MINHASH_BANDS = 8
+MINHASH_ROWS = 8  # 8 bands x 8 rows = 64 minhashes; S-curve threshold
+# ~ (1/b)^(1/r) = 0.77 Jaccard — near-dup, not merely related
+REP_ROUNDS = 2  # min-propagation rounds (transitivity closure depth)
 
-    Shingle -> HashingTF sparse vector -> MinHashLSH (banded) ->
-    approxSimilarityJoin on Jaccard distance <= 0.2. The LSH join is
-    the 100 TB-safe variant of ngram_jaccard: candidates only meet
-    inside a band bucket.
-    """
-    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
-    docs = documents(spark, sf_dir).select("doc_id", F.trim("text").alias("text"))
-    tokenizer = Tokenizer(inputCol="text", outputCol="tokens")
-    toks = tokenizer.transform(docs)
-    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 14)
-    feats = tf.transform(toks).where(F.expr("size(tokens) > 0"))
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
-    return (
-        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("d1"),
-            F.col("datasetB.doc_id").alias("d2"),
-            r6(1 - F.col("jaccard_dist")).alias("jaccard_sim"),
+def _minhash_bands(toks: DataFrame) -> DataFrame:
+    """(doc_id, tok) -> (doc_id, band, sig): 64 minhash values folded
+    into 16 banded signatures. Each minhash is min(xxhash64(tok, k))
+    over the doc's token set — one shuffle, 64 min-aggregates computed
+    map-side. Two docs land in the same (band, sig) bucket iff all 4
+    of that band's minhashes agree, i.e. with probability ~ J^4 per
+    band (the standard banding S-curve: high-Jaccard pairs collide in
+    some band almost surely, low-Jaccard ones almost never)."""
+    k = MINHASH_BANDS * MINHASH_ROWS
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    )
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+            ).alias("sig"),
         )
+        for b in range(MINHASH_BANDS)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 (rows-only): MinHash-banded near-dup CLUSTERING.
+
+    Emits (doc_id, rep_id, is_near_dup) — every doc mapped to the
+    minimum doc_id of its near-dup neighborhood — rather than all
+    near-dup PAIRS: pair output is quadratic in cluster size (this
+    corpus yields ~120 neighbors/doc), which no pair-join survives at
+    100 TB. The linear formulation is min-propagation over band
+    buckets: per-bucket min doc_id, then per-doc min over its 16
+    buckets, iterated REP_ROUNDS times for transitivity (each round is
+    two hash aggregations — no pairwise join EVER materializes).
+    Hand-rolled on DataFrame minhashes (xxhash64 min-aggregates);
+    deliberately not MLlib's MinHashLSH.approxSimilarityJoin, whose
+    pair materialization is the quadratic thing we're avoiding.
+    """
+    docs = documents(spark, sf_dir)
+    toks = _distinct_tokens(docs).select("doc_id", "tok")
+    bands = _minhash_bands(toks)
+
+    # round 0: rep = min doc_id over all buckets the doc belongs to
+    bucket_rep = bands.groupBy("band", "sig").agg(
+        F.min("doc_id").alias("bucket_rep")
+    )
+    rep = (
+        bands.join(bucket_rep, ["band", "sig"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("rep_id"))
+    )
+    # pointer-jumping rounds: rep := rep(rep) for transitivity
+    for _ in range(REP_ROUNDS - 1):
+        parent = rep.select(
+            F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
+        )
+        rep = rep.join(
+            parent, rep.rep_id == parent.p_doc, "left"
+        ).select(
+            "doc_id",
+            F.coalesce("p_rep", "rep_id").alias("rep_id"),
+        )
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        (F.col("doc_id") != F.col("rep_id")).alias("is_near_dup"),
     )
 
 

@@ -55,3 +55,51 @@ def test_codegen_covers_hot_path(spark, sf_dir):
 def test_scan_limit_is_take_ordered(spark, sf_dir):
     plan = audit.simple_plan(scan_filter_limit(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_asof_join_has_no_join_node(spark, sf_dir):
+    """The union+window as-of formulation must plan ZERO join operators
+    (no BroadcastNestedLoopJoin range explosion) and exactly one
+    ordered window pass."""
+    from lambda_sample_spark.operators.joins_ext import asof_join
+
+    plan = audit.simple_plan(asof_join(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
+def test_semi_anti_plan_as_such(spark, sf_dir):
+    from lambda_sample_spark.operators.joins_ext import anti_join, semi_join
+
+    assert "LeftSemi" in audit.simple_plan(semi_join(spark, sf_dir))
+    assert "LeftAnti" in audit.simple_plan(anti_join(spark, sf_dir))
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + running-sum share one hash partitioning and one sort; the
+    follow-up groupBy on (user_id, session_id) must not reshuffle
+    (partitioning on user_id already satisfies it)."""
+    from lambda_sample_spark.operators.sessions import sessionize
+
+    plan = audit.simple_plan(sessionize(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") <= 1 or plan.count("Sort [") <= 1
+
+
+def test_rollup_is_single_shuffle_partial_agg(spark, sf_dir):
+    """ROLLUP expands grouping sets BEFORE the exchange so map-side
+    combine still applies: Expand node + 2 HashAggregates + 1 shuffle."""
+    from lambda_sample_spark.operators.multidim import rollup_day
+
+    plan = audit.simple_plan(rollup_day(spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ngram_prefix_filter_prunes_candidate_join(spark, sf_dir):
+    """PPJoin: the candidate join must consume the prefix-filtered
+    frames (rnk <= ...), never an unfiltered token x token join."""
+    from lambda_sample_spark.operators.dedup import ngram_jaccard
+
+    plan = audit.formatted_plan(ngram_jaccard(spark, sf_dir))
+    assert "row_number" in plan
