@@ -122,6 +122,17 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE: dict[str, str] = {}  # rows-only: mapInPandas feature path
+# the content-hash dedup IS oracle-checkable (md5 of the utf-8 payload
+# = DuckDB's md5 of the text), which value-checks the whole
+# mapInPandas path end-to-end; only the feature vectors are fake
+ORACLE = {
+    "q_multimodal_features": """
+SELECT min(doc_id) AS doc_id,
+       md5(text) AS content_hash,
+       count(*) AS n_dups
+FROM documents
+GROUP BY md5(text)
+""",
+}
 
 QUERIES = {"q_multimodal_features": multimodal_features}

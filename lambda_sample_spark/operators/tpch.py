@@ -110,6 +110,55 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-order top-k — semi-join the fact against
+    an aggregated HAVING subquery of itself, then join dims and rank.
+    Exercises agg->semi-join->join->top-k in one plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    joined = (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        joined.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_millis("o_orderdate").alias("o_orderdate_ms"),
+            _r2(F.col("o_totalprice")).alias("o_totalprice"),
+            _r2(F.col("sum_qty")).alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — broadcast dim join +
+    conditional aggregate ratio in a single pass."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-08-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            r6(F.lit(100.0) * F.sum(promo) / F.sum(rev)).alias("promo_pct"),
+            _r2(F.sum(rev)).alias("total_revenue"),
+        )
+    )
+
+
 ORACLE = {
     "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
@@ -161,9 +210,38 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """,
 }
 
+ORACLE["q_tpch_q18"] = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+       round(o.o_totalprice, 2) AS o_totalprice,
+       round(t.sum_qty, 2) AS sum_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t ON o.o_orderkey = t.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+LIMIT 20
+"""
+
+ORACLE["q_tpch_q14"] = """
+SELECT round(100.0 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-08-01 00:00:00'
+"""
+
 QUERIES = {
     "q_tpch_q1": tpch_q1,
     "q_tpch_q3": tpch_q3,
     "q_tpch_join_agg": tpch_join_agg,
     "q_tpch_q6": tpch_q6,
+    "q_tpch_q18": tpch_q18,
+    "q_tpch_q14": tpch_q14,
 }

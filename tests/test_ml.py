@@ -56,3 +56,29 @@ def test_histogram_models_scalable_path(spark, sf_dir):
         assert len(row.bin_edges) == 21
         assert len(row.bin_posteriors) == 20
         assert all(0.0 <= p <= 1.0 for p in row.bin_posteriors)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    # M3 (BinarySerializer.scala:88-101 -> MLlib native save/load):
+    # persisted model must predict identically to the in-memory one
+    from pyspark.ml.classification import RandomForestClassificationModel
+
+    from lambda_sample_spark.ml.forest import (
+        _labeled_events,
+        predict_posterior,
+        train_models,
+    )
+    from lambda_sample_spark.operators.common import events
+
+    labeled = _labeled_events(events(spark, "/root/testdata/sf0.001"))
+    models = train_models(labeled)
+    assert models, "no key had two classes"
+    key, model = sorted(models.items())[0]
+    path = str(tmp_path / "rf_model")
+    model.write().overwrite().save(path)
+    loaded = RandomForestClassificationModel.load(path)
+
+    probes = spark.createDataFrame([(10.0,), (480.0,)], "value DOUBLE")
+    a = [r.p_anomaly for r in predict_posterior(model, probes).collect()]
+    b = [r.p_anomaly for r in predict_posterior(loaded, probes).collect()]
+    assert a == b
