@@ -1,0 +1,79 @@
+"""Warehouse layout: partitioned + bucketed table writers (the 100 TB
+read-path design made concrete and testable).
+
+The reference's one physical trick is its store layout: partition key
++ clustering order so every read is a pruned, pre-sorted scan
+(schema.sql:9-10 — SURVEY.md §1.3). At Spark scale the equivalents:
+
+  - ``partitionBy(key)`` on write → partition PRUNING: a predicate on
+    the key eliminates directories before any I/O.
+  - ``bucketBy(n, key)`` + ``sortBy`` on both sides of a recurring
+    fact-fact join → CO-LOCATED join: both scans report the same
+    hash-partitioning, so the join plans with ZERO Exchange — the
+    shuffle that dominates orders⋈lineitem at 100 TB disappears from
+    every downstream query that joins on the bucket key.
+
+Bucket counts here are test-sized; at production scale size buckets so
+each holds ~128-256 MB of the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+
+
+def write_partitioned_entries(df: DataFrame, path: str, key: str = "sensor") -> None:
+    """Entry-store layout: one directory per key (schema.sql:9's
+    partition key), sorted within files by ts descending so per-key
+    newest-n scans read minimal row groups."""
+    (
+        df.repartition(key)
+        .sortWithinPartitions(key, "ts", ascending=[True, False])
+        .write.mode("overwrite")
+        .partitionBy(key)
+        .parquet(path)
+    )
+
+
+def create_bucketed_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: int = 8,
+    prefix: str = "bkt",
+) -> tuple[str, str]:
+    """Persist orders and lineitem bucketed + sorted on the join key.
+    Returns the two table names. Requires a session with a writable
+    spark.sql.warehouse.dir (tests use a tmp dir)."""
+    o_name, l_name = f"{prefix}_orders", f"{prefix}_lineitem"
+    (
+        load_table(spark, sf_dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(o_name)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(l_name)
+    )
+    return o_name, l_name
+
+
+def bucketed_join_revenue(spark: SparkSession, o_name: str, l_name: str) -> DataFrame:
+    """orders⋈lineitem revenue per order status over the bucketed
+    tables — co-located, so the plan contains no Exchange."""
+    from pyspark.sql import functions as F
+
+    o = spark.table(o_name)
+    li = spark.table(l_name)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
