@@ -43,6 +43,7 @@ def sensor_stream(spark: SparkSession, rows_per_second: int = 20) -> DataFrame:
     # deriving anomaly and value from the same F.rand() call tree
     # would let the label and the regime disagree.
     drawn = rate.select(
+        F.col("timestamp").alias("rate_ts"),
         F.col("value").alias("seq"),
         F.rand(42).alias("r_regime"),
         F.rand(43).alias("r_sign"),
@@ -58,8 +59,13 @@ def sensor_stream(spark: SparkSession, rows_per_second: int = 20) -> DataFrame:
     normal_mag = F.floor(F.col("r_norm") * BOUND)
     anomal_mag = BOUND + F.floor(F.col("r_anom") * (BOUND // 2))
     val = sign * F.when(anomaly == 1, anomal_mag).otherwise(normal_mag)
-    # T4: ingest-time timestamp truncated to ms (Cassandra stores ms)
-    ts_ms = F.timestamp_millis(F.unix_millis(F.current_timestamp()))
+    # T4: ingest-time timestamp truncated to ms (Cassandra stores ms).
+    # The rate source's per-row timestamp spreads rows across the
+    # second, so (sensor, ts) stays unique at any rows_per_second up to
+    # ~1000/len(SENSORS) — current_timestamp() would stamp every row of
+    # a micro-batch identically and the keyed upsert would collapse
+    # each batch to one row per sensor.
+    ts_ms = F.timestamp_millis(F.unix_millis(F.col("rate_ts")))
     return drawn.select(
         sensor.alias("sensor"),
         ts_ms.alias("ts"),

@@ -1,0 +1,102 @@
+"""The serving layer: the reference's flagship ``GET /`` query
+(SURVEY.md §3.1) as one DataFrame composition over the streaming entry
+store — speed layer (heuristic over newest-200) ⋈ batch layer (per-
+sensor RandomForest) → weighted ensemble → ``AllMeta`` JSON envelope.
+
+Reference lifecycle being reproduced (/root/reference/):
+  per-sensor fan-out          analyzer/Analyzer.scala:104-115
+  heuristic score             Analyzer.scala:47-59
+  model posterior             Analyzer.scala:72-83
+  blend + absent-model path   Analyzer.scala:143-150 (fullAnomaly = -1
+                              sentinel when no model)
+  result envelope             Analyzer.scala:24-32; JSON via
+                              lib/JsonSerializer.scala:13-15
+
+Spark shape: one window+agg over the store, a broadcast left join of
+the (tiny) model-score dimension, pure column expressions for the
+blend — the whole "query" is a single plan; serving under load is
+reading its cached result (T7 /stress semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.scoring import heuristic_score, weighted_ensemble
+from .pipeline import lww_entries
+
+NO_MODEL_SENTINEL = -1.0  # Analyzer.scala:148
+
+
+def speed_layer_agg(entries: DataFrame, recent_n: int = 200) -> DataFrame:
+    """Newest-N window stats per sensor: avg, population sd, latest."""
+    w = Window.partitionBy("sensor").orderBy(F.col("ts").desc(), F.col("value"))
+    recent = entries.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= recent_n
+    )
+    return recent.groupBy("sensor").agg(
+        F.avg("value").alias("avg_value"),
+        F.stddev_pop("value").alias("sd_value"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("latest_value"),
+        F.max("ts").alias("ts"),
+    )
+
+
+def model_scores(spark: SparkSession, models: dict, agg: DataFrame) -> DataFrame:
+    """Batch-layer posterior P(anomaly) of each sensor's LATEST value
+    under its trained forest — the tiny broadcastable dimension."""
+    from ..ml.forest import predict_posterior
+
+    latest = agg.select("sensor", F.col("latest_value").alias("value")).collect()
+    rows = []
+    for r in latest:
+        model = models.get(r.sensor)
+        if model is None:
+            continue
+        probe = spark.createDataFrame([(r.value,)], "value DOUBLE")
+        p = predict_posterior(model, probe).collect()[0].p_anomaly
+        rows.append((r.sensor, float(p)))
+    if not rows:
+        return spark.createDataFrame([], "sensor STRING, full_anomaly DOUBLE")
+    return spark.createDataFrame(rows, "sensor STRING, full_anomaly DOUBLE")
+
+
+def serve_analysis(
+    spark: SparkSession,
+    entry_dir: str,
+    models: dict | None = None,
+    recent_n: int = 200,
+) -> DataFrame:
+    """The flagship composition: SensorMeta rows
+    (name, ts, fast_anomaly, full_anomaly, avg_anomaly)."""
+    agg = speed_layer_agg(lww_entries(spark, entry_dir), recent_n)
+    fast = agg.select(
+        "sensor",
+        "ts",
+        heuristic_score(
+            F.col("latest_value"), F.col("avg_value"), F.col("sd_value")
+        ).alias("fast_anomaly"),
+        F.col("avg_value").alias("avg_anomaly"),
+    )
+    dim = model_scores(spark, models or {}, agg)
+    joined = fast.join(F.broadcast(dim), on="sensor", how="left")
+    return joined.select(
+        F.col("sensor").alias("name"),
+        F.unix_millis("ts").alias("ts"),
+        F.round("fast_anomaly", 6).alias("fast_anomaly"),
+        F.round(
+            F.coalesce(F.col("full_anomaly"), F.lit(NO_MODEL_SENTINEL)), 6
+        ).alias("full_anomaly"),
+        F.round(
+            weighted_ensemble(F.col("fast_anomaly"), F.col("full_anomaly")), 6
+        ).alias("avg_anomaly"),
+    )
+
+
+def serve_json(spark: SparkSession, entry_dir: str, models: dict | None = None) -> str:
+    """``GET /`` end to end: analysis → AllMeta JSON envelope."""
+    from ..sources.json_codec import all_meta_json
+
+    return all_meta_json(serve_analysis(spark, entry_dir, models))
