@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis): invariants of the scoring
+expressions and keyed-upsert semantics that golden values can't cover.
+The reference has exactly one hand-rolled determinism property
+(EntrySpec.scala:13-21); these extend that philosophy."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+def _score_py(latest: float, avg: float, sd: float):
+    """Reference heuristic (Analyzer.scala:47-59) in plain Python."""
+    if sd == 0:
+        return None
+    return max(0.0, min(1.0, (abs(latest - avg) - sd) / (2 * sd)))
+
+
+@settings(max_examples=200, deadline=None)
+@given(latest=finite, avg=finite, sd=st.floats(min_value=0.0, max_value=1e6,
+                                               allow_nan=False))
+def test_heuristic_clamped_and_null_on_zero_sd(latest, avg, sd):
+    s = _score_py(latest, avg, sd)
+    if sd == 0:
+        assert s is None
+    else:
+        assert 0.0 <= s <= 1.0
+        # monotone in |latest - avg|: further from the mean never lowers
+        further = _score_py(avg + 2 * abs(latest - avg) + 1.0, avg, sd)
+        assert further >= s - 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(fast=st.floats(min_value=0, max_value=1, allow_nan=False),
+       full=st.one_of(st.none(), st.floats(min_value=0, max_value=1,
+                                           allow_nan=False)))
+def test_ensemble_blend_bounds_and_fallback(fast, full):
+    # (35*fast + 65*full)/100 stays within [min, max] of its inputs;
+    # absent model falls back to fast exactly (Analyzer.scala:143-150)
+    if full is None:
+        out = fast
+        assert out == fast
+    else:
+        out = (35.0 * fast + 65.0 * full) / 100.0
+        assert min(fast, full) - 1e-12 <= out <= max(fast, full) + 1e-12
+
+
+def _spark_score(spark, triples):
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.functions.scoring import heuristic_score
+
+    df = spark.createDataFrame(triples, "latest double, avg double, sd double")
+    return [
+        r.s
+        for r in df.select(
+            heuristic_score(F.col("latest"), F.col("avg"), F.col("sd")).alias("s")
+        ).collect()
+    ]
+
+
+def test_spark_score_matches_python_reference(spark):
+    # cross-check the column expression against the plain-Python model
+    # on a deterministic grid (one Spark job, not one per example)
+    triples = [
+        (float(l), float(a), float(sd))
+        for l in (-250, -100, 0, 10, 200)
+        for a in (-50, 0, 50)
+        for sd in (0.0, 1.0, 25.0, 100.0)
+    ]
+    got = _spark_score(spark, triples)
+    for (l, a, sd), g in zip(triples, got):
+        want = _score_py(l, a, sd)
+        if want is None:
+            assert g is None
+        else:
+            assert g == pytest.approx(want, abs=1e-9)
+
+
+def test_lww_idempotent_and_commutative(spark):
+    # keyed upsert (S5): replaying the same log, in any order, yields
+    # the same view — the exactly-once-by-idempotence argument
+    from lambda_sample_spark.operators.windows import upsert_lww  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = [
+        ("a", 1, 1, 10.0), ("a", 1, 2, 20.0), ("a", 2, 3, 30.0),
+        ("b", 1, 4, 40.0), ("a", 1, 2, 20.0),  # duplicate replay
+    ]
+
+    def lww(data):
+        df = spark.createDataFrame(
+            data, "sensor string, ts long, version long, value double"
+        )
+        w = Window.partitionBy("sensor", "ts").orderBy(F.col("version").desc())
+        return {
+            (r.sensor, r.ts): r.value
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .collect()
+        }
+
+    base = lww(rows)
+    assert base == lww(rows + rows)          # idempotent under replay
+    assert base == lww(list(reversed(rows)))  # order-insensitive
+    assert base == {("a", 1): 20.0, ("a", 2): 30.0, ("b", 1): 40.0}
