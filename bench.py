@@ -33,7 +33,7 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_join_agg",
     "q_tpch_q6",
-    "q_semi_join",
+    "q_semi_anti_join",
     "q_outer_custdist",
     "q_asof_join",
     "q_sessionize",
@@ -46,7 +46,7 @@ HEADLINE = [
     "q_similarity_topk",
     "q_ann_lsh_topk",
     "q_text_stats",
-    "q_json_decode",
+    "q_json_codec",
 ]
 
 

@@ -29,51 +29,49 @@ from pyspark.sql.window import Window
 from .common import EVENT_TYPES, events, r6, ts_ms
 
 
-def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("cnt"))
-
-
-def group_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A4 in one hash aggregate: count / sum / mean / POPULATION
+    std-dev. The reference divides by n, not n-1 (Analyzer.scala:51-52),
+    so ``stddev_pop``, never ``stddev``. One shuffle, map-side partial
+    aggregation for all four measures."""
     return (
         events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
+            F.count("*").alias("cnt"),
             r6(F.sum("value")).alias("sum_value"),
             r6(F.avg("value")).alias("avg_value"),
+            r6(F.stddev_pop("value")).alias("sd_pop"),
         )
     )
 
 
-def stddev_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4: POPULATION std-dev — the reference divides by n, not n-1
-    (Analyzer.scala:51-52), so ``stddev_pop``, never ``stddev``."""
-    return (
-        events(spark, sf_dir)
-        .groupBy("event_type")
-        .agg(r6(F.stddev_pop("value")).alias("sd_pop"))
-    )
-
-
-def latest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6: newest value per key (``values.head`` over a ts-DESC store)."""
-    w = Window.partitionBy("event_type").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return (
-        events(spark, sf_dir)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("event_type", F.col("value").alias("latest_value"), ts_ms().alias("ts_ms"))
-    )
-
-
-def minmax_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def latest_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + A7 in one hash aggregate: newest value per key
+    (``values.head`` over a ts-DESC store — tie-broken on event_id via
+    a struct max, so no row_number window is needed) plus the min/max
+    extents the dashboard's y-domain uses. Single shuffle; at 100 TB
+    this beats the window formulation because there is no per-partition
+    sort — just a streaming max of a (ts, event_id, value) struct."""
+    latest = F.max(F.struct(F.col("ts"), F.col("event_id"), F.col("value")))
     return (
         events(spark, sf_dir)
         .groupBy("event_type")
         .agg(
+            latest.alias("l"),
             F.min("value").alias("min_value"),
             F.max("value").alias("max_value"),
             F.unix_millis(F.min("ts")).alias("min_ts_ms"),
             F.unix_millis(F.max("ts")).alias("max_ts_ms"),
+        )
+        .select(
+            "event_type",
+            F.col("l.value").alias("latest_value"),
+            F.unix_millis(F.col("l.ts")).alias("ts_ms"),
+            "min_value",
+            "max_value",
+            "min_ts_ms",
+            "max_ts_ms",
         )
     )
 
@@ -162,33 +160,34 @@ def _union_all_sql() -> str:
 
 
 ORACLE = {
-    "q_group_count": """
-SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
-""",
-    "q_group_sum_avg": """
-SELECT event_type, round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
-FROM events GROUP BY event_type
-""",
-    "q_stddev_pop": """
-SELECT event_type, round(stddev_pop(value), 6) AS sd_pop
-FROM events GROUP BY event_type
-""",
-    "q_latest_value": """
-SELECT event_type, value AS latest_value, epoch_ms(ts) AS ts_ms
-FROM (
-  SELECT event_type, value, ts,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-) t WHERE rn = 1
-""",
-    "q_minmax_extents": """
+    "q_group_stats": """
 SELECT event_type,
-       min(value) AS min_value,
-       max(value) AS max_value,
-       epoch_ms(min(ts)) AS min_ts_ms,
-       epoch_ms(max(ts)) AS max_ts_ms
+       count(*) AS cnt,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       round(stddev_pop(value), 6) AS sd_pop
 FROM events GROUP BY event_type
+""",
+    "q_latest_extents": """
+WITH newest AS (
+  SELECT event_type, value AS latest_value, epoch_ms(ts) AS ts_ms
+  FROM (
+    SELECT event_type, value, ts,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) t WHERE rn = 1
+), extents AS (
+  SELECT event_type,
+         min(value) AS min_value,
+         max(value) AS max_value,
+         epoch_ms(min(ts)) AS min_ts_ms,
+         epoch_ms(max(ts)) AS max_ts_ms
+  FROM events GROUP BY event_type
+)
+SELECT n.event_type, n.latest_value, n.ts_ms,
+       e.min_value, e.max_value, e.min_ts_ms, e.max_ts_ms
+FROM newest n JOIN extents e ON n.event_type = e.event_type
 """,
     "q_union_all": _union_all_sql(),
     "q_quantiles": """
@@ -222,11 +221,8 @@ FROM counts
 }
 
 QUERIES = {
-    "q_group_count": group_count,
-    "q_group_sum_avg": group_sum_avg,
-    "q_stddev_pop": stddev_pop,
-    "q_latest_value": latest_value,
-    "q_minmax_extents": minmax_extents,
+    "q_group_stats": group_stats,
+    "q_latest_extents": latest_extents,
     "q_union_all": union_all,
     "q_quantiles": quantiles,
     "q_iqr_outliers": iqr_outliers,

@@ -50,6 +50,24 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract query fusing both existence-join strategies (each still
+    plans its own LeftSemi / LeftAnti hash join — asserted in
+    tests/test_plans.py): rows tagged by kind, normalized to
+    (kind, grp, cnt)."""
+    semi = semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("kind"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("order_count").alias("cnt"),
+    )
+    anti = anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("kind"),
+        F.col("c_mktsegment").alias("grp"),
+        F.col("n_customers").alias("cnt"),
+    )
+    return semi.unionByName(anti)
+
+
 def outer_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape: order-count distribution including zero-order
     customers (left outer join + two-level aggregate)."""
@@ -114,19 +132,16 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
-    "q_semi_join": """
-SELECT o_orderpriority, count(*) AS order_count
+    "q_semi_anti_join": """
+SELECT 'semi' AS kind, o_orderpriority AS grp, count(*) AS cnt
 FROM orders o
 WHERE EXISTS (
   SELECT 1 FROM lineitem l
   WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
 )
 GROUP BY o_orderpriority
-""",
-    "q_anti_join": """
-SELECT c_mktsegment,
-       count(*) AS n_customers,
-       min(c_custkey) AS min_custkey
+UNION ALL
+SELECT 'anti' AS kind, c_mktsegment AS grp, count(*) AS cnt
 FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
@@ -158,8 +173,7 @@ ASOF LEFT JOIN ev e
 }
 
 QUERIES = {
-    "q_semi_join": semi_join,
-    "q_anti_join": anti_join,
+    "q_semi_anti_join": semi_anti_join,
     "q_outer_custdist": outer_custdist,
     "q_asof_join": asof_join,
 }

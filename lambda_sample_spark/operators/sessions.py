@@ -82,36 +82,36 @@ def moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead inter-arrival deltas per user (ms); NULL at the edges."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordered-window function pack, one row per event:
+
+    - lag/lead inter-arrival deltas per user (ms); NULL at the edges;
+    - rank / dense_rank / percent_rank of value within each event_type
+      (deterministic tie-break on event_id via the value+id ordering).
+
+    Two window specs = two shuffles (user_id then event_type) — the
+    minimum for two different partition keys; each is a single ordered
+    pass, whole-stage-codegen'd, no UDFs."""
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("event_type").orderBy("value", "event_id")
     return events(spark, sf_dir).select(
         "event_id",
         "user_id",
-        ts_ms().alias("ts_ms"),
-        (ts_ms() - F.lag(ts_ms()).over(w)).alias("delta_prev_ms"),
-        (F.lead(ts_ms()).over(w) - ts_ms()).alias("delta_next_ms"),
-    )
-
-
-def rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """rank / dense_rank / percent_rank of value within each key
-    (deterministic tie-break on event_id via the value+id ordering)."""
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return events(spark, sf_dir).select(
-        "event_id",
         "event_type",
         "value",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        ts_ms().alias("ts_ms"),
+        (ts_ms() - F.lag(ts_ms()).over(wu)).alias("delta_prev_ms"),
+        (F.lead(ts_ms()).over(wu) - ts_ms()).alias("delta_next_ms"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        r6(F.percent_rank().over(wt)).alias("pct_rank"),
     )
 
 
 ORACLE = {
     "q_sessionize": f"""
 WITH flagged AS (
-  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+  SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
          CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
                    (PARTITION BY user_id ORDER BY ts, event_id)
                    > {SESSION_GAP_MS}
@@ -121,7 +121,7 @@ WITH flagged AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts_ms,
-         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_id
   FROM flagged
@@ -151,20 +151,16 @@ FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """,
-    "q_event_deltas": """
-SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
-       epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS delta_prev_ms,
-       lead(epoch_ms(ts)) OVER w - epoch_ms(ts) AS delta_next_ms
+    "q_window_funcs": """
+SELECT event_id, user_id, event_type, value, epoch_ms(ts) AS ts_ms,
+       epoch_ms(ts) - lag(epoch_ms(ts)) OVER wu AS delta_prev_ms,
+       lead(epoch_ms(ts)) OVER wu - epoch_ms(ts) AS delta_next_ms,
+       rank() OVER wt AS rnk,
+       dense_rank() OVER wt AS drnk,
+       round(percent_rank() OVER wt, 6) AS pct_rank
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-""",
-    "q_rank_stats": """
-SELECT event_id, event_type, value,
-       rank() OVER w AS rnk,
-       dense_rank() OVER w AS drnk,
-       round(percent_rank() OVER w, 6) AS pct_rank
-FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wt AS (PARTITION BY event_type ORDER BY value, event_id)
 """,
 }
 
@@ -172,6 +168,5 @@ QUERIES = {
     "q_sessionize": sessionize,
     "q_tumbling_window": tumbling_window,
     "q_moving_stats": moving_stats,
-    "q_event_deltas": event_deltas,
-    "q_rank_stats": rank_stats,
+    "q_window_funcs": window_funcs,
 }

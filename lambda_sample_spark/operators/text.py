@@ -50,37 +50,33 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_ISH = r"\w+|[^\w\s]"  # word runs + single punctuation, GPT-2-ish
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + distinct tokens per doc."""
+    """Token counting, both estimators in one narrow projection:
+    whitespace tokens (+ distinct) and BPE-ish subword pieces — a
+    word-run + standalone-punctuation regex approximating an LLM
+    tokenizer's pre-tokenization split, the cheap cluster-side token
+    estimator."""
     docs = documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
     return docs.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-    )
-
-
-BPE_ISH = r"\w+|[^\w\s]"  # word runs + single punctuation, GPT-2-ish
-
-
-def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish token counting: a subword-style regex (word runs +
-    standalone punctuation) approximating an LLM tokenizer's
-    pre-tokenization split — the cheap cluster-side token estimator."""
-    docs = documents(spark, sf_dir)
-    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH), 0)
-    return docs.select(
-        "doc_id",
         F.size(pieces).cast("bigint").alias("n_bpe_tokens"),
         F.size(F.array_distinct(pieces)).cast("bigint").alias("n_distinct_bpe"),
     )
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length score x (1 - stopword ratio), clamped.
-    (The shape of a C4/Gopher-style quality filter, kept deterministic
-    and oracle-checkable.)"""
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document profile: quality score (length score x (1 -
+    stopword ratio) — the shape of a C4/Gopher-style quality filter,
+    kept deterministic and oracle-checkable) + content fingerprint
+    (md5 hex — identical across engines) for exact-dup detection and
+    caching keys."""
     docs = documents(spark, sf_dir)
     toks = _tokens(F.col("text"))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -88,14 +84,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
     quality = len_score * (F.lit(1.0) - n_stop / n_tok)
-    return docs.select("doc_id", r6(quality).alias("quality"))
-
-
-def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: content hash (md5 hex — identical
-    across engines) for exact-dup detection and caching keys."""
-    docs = documents(spark, sf_dir)
-    return docs.select("doc_id", F.md5(F.col("text")).alias("fp"))
+    return docs.select(
+        "doc_id",
+        r6(quality).alias("quality"),
+        F.md5(F.col("text")).alias("fp"),
+    )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,37 +158,29 @@ FROM per_doc GROUP BY lang
     "q_token_count": r"""
 SELECT doc_id,
        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens
-FROM documents
-""",
-    "q_token_count_bpe": r"""
-SELECT doc_id,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]', 0))) AS BIGINT) AS n_distinct_bpe
 FROM documents
 """,
-    "q_quality_score": r"""
+    "q_doc_profile": r"""
 WITH t AS (
-  SELECT doc_id, n_chars,
+  SELECT doc_id, text, n_chars,
          len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
          len(list_filter(regexp_split_to_array(trim(text), '\s+'),
                          x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
   FROM documents
 )
 SELECT doc_id,
-       round(least(n_chars / 500.0, 1.0) * (1.0 - n_stop * 1.0 / n_tok), 6) AS quality
+       round(least(n_chars / 500.0, 1.0) * (1.0 - n_stop * 1.0 / n_tok), 6) AS quality,
+       md5(text) AS fp
 FROM t
-""",
-    "q_fingerprint": """
-SELECT doc_id, md5(text) AS fp FROM documents
 """,
 }
 
 QUERIES = {
     "q_text_stats": text_stats,
     "q_token_count": token_count,
-    "q_token_count_bpe": token_count_bpe,
-    "q_quality_score": quality_score,
-    "q_fingerprint": fingerprint,
+    "q_doc_profile": doc_profile,
     "q_lang_id": lang_id,  # rows-only (profile argmax; not worth SQL contortions)
 }

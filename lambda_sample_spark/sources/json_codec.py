@@ -22,34 +22,27 @@ from .common_sources import events
 PROPS_SCHEMA = StructType([StructField("k", IntegerType())])
 
 
-def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4: parse the JSON props payload into a typed column."""
+def json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + S12 + P13/P14 in one narrow projection over the same scan:
+
+    - ``k``: bytes->struct decode of the JSON props payload
+      (``from_json``, the Consumer.scala:53-57 ingest decode);
+    - ``js``: struct re-encoded to a compact JSON string with a fixed
+      field order (the Jackson field-order fidelity point — SURVEY.md
+      §7 hard part 5);
+    - ``k_scaled``: regex field extraction + x1000 unit conversion
+      (the hey-CSV response-time parsing path, Dashboard.scala:96-102).
+
+    All three are codegen'd JVM expressions; fusing them costs nothing
+    (one scan, zero shuffles) and proves each codec direction against
+    the oracle."""
     df = events(spark, sf_dir)
+    k_re = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
     return df.select(
         "event_id",
         F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
-    )
-
-
-def json_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12: serialize a struct back to a compact JSON string with a
-    fixed field order (the Jackson field-order fidelity point —
-    SURVEY.md §7 hard part 5)."""
-    df = events(spark, sf_dir)
-    return df.select(
-        "event_id",
         F.to_json(F.struct("event_id", "event_type")).alias("js"),
-    )
-
-
-def regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P13+P14: regex field extraction + x1000 unit conversion (the
-    hey-CSV response-time parsing path)."""
-    df = events(spark, sf_dir)
-    k = F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("int")
-    return df.select(
-        "event_id",
-        (k * F.lit(1000)).cast("bigint").alias("k_scaled"),
+        (k_re * F.lit(1000)).cast("bigint").alias("k_scaled"),
     )
 
 
@@ -77,25 +70,15 @@ def all_meta_json(meta_df: DataFrame) -> str:
 
 
 ORACLE = {
-    "q_json_decode": """
+    "q_json_codec": """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
-FROM events
-""",
-    "q_json_encode": """
-SELECT event_id,
-       CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS js
-FROM events
-""",
-    "q_regex_extract": """
-SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS js,
        CAST(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) * 1000 AS BIGINT) AS k_scaled
 FROM events
 """,
 }
 
 QUERIES = {
-    "q_json_decode": json_decode,
-    "q_json_encode": json_encode,
-    "q_regex_extract": regex_extract,
+    "q_json_codec": json_codec,
 }

@@ -21,7 +21,7 @@ def con(sf_dir):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # mirrors the driver contract: entry() must yield rows
     assert df.columns
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.io import load_table
-from lambda_sample_spark.operators.aggregates import group_sum_avg, share_of_total
+from lambda_sample_spark.operators.aggregates import group_stats, share_of_total
 from lambda_sample_spark.operators.joins import lookup_join_left
 from lambda_sample_spark.operators.tpch import tpch_join_agg, tpch_q6
 from lambda_sample_spark.operators.windows import scan_filter_limit
@@ -37,7 +37,7 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 
 def test_aggregates_partial(spark, sf_dir):
-    assert audit.has_partial_agg(group_sum_avg(spark, sf_dir))
+    assert audit.has_partial_agg(group_stats(spark, sf_dir))
 
 
 def test_share_of_total_windows_only_aggregated_frame(spark, sf_dir):
@@ -48,7 +48,7 @@ def test_share_of_total_windows_only_aggregated_frame(spark, sf_dir):
 
 
 def test_codegen_covers_hot_path(spark, sf_dir):
-    df = group_sum_avg(spark, sf_dir)
+    df = group_stats(spark, sf_dir)
     assert audit.codegen_span_count(df) >= 1
 
 
