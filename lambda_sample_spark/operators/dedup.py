@@ -5,19 +5,20 @@ Scale design:
   - exact dedup: hash-groupBy on the text (one shuffle keyed by
     content; at 100 TB group by md5(text) so the shuffle key is 16
     bytes, not the document).
-  - n-gram Jaccard: exact pairwise similarity via token explode +
-    equi-join on token. Correct but vocabulary-skew-sensitive (a token
-    present in k docs fans out k^2 pairs) — this is the small-scale /
-    oracle-checkable baseline; the 100 TB path is MinHash-LSH below,
-    which replaces the all-pairs join with banded bucket joins.
-  - MinHash-LSH: pyspark.ml MinHashLSH over HashingTF shingle vectors;
-    approxSimilarityJoin only compares within-bucket candidates.
-  - SimHash: 64-bit signature via xxhash64(token) bit-voting —
-    near-dups differ in few bits; grouping by band prefixes gives a
-    cheap blocking key. Pure DataFrame ops (explode + bit arithmetic).
+  - n-gram Jaccard: EXACT pairwise similarity via set-collapse (dedupe
+    identical token sets before any quadratic work) + PPJoin prefix
+    filtering over distinct sets + array_intersect verification.
+  - MinHash banding: hand-rolled 8x8 banded minhash + min-propagation
+    clustering — linear, no pair join ever materializes (the
+    approximate 100 TB path when even exact pair output is too big).
+  - SimHash: 64-bit signature via xxhash64(token) bit-voting — one
+    groupBy with 64 conditional-sum aggregates, no bit explode;
+    near-dups differ in few bits.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,71 +49,185 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard similarity >= 0.95 between same-language
-    pairs — EXACT result via prefix filtering (PPJoin).
+    pairs — EXACT result via set-collapse + prefix filtering (PPJoin).
 
-    A naive token equi-join fans out quadratically on frequent tokens
-    (a token in k docs emits k^2 pairs). Prefix filtering keeps the
-    result exact while joining only on each document's rarest tokens:
-    if J(A,B) >= t, the first |X| - ceil(t*|X|) + 1 tokens of each set
-    under a global (doc-frequency, token) order must intersect. At
-    t=0.95 that prefix is ~5% of each document, made of its rarest
-    tokens — so the candidate join touches almost no hot keys, which is
-    what makes this the 100 TB-safe exact variant (MinHash-LSH below is
-    the approximate one). Candidates then get an exact intersection
-    count via joins restricted to candidate doc ids.
+    Three-level adaptive design (each level exact; each kicks in only
+    where the previous can't apply — the 100 TB-safe exact variant):
+
+    1. **Collapse identical token SETS first.** Docs sharing a token
+       set are J=1.0 pairs by construction; everything below runs over
+       DISTINCT sets only. On a heavily-duplicated corpus this shrinks
+       the universe before any join; on an all-unique corpus it costs
+       one extra hash aggregate.
+    2. **Deletion-signature join for small sets.** For J(A,B) >= t the
+       symmetric difference |A △ B| <= (1-t)/(1+t) * (|A|+|B|), so
+       whenever |A|+|B| < 2(1+t)/(1-t) (= 78 at t=0.95) a qualifying
+       non-identical pair differs by EXACTLY one token: B = A + {x}.
+       Those pairs are found by an equi-join of each set's delete-one
+       signatures against full-set signatures — linear in total
+       tokens, no candidate explosion, immune to hot-vocabulary skew
+       (the failure mode of prefix filtering on small-vocab corpora).
+    3. **PPJoin for big sets.** Only pairs with both sides past the
+       size bound (sz >= ceil(t * ceil(2(1+t)/(1-t) / (1+t)))) can
+       qualify while differing by >= 2 tokens; for those the classic
+       prefix filter applies — if J(A,B) >= t, the rarest
+       |X| - ceil(t*|X|) + 1 tokens of each set under a global
+       (set-frequency, token) order must intersect — followed by
+       size-compatibility pruning and one ``array_intersect``
+       verification per candidate. Long documents have long tails of
+       rare tokens, exactly where prefix filtering is strong.
+    4. **Expand back to doc pairs** by joining set-pair verdicts to
+       the (doc -> set) membership table — output-bound, the
+       irreducible cost of a pair-listing operator.
+
+    No per-document table is ever broadcast; every join is keyed and
+    shuffle-safe, and AQE may broadcast the small sides at small SF.
     """
     t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
 
-    # global token order: ascending document frequency, rarest first
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn("rnk", F.row_number().over(w))
-        .join(F.broadcast(sizes), "doc_id")
+    # 1. doc -> (lang, set_key) membership + distinct-set table
+    sets = (
+        toks.groupBy("doc_id", "lang")
+        .agg(F.sort_array(F.collect_set("tok")).alias("tokset"))
+        # tokens are whitespace-split, so a space separator is unambiguous
+        .withColumn("set_key", F.md5(F.concat_ws(" ", "tokset")))
     )
-    prefix = ranked.where(
-        F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "lang", "tok", "sz")
+    membership = sets.select("doc_id", "lang", "set_key")
+    groups = (
+        sets.groupBy("lang", "set_key")
+        .agg(F.min("doc_id").alias("rep"), F.first("tokset").alias("tokset"))
+        .withColumn("sz", F.size("tokset"))
+    )
 
+    # 2. identical-set pairs: J = 1.0 with no verification needed
+    m1, m2 = membership.alias("m1"), membership.alias("m2")
+    same = (
+        m1.join(m2, ["lang", "set_key"])
+        .where(F.col("m1.doc_id") < F.col("m2.doc_id"))
+        .select(
+            F.col("m1.doc_id").alias("d1"),
+            F.col("m2.doc_id").alias("d2"),
+            r6(F.lit(1.0)).alias("jaccard"),
+        )
+    )
+
+    # 3a. deletion-signature join: finds every B = A + {x} pair.
+    # Only the larger side needs deletion keys, and only when
+    # J = (sz-1)/sz can reach t, i.e. sz >= ceil(1/(1-t)).
+    del_min_sz = math.ceil(1.0 / (1.0 - t))
+    del_keys = (
+        groups.where(F.col("sz") >= del_min_sz)
+        .select(
+            "lang",
+            F.col("set_key").alias("k2"),
+            F.col("rep").alias("rep2"),
+            F.col("sz").alias("sz2"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokset)), i -> "
+                    "md5(concat_ws(' ', concat(slice(tokset, 1, i-1), "
+                    "slice(tokset, i+1, size(tokset)-i)))))"
+                )
+            ).alias("del_key"),
+        )
+    )
+    full_keys = groups.select(
+        "lang",
+        F.col("set_key").alias("k1"),
+        F.col("set_key").alias("del_key"),
+        F.col("rep").alias("rep1"),
+        F.col("sz").alias("sz1"),
+    )
+    del_pairs = (
+        del_keys.join(full_keys, ["lang", "del_key"])
+        .select(
+            "lang",
+            # normalize the unordered set pair by rep order
+            F.when(F.col("rep1") < F.col("rep2"), F.col("k1")).otherwise(F.col("k2")).alias("k1"),
+            F.when(F.col("rep1") < F.col("rep2"), F.col("k2")).otherwise(F.col("k1")).alias("k2"),
+            # J(A, A+{x}) = sz1 / sz2 = (sz2-1)/sz2
+            (F.col("sz1") / F.col("sz2")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= t)
+    )
+
+    # 3b. PPJoin over distinct sets big enough to qualify while
+    # differing by >= 2 tokens: both sides must reach big_min_sz
+    # (derived from |A △ B| <= (1-t)/(1+t) * (|A|+|B|)).
+    b_min = math.ceil(2.0 * (1.0 + t) / (1.0 - t) / (1.0 + t))
+    big_min_sz = math.ceil(t * b_min)
+    bigs = groups.where(F.col("sz") >= big_min_sz)
+    gtoks = bigs.select(
+        "lang", "set_key", "rep", "sz", F.explode("tokset").alias("tok")
+    )
+    dfreq = gtoks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang", "set_key").orderBy("df", "tok")
+    prefix = (
+        gtoks.join(dfreq, "tok")  # no hint: vocabulary grows with corpus; AQE broadcasts while small
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("lang", "set_key", "rep", "sz", "tok")
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.rep") < F.col("b.rep"))
             # size compatibility: J >= t forces t*|A| <= |B| <= |A|/t
             & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
             & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
         )
         .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            F.col("a.sz").alias("sz1"),
-            F.col("b.sz").alias("sz2"),
+            F.col("a.lang").alias("lang"),
+            F.col("a.set_key").alias("k1"),
+            F.col("b.set_key").alias("k2"),
         )
         .distinct()
     )
 
-    # verify candidates only: exact intersection via two candidate-
-    # restricted joins (cost ~ |candidates| * avg doc size, not all-pairs)
-    t1 = toks.select(F.col("doc_id").alias("d1"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("d2"), "tok")
-    inter = (
-        cand.join(t1, "d1")
-        .join(t2, ["d2", "tok"])
-        .groupBy("d1", "d2", "sz1", "sz2")
-        .agg(F.count("*").alias("inter"))
+    # 4. exact verification on the deduped set table
+    g1 = groups.select(
+        "lang", F.col("set_key").alias("k1"),
+        F.col("tokset").alias("ts1"), F.col("sz").alias("sz1"),
     )
-    jac = F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))
-    return (
-        inter.where(jac >= t)
-        .select("d1", "d2", r6(jac).alias("jaccard"))
+    g2 = groups.select(
+        "lang", F.col("set_key").alias("k2"),
+        F.col("tokset").alias("ts2"), F.col("sz").alias("sz2"),
     )
+    inter = F.size(F.array_intersect("ts1", "ts2"))
+    jac = inter / (F.col("sz1") + F.col("sz2") - inter)
+    verified = (
+        cand.join(g1, ["lang", "k1"])
+        .join(g2, ["lang", "k2"])
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= t)
+        .select("lang", "k1", "k2", "jaccard")
+    )
+    # big-set pairs differing by exactly one token are found by BOTH
+    # 3a and 3b — dedupe at the (tiny) verified-set-pair level
+    set_pairs = del_pairs.unionByName(verified).dropDuplicates(["lang", "k1", "k2"])
+
+    # 5. expand set pairs to doc pairs (output-bound)
+    e1 = membership.select(
+        "lang", F.col("set_key").alias("k1"), F.col("doc_id").alias("doc1")
+    )
+    e2 = membership.select(
+        "lang", F.col("set_key").alias("k2"), F.col("doc_id").alias("doc2")
+    )
+    cross = (
+        set_pairs.join(e1, ["lang", "k1"])
+        .join(e2, ["lang", "k2"])
+        .select(
+            F.least("doc1", "doc2").alias("d1"),
+            F.greatest("doc1", "doc2").alias("d2"),
+            r6(F.col("jaccard")).alias("jaccard"),
+        )
+    )
+    return same.unionByName(cross)
 
 
 MINHASH_BANDS = 8
@@ -197,33 +312,34 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (rows-only): 64-bit signature by per-bit voting over
     xxhash64(token); near-dup docs land within small Hamming distance.
 
-    Pure DataFrame formulation: explode tokens -> explode 64 bit
-    positions is avoided by summing bit masks arithmetically — we vote
-    with sign contributions per bit using integer shifts.
+    Pure DataFrame formulation with NO bit explode: one row per token
+    enters a single groupBy(doc_id) whose 64 aggregate expressions are
+    conditional sums — bit i votes +1 if ``(h >> i) & 1`` else -1,
+    evaluated map-side with partial aggregation. The signature is then
+    folded from the 64 vote columns with integer shifts in one
+    projection. Shuffle input = one row per (doc, token); at 100 TB
+    the 64 sums travel as one 512-byte partial-agg row per doc.
     """
     docs = documents(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))
-    # per bit position: vote +1 if bit set else -1; final bit = vote > 0
-    bits = toks.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1).alias("vote"),
+    votes = [
+        F.sum(
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    sig_expr = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(64)
     )
-    sig = (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("votes"))
-        .withColumn("bitval", F.when(F.col("votes") > 0, F.lit(1)).otherwise(F.lit(0)))
-        .groupBy("doc_id")
-        .agg(F.sum(F.expr("cast(bitval as bigint) << bit")).alias("simhash"))
+    return (
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .select("doc_id", F.expr(sig_expr).alias("simhash"))
     )
-    return sig.select("doc_id", "simhash")
 
 
 ORACLE = {

@@ -2,14 +2,19 @@
 
 The reference has no multi-table joins; these TPC-H-style queries over
 the driver's star schema exercise the join strategies Spark gives us:
-broadcast-hash for the small dimensions (region/nation/customer/part),
-shuffle-hash/sort-merge for orders⋈lineitem (AQE picks and can convert
-at runtime), with filter pushdown to the parquet scans.
+broadcast-hash for the FIXED-SIZE dimensions (region/nation/part —
+their cardinality does not grow with SF), shuffle-hash/sort-merge for
+orders⋈lineitem (AQE picks and can convert at runtime), with filter
+pushdown to the parquet scans.
 
-Scale notes: dimension joins are broadcast (no fact shuffle);
-orders⋈lineitem co-shuffles on orderkey once — at 100 TB, bucketing
-both tables by orderkey removes even that. Aggregates are partial
-(map-side combine) before the single group-by shuffle.
+Scale notes: only fixed-size dims carry an explicit broadcast hint.
+customer SCALES with SF (~150k rows/SF unit — TBs at 100 TB
+workloads), so it carries NO hint: AQE broadcasts it at small SF and
+falls back to a shuffle join when the runtime size exceeds the
+threshold — a forced hint would override that forever and OOM at
+scale. orders⋈lineitem co-shuffles on orderkey once — at 100 TB,
+bucketing both tables by orderkey removes even that. Aggregates are
+partial (map-side combine) before the single group-by shuffle.
 """
 
 from __future__ import annotations
@@ -63,7 +68,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = li.join(
         orders, li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    ).join(cust, orders.o_custkey == cust.c_custkey)
     return (
         joined.groupBy("l_orderkey", "o_orderdate")
         .agg(_r2(F.sum(revenue)).alias("revenue"))
@@ -90,7 +95,7 @@ def tpch_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
     return joined.groupBy("n_name").agg(_r2(F.sum(revenue)).alias("revenue"))
@@ -124,7 +129,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     return (
         joined.select(
