@@ -80,6 +80,14 @@ def predict_posterior(model, df: DataFrame) -> DataFrame:
     )
 
 
+def export_tree_debug(model, tree_index: int = 0) -> str:
+    """M4: textual decision-tree export — the MLlib equivalent of the
+    reference's graphviz dump ``rf.trees()(0).dot`` (README.md:235-239).
+    MLlib exposes ``toDebugString`` (indented if/else text) rather than
+    dot; the use case (inspect one tree of the forest) is the same."""
+    return model.trees[tree_index].toDebugString
+
+
 def train_per_key_pandas(train_df: DataFrame, key_col: str = "event_type") -> DataFrame:
     """M1 (scalable variant): many-models training via applyInPandas —
     one worker-side fit per key, no driver loop. The in-group learner

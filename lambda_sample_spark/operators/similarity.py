@@ -76,15 +76,35 @@ def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_TABLES = 16  # recall@10 ~0.9 vs exact on the test corpus
-LSH_BITS = 4
+LSH_TABLES = 16
+LSH_MIN_BITS = 4
+LSH_MAX_BITS = 24
+LSH_TARGET_OCCUPANCY = 16  # vectors per bucket the plan aims for
 
 
-def _lsh_signatures(emb: DataFrame) -> DataFrame:
+def lsh_bits_for(n: int) -> int:
+    """Bucket-width rule: bits ~ log2(N / target_occupancy), clamped.
+
+    Bucket count MUST grow with the corpus — at a fixed width the
+    per-query candidate set approaches corpus size (a disguised linear
+    scan). With 2^bits ~ N/occupancy, expected candidates per query
+    stay ~ LSH_TABLES * occupancy regardless of N: ~256 vectors probed
+    whether N is 2e3 or 2e9. The clamp keeps tiny test corpora from
+    degenerating to 1-bucket tables and bounds signature width at the
+    top end (24 bits = 16M buckets/table)."""
+    import math as _math
+
+    if n <= 0:
+        return LSH_MIN_BITS
+    bits = _math.ceil(_math.log2(max(n / LSH_TARGET_OCCUPANCY, 1.0)))
+    return max(LSH_MIN_BITS, min(LSH_MAX_BITS, bits))
+
+
+def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     """Attach (table, bucket) rows per vector: LSH_TABLES independent
-    hash tables of LSH_BITS signed-random-hyperplane bits each.
+    hash tables of n_bits signed-random-hyperplane bits each.
 
-    All 32 projections happen in ONE numpy matmul per Arrow batch
+    All projections happen in ONE numpy matmul per Arrow batch
     (vectorized pandas UDF): (batch x dim) @ (dim x planes) -> signs
     -> per-table bucket ids. Hyperplanes are seeded-deterministic and
     regenerated identically inside every worker — nothing is shipped
@@ -94,7 +114,7 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     """
     from pyspark.sql.functions import pandas_udf
 
-    n_tables, n_bits = LSH_TABLES, LSH_BITS
+    n_tables = LSH_TABLES
 
     @pandas_udf("array<bigint>")
     def bucket_ids(vecs: pd.Series) -> pd.Series:
@@ -124,29 +144,60 @@ def _lsh_signatures(emb: DataFrame) -> DataFrame:
     )
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN (rows-only): multi-table random-hyperplane LSH top-k.
+def ann_candidates(emb: DataFrame, n_bits: int) -> DataFrame:
+    """(q_id, q_vec, c_id, vec) candidate pairs: union over hash
+    tables of same-bucket vectors, deduped per (query, candidate).
 
-    The 100 TB path for X3: candidates are the union over hash tables
-    of same-bucket vectors — per-query work scales with bucket
-    occupancy, not corpus size; exact cosine re-ranks the candidates.
-    """
-    emb = embeddings(spark, sf_dir).select(
-        "vec_id", as_double(F.col("embedding")).alias("vec")
+    Multi-probe: each QUERY probes its own bucket plus every bucket at
+    Hamming distance 1 (one flipped signature bit) in every table —
+    the standard recall knob that lets bucket width keep growing with
+    the corpus. Probing expands only the query side (n_queries x
+    tables x (bits+1) rows — broadcastable at any corpus size); the
+    corpus side still stores exactly one row per (vector, table).
+    Expected candidates per query ~ tables * (bits+1) * occupancy —
+    constant in N."""
+    sigs = _lsh_signatures(emb, n_bits)
+    q = (
+        sigs.where(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vec").alias("q_vec"),
+            "table",
+            # probe 0 = exact bucket, probe i = bit (i-1) flipped
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     )
-    sigs = _lsh_signatures(emb)
-    q = sigs.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("vec").alias("q_vec"),
-        "table",
-        "bucket",
-    )
-    cands = (
+    return (
         sigs.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
         .dropDuplicates(["q_id", "c_id"])
     )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN (rows-only): multi-table random-hyperplane LSH top-k.
+
+    The 100 TB path for X3: candidates are the union over hash tables
+    of same-bucket vectors — per-query work scales with bucket
+    occupancy (held constant by ``lsh_bits_for``), not corpus size;
+    exact cosine re-ranks the candidates. The corpus count that sizes
+    the tables is one parquet-metadata action — the same cheap stats
+    pass any ANN index build starts with.
+    """
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n_bits = lsh_bits_for(emb.count())
+    cands = ann_candidates(emb, n_bits)
     scored = cands.select(
         "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
     )

@@ -53,6 +53,44 @@ def q_gen_regimes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen_regimes(spark)
 
 
+SENSOR_ROW_TEMPLATE = (
+    '<div class="form-row form-inline mt-2"><span class="col">%s</span>'
+    '<input type="radio" %s name="%s" value="normal">'
+    '<input type="radio" %s name="%s" value="anomaly"></div>'
+)
+
+
+def render_sensor_list(fleet: DataFrame) -> str:
+    """P15: the producer UI's sensor-list render (Producer.scala:95-99;
+    ST4 template resources/producer/index.html:18-31) as a
+    ``format_string`` projection — each (sensor, is_normal) row becomes
+    one form-row with the matching radio pre-checked, concatenated in
+    sensor order. Serving-edge: output is one HTML fragment, sized by
+    the fleet, so the single collect is bounded by #sensors."""
+    checked_n = F.when(F.col("is_normal"), F.lit("checked")).otherwise(F.lit(""))
+    checked_a = F.when(F.col("is_normal"), F.lit("")).otherwise(F.lit("checked"))
+    rows = fleet.select(
+        F.col("sensor"),
+        F.format_string(
+            SENSOR_ROW_TEMPLATE,
+            F.col("sensor"),
+            checked_n,
+            F.col("sensor"),
+            checked_a,
+            F.col("sensor"),
+        ).alias("html"),
+    )
+    # deterministic order: sort inside the aggregate, not via orderBy
+    # (collect_list order after an exchange is not guaranteed)
+    out = rows.agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(sensor, html))), x -> x.html)"),
+            "\n",
+        ).alias("doc")
+    )
+    return out.first()["doc"]
+
+
 ORACLE: dict[str, str] = {}  # rows-only: seeded randomness is engine-specific
 
 QUERIES = {"q_gen_regimes": q_gen_regimes}

@@ -46,21 +46,30 @@ def speed_layer_agg(entries: DataFrame, recent_n: int = 200) -> DataFrame:
 
 def model_scores(spark: SparkSession, models: dict, agg: DataFrame) -> DataFrame:
     """Batch-layer posterior P(anomaly) of each sensor's LATEST value
-    under its trained forest — the tiny broadcastable dimension."""
+    under its trained forest — the tiny broadcastable dimension.
+
+    Fully lazy: each model's ``transform`` is applied to the probe
+    frame filtered to its own sensor and the branches are unioned, so
+    the whole dimension evaluates inside the ONE job that materializes
+    the serving query — no driver-side collect, no per-sensor Spark
+    job. The loop is over the model registry (driver metadata, bounded
+    by the fleet size), never over data; the many-keys twin is
+    ``ml.forest.train_per_key_pandas`` whose scorer is itself a
+    DataFrame."""
+    from functools import reduce
+
     from ..ml.forest import predict_posterior
 
-    latest = agg.select("sensor", F.col("latest_value").alias("value")).collect()
-    rows = []
-    for r in latest:
-        model = models.get(r.sensor)
-        if model is None:
-            continue
-        probe = spark.createDataFrame([(r.value,)], "value DOUBLE")
-        p = predict_posterior(model, probe).collect()[0].p_anomaly
-        rows.append((r.sensor, float(p)))
-    if not rows:
+    if not models:
         return spark.createDataFrame([], "sensor STRING, full_anomaly DOUBLE")
-    return spark.createDataFrame(rows, "sensor STRING, full_anomaly DOUBLE")
+    probes = agg.select("sensor", F.col("latest_value").alias("value"))
+    branches = [
+        predict_posterior(model, probes.where(F.col("sensor") == sensor)).select(
+            "sensor", F.col("p_anomaly").alias("full_anomaly")
+        )
+        for sensor, model in sorted(models.items())
+    ]
+    return reduce(DataFrame.unionByName, branches)
 
 
 def serve_analysis(

@@ -82,3 +82,12 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = [r.p_anomaly for r in predict_posterior(model, probes).collect()]
     b = [r.p_anomaly for r in predict_posterior(loaded, probes).collect()]
     assert a == b
+
+
+def test_tree_debug_export(spark, fixture_models):
+    # M4 (README.md:235-239: rf.trees()(0).dot -> toDebugString)
+    from lambda_sample_spark.ml.forest import export_tree_debug
+
+    models, _ = fixture_models
+    text = export_tree_debug(models[sorted(models)[0]])
+    assert "If (feature" in text and "Predict:" in text

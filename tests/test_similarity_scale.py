@@ -1,0 +1,68 @@
+"""Scale-behavior tests for the ANN path (SURVEY.md §2.8 X3c).
+
+The LSH design promise is: bucket count grows with the corpus so the
+per-query candidate set is bounded by a CONSTANT budget
+(~ tables * (bits+1) * occupancy), never a fraction of N — at a fixed
+bucket width the candidate set approaches corpus size, a disguised
+linear scan (the round-1 verdict's finding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.operators.common import embeddings
+from lambda_sample_spark.operators.similarity import (
+    LSH_MAX_BITS,
+    LSH_MIN_BITS,
+    LSH_TABLES,
+    LSH_TARGET_OCCUPANCY,
+    ann_candidates,
+    ann_lsh_topk,
+    as_double,
+    lsh_bits_for,
+    similarity_topk,
+)
+
+
+def test_lsh_bits_grow_with_corpus():
+    # clamps at both ends
+    assert lsh_bits_for(0) == LSH_MIN_BITS
+    assert lsh_bits_for(LSH_TARGET_OCCUPANCY * 2**LSH_MIN_BITS) == LSH_MIN_BITS
+    assert lsh_bits_for(2**40) == LSH_MAX_BITS
+    # monotonic, and in mid-range tracks n/occupancy within 1 bit
+    prev = 0
+    for exp in range(8, 34, 2):
+        bits = lsh_bits_for(2**exp)
+        assert bits >= prev
+        prev = bits
+    assert lsh_bits_for(16 * 2**10) == 10
+    # 1e9-vector corpus: 2^24 buckets/table, candidate budget ~ constant
+    assert lsh_bits_for(10**9) == LSH_MAX_BITS
+
+
+def test_candidate_set_is_budget_bounded(spark, sf_dir):
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = emb.count()
+    bits = lsh_bits_for(n)
+    per_query = (
+        ann_candidates(emb, bits)
+        .groupBy("q_id")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    # the budget is independent of N; 2x slack for occupancy variance
+    budget = 2 * LSH_TABLES * (bits + 1) * LSH_TARGET_OCCUPANCY
+    assert per_query <= budget, (per_query, budget)
+
+
+def test_ann_recall_vs_exact(spark, sf_dir):
+    ann = ann_lsh_topk(spark, sf_dir).select("q_id", "c_id")
+    exact = similarity_topk(spark, sf_dir).select("q_id", "c_id")
+    total = exact.count()
+    hits = ann.join(exact, ["q_id", "c_id"]).count()
+    assert total > 0
+    assert hits / total >= 0.9, f"recall@10 {hits}/{total}"
