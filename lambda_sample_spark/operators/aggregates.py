@@ -135,14 +135,17 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: per-group count / grand total, two-level so the ``sum over
-    ()`` window only sees the aggregated (tiny) frame."""
+    """A10: per-group count / grand total, two-level: aggregate first
+    (tiny frame), then divide by the grand total taken as a broadcast
+    scalar cross join — same single-pass-over-raw-data plan as the
+    ``sum over ()`` window formulation but with no single-partition
+    Window stage (and none of its WindowExec warnings)."""
     counts = events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("cnt"))
-    total = Window.partitionBy()
-    return counts.select(
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "event_type",
         "cnt",
-        r6(F.col("cnt") / F.sum("cnt").over(total)).alias("share"),
+        r6(F.col("cnt") / F.col("total")).alias("share"),
     )
 
 

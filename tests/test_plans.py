@@ -40,11 +40,14 @@ def test_aggregates_partial(spark, sf_dir):
     assert audit.has_partial_agg(group_stats(spark, sf_dir))
 
 
-def test_share_of_total_windows_only_aggregated_frame(spark, sf_dir):
-    """The sum-over-() window must run over the aggregated (tiny)
-    frame, after the HashAggregate — not over the raw events."""
+def test_share_of_total_has_no_global_window(spark, sf_dir):
+    """The grand total must come from a broadcast scalar aggregate of
+    the (tiny) grouped frame — no single-partition Window stage over
+    anything, and the raw events are scanned once per branch of the
+    self-referencing aggregate, never windowed."""
     plan = audit.simple_plan(share_of_total(spark, sf_dir))
-    assert plan.index("Window") < plan.index("HashAggregate")
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan
 
 
 def test_codegen_covers_hot_path(spark, sf_dir):
