@@ -24,7 +24,6 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .common import EVENT_TYPES, events, r6, ts_ms
 

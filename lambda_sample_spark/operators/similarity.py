@@ -155,8 +155,14 @@ def ann_candidates(emb: DataFrame, n_bits: int) -> DataFrame:
     tables x (bits+1) rows — broadcastable at any corpus size); the
     corpus side still stores exactly one row per (vector, table).
     Expected candidates per query ~ tables * (bits+1) * occupancy —
-    constant in N."""
-    sigs = _lsh_signatures(emb, n_bits)
+    constant in N.
+
+    The signature frame feeds both sides of the bucket join — persist
+    it so the matmul UDF runs once per vector, not once per side (at
+    production scale the signatures ARE the index: a materialized
+    table bucketed by (table, bucket), built once, probed by every
+    query batch)."""
+    sigs = _lsh_signatures(emb, n_bits).persist()
     q = (
         sigs.where(F.col("vec_id") < N_QUERIES)
         .select(
