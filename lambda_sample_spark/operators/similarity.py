@@ -215,6 +215,95 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NPROBE = 4
+
+
+def ivf_index(emb: DataFrame, k: int):
+    """IVF coarse quantizer: spherical k-means (vectors L2-normalized,
+    then MLlib KMeans — euclidean on the unit sphere orders like
+    cosine). Returns (centroid frame, assignment frame). At 100 TB the
+    assignment frame is the index: written out partitioned by
+    ``cluster`` so a probe reads only its clusters' files (partition
+    pruning does the candidate selection)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
+    unit = emb.select(
+        "vec_id",
+        "vec",
+        F.transform("vec", lambda x: x / norm).alias("unit"),
+    )
+    feat = unit.withColumn("features", array_to_vector("unit"))
+    model = KMeans(
+        k=k, seed=42, featuresCol="features", predictionCol="cluster"
+    ).fit(feat)
+    assigned = model.transform(feat).select("vec_id", "vec", "unit", "cluster")
+    # centroid frame straight from the model (k rows — tiny)
+    centroids = feat.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster INT, cvec ARRAY<DOUBLE>",
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """ANN, IVF-Flat formulation (the alternative 100 TB path to LSH):
+    k-means coarse quantizer with k ~ sqrt(N) cells; each query probes
+    its ``nprobe`` nearest centroids and exact cosine re-ranks only
+    those cells' vectors. Per-query work ~ nprobe * N/k = nprobe *
+    sqrt(N) — sublinear, and entirely DataFrame-side: centroid
+    selection is a broadcast cross join + rank (no driver collect of
+    anything but the k centroid vectors the model itself holds)."""
+    import math as _math
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = emb.count()
+    k = max(4, int(_math.isqrt(n)))
+    # nprobe grows with k: a fixed probe count over more, smaller
+    # cells would silently cut the scanned fraction as N grows
+    nprobe = max(nprobe, k // 4)
+    centroids, assigned = ivf_index(emb, k)
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+        F.col("unit").alias("q_unit"),
+    )
+    # nprobe nearest cells per query (centroids are unit-ish means;
+    # dot(query_unit, centroid) orders cells by cosine)
+    cell_score = F.aggregate(
+        F.zip_with("q_unit", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cell_dot").desc(), F.col("cluster"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_dot", cell_score)
+        .withColumn("cell_rk", F.row_number().over(wq))
+        .where(F.col("cell_rk") <= nprobe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    cands = (
+        assigned.join(F.broadcast(probed), "cluster")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cands.select(
+        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Cosine in portable SQL mirroring the Spark fold exactly:
     sequential sum over index order, double precision."""

@@ -91,6 +91,49 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 5  # k-gram length
+WINNOW_W = 4  # winnowing window (w consecutive k-gram hashes)
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing (Schleimer,
+    Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    character k-gram, then keep each w-window's minimum hash. Two
+    documents sharing any sufficiently long substring share
+    fingerprints (locality guarantee), and expected density is
+    2/(w+1) — a ~%-sized sketch of each doc.
+
+    Pure DataFrame: k-grams via substring transform (no Python), hashes
+    via xxhash64, window minima via a rows-frame min over pos — one
+    shuffle keyed by doc_id. Output (doc_id, fp) rows: the sketch used
+    for containment / near-dup detection by fingerprint overlap.
+    """
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
+                f" i -> substring(text, i, {WINNOW_K}))"
+            )
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.withColumn("h", F.xxhash64("gram"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    # a hash is selected iff it is the minimum of some window it is in;
+    # with (effectively) unique 64-bit hashes this filter IS the
+    # winnowed set
+    return (
+        hashed.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", F.col("h").alias("fp"))
+        .distinct()
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-trigram profile overlap (rows-only).
 

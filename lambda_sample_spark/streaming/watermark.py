@@ -45,6 +45,55 @@ def windowed_counts(
     )
 
 
+def session_counts(
+    entries_stream: DataFrame,
+    gap: str = "5 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Gap-based session windows per sensor — the streaming twin of the
+    batch sessionize operator (operators/sessions.py: lag → flag →
+    running sum): ``F.session_window`` merges rows whose event times
+    fall within ``gap`` of each other into one growing window. A
+    session's state lives until the watermark passes its close
+    (last event + gap), then it emits once (append mode) and is
+    evicted — bounded state on an unbounded stream."""
+    return (
+        entries_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "sensor")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "sensor",
+            "n",
+            "avg_value",
+        )
+    )
+
+
+def start_session_counts(
+    entries_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "5 minutes",
+    watermark_delay: str = "5 minutes",
+):
+    """Run the session aggregate to a parquet sink in append mode —
+    only watermark-closed sessions are ever written."""
+    return (
+        session_counts(entries_stream, gap, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_windowed_counts(
     entries_stream: DataFrame,
     out_dir: str,

@@ -66,3 +66,24 @@ def test_ann_recall_vs_exact(spark, sf_dir):
     hits = ann.join(exact, ["q_id", "c_id"]).count()
     assert total > 0
     assert hits / total >= 0.9, f"recall@10 {hits}/{total}"
+
+
+def test_ivf_topk_shape_and_recall(spark):
+    # IVF-Flat: the alternative scale path (coarse quantizer + probe).
+    # Uniform-random synthetic embeddings are the adversarial case for
+    # cell routing (cosine neighbors sit barely above noise), so the
+    # floor here is modest; the structural guarantee under test is that
+    # probing nprobe of k~sqrt(N) cells still finds most true
+    # neighbors while scanning a sublinear slice of the corpus.
+    from lambda_sample_spark.operators.similarity import ivf_topk
+
+    sf = "/root/testdata/sf0.1"
+    ivf = ivf_topk(spark, sf)
+    rows = ivf.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.rk)
+    assert all(sorted(v) == list(range(1, 11)) for v in by_q.values())
+    exact = similarity_topk(spark, sf).select("q_id", "c_id")
+    hits = ivf.select("q_id", "c_id").join(exact, ["q_id", "c_id"]).count()
+    assert hits / exact.count() >= 0.6

@@ -1,0 +1,53 @@
+"""Winnowing fingerprint properties (text.py winnow_fingerprints):
+determinism, locality under local edits, and sketch density."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.operators.text import (
+    WINNOW_W,
+    winnow_fingerprints,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat "
+    "watches from the warm windowsill in the afternoon sun light"
+)
+
+
+def _fps(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    out = winnow_fingerprints(df).collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    return by_doc
+
+def test_identical_docs_identical_fingerprints(spark):
+    fps = _fps(spark, [(1, BASE), (2, BASE)])
+    assert fps[1] == fps[2]
+    assert len(fps[1]) > 0
+
+
+def test_local_edit_preserves_most_fingerprints(spark):
+    # winnowing's locality guarantee: an edit only perturbs
+    # fingerprints whose k-grams overlap the edited span
+    edited = BASE.replace("lazy dog", "bored dog")
+    fps = _fps(spark, [(1, BASE), (2, edited)])
+    overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
+    assert overlap >= 0.6, overlap
+
+
+def test_sketch_density(spark):
+    # expected density 2/(w+1); allow generous slack both ways
+    fps = _fps(spark, [(1, BASE)])
+    n_grams = len(BASE) - 4
+    density = len(fps[1]) / n_grams
+    assert density <= 4.0 / (WINNOW_W + 1)
+    assert density >= 0.5 / (WINNOW_W + 1)
+
+
+def test_disjoint_docs_share_nothing(spark):
+    fps = _fps(spark, [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")])
+    assert not (fps[1] & fps[2])
