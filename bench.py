@@ -41,6 +41,10 @@ HEADLINE = [
     "q_rollup_day",
     "q_distinct_users",
     "q_dedup_exact",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_simhash",
+    "q_multimodal_features",
     "q_ngram_jaccard",
     "q_dedup_near",
     "q_similarity_topk",

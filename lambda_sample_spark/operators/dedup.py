@@ -52,7 +52,11 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs — EXACT result via set-collapse + prefix filtering (PPJoin).
 
     Three-level adaptive design (each level exact; each kicks in only
-    where the previous can't apply — the 100 TB-safe exact variant):
+    where the previous can't apply — the 100 TB-safe exact variant).
+    Prefix filtering follows PPJoin (Xiao et al., WWW 2008); the
+    deletion-signature level applies deletion neighborhoods (cf.
+    PassJoin, PVLDB 2012) to the regime where the Jaccard threshold
+    caps the symmetric difference at one token:
 
     1. **Collapse identical token SETS first.** Docs sharing a token
        set are J=1.0 pairs by construction; everything below runs over

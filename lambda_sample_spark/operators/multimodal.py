@@ -110,6 +110,92 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id BIGINT, payload BINARY, "
+    "meta STRUCT<modality: STRING, width: INT, height: INT, codec: STRING>"
+)
+
+
+def resize_images(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image resize over the binary column: mapInPandas batches with
+    the decode→resample→encode core stubbed (PIL/libvips are not in
+    this container) behind a deterministic stand-in that halves the
+    payload until both metadata dims fit ``max_side``. The REAL parts
+    — Arrow batch shape, metadata math (aspect-preserving target dims),
+    schema carried through — are exactly what a PIL-backed version
+    keeps; only the pixel resample swaps in."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # closure-local: workers don't import this repo
+
+        def target(w: int, h: int) -> tuple[int, int]:
+            s = max(w, h, 1)
+            if s <= max_side:
+                return w, h
+            return max(w * max_side // s, 1), max(h * max_side // s, 1)
+
+        def fake_resample(b: bytes, w: int, h: int, nw: int, nh: int) -> bytes:
+            # stand-in for decode->resample->encode: shrink the byte
+            # budget by the same area ratio, deterministically
+            if w * h == 0:
+                return bytes(b)
+            keep = max(1, len(b) * nw * nh // max(w * h, 1))
+            return bytes(b)[:keep]
+
+        for pdf in batches:
+            metas = pdf["meta"]
+            dims = [target(m["width"], m["height"]) for m in metas]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        fake_resample(bytes(b), m["width"], m["height"], nw, nh)
+                        for b, m, (nw, nh) in zip(pdf["payload"], metas, dims)
+                    ],
+                    "meta": [
+                        {
+                            "modality": m["modality"],
+                            "width": nw,
+                            "height": nh,
+                            "codec": m["codec"],
+                        }
+                        for m, (nw, nh) in zip(metas, dims)
+                    ],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id BIGINT, frame_idx INT, frame BINARY"
+
+
+def sample_frames(media: DataFrame, every_n: int = 4, frame_bytes: int = 64) -> DataFrame:
+    """Video frame sampling over the binary column: every ``every_n``-th
+    fixed-size slice of the payload stands in for a decoded frame
+    (ffmpeg-style keyframe extraction is the drop-in real core). One
+    input row fans out to its sampled frames — the mapInPandas batch
+    returns MORE rows than it consumes, the plumbing a real frame
+    sampler needs; downstream the frames are ordinary binary rows
+    (dedup by content hash, feature-extract, etc.)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_frames = max(1, len(raw) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract query (rows-only): synthesize -> extract features ->
     content-hash dedup (keep lowest doc_id per identical payload)."""
