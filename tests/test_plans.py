@@ -106,3 +106,26 @@ def test_ngram_prefix_filter_prunes_candidate_join(spark, sf_dir):
 
     plan = audit.formatted_plan(ngram_jaccard(spark, sf_dir))
     assert "row_number" in plan
+
+
+def test_ngram_no_cartesian_or_nested_loop(spark, sf_dir):
+    """The adaptive exact-Jaccard plan must stay all-equi-join: no
+    CartesianProduct, no BroadcastNestedLoopJoin anywhere."""
+    from lambda_sample_spark.operators.dedup import ngram_jaccard
+
+    plan = audit.simple_plan(ngram_jaccard(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_one_explode_one_shuffle(spark, sf_dir):
+    """SimHash must shuffle one row per (doc, token) exactly once, with
+    the 64 vote sums computed map-side (partial agg) — and never expand
+    bit positions into rows (one Generate = the token explode only)."""
+    from lambda_sample_spark.operators.dedup import simhash
+
+    df = simhash(spark, sf_dir)
+    plan = audit.simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert audit.has_partial_agg(df)
