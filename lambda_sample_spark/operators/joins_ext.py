@@ -131,6 +131,45 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    tolerance_ms: int,
+    bin_ms: int | None = None,
+) -> DataFrame:
+    """Range (interval) join: pairs of same-key rows whose timestamps
+    differ by at most ``tolerance_ms`` — the scalable formulation.
+
+    A naive ``a.join(b, |a.ts - b.ts| <= tol)`` plans a nested-loop
+    over each key group (quadratic comparisons). Binning makes it an
+    EQUI-join: each left row maps to its time bin, each right row to
+    its bin AND both neighbors (replication factor 3, constant), so
+    every qualifying pair shares at least one (key, bin) and the join
+    is hash-partitioned like any other — then one exact filter removes
+    the false candidates. Per-bin work is occupancy^2 within tolerance
+    windows, the irreducible output bound; bin width defaults to the
+    tolerance (the optimum when output ~ tolerance-dense).
+
+    Returns left.* plus the matching right columns, exactly the rows
+    the naive join returns (asserted in tests/test_range_join.py).
+    """
+    bin_ms = bin_ms or tolerance_ms
+    lts = F.unix_millis(F.col(left_ts))
+    rts = F.unix_millis(F.col(right_ts))
+    lb = left.withColumn("_bin", F.floor(lts / bin_ms))
+    rb = right.withColumn(
+        "_bin", F.explode(F.array(*[F.floor(rts / bin_ms) + d for d in (-1, 0, 1)]))
+    )
+    joined = lb.join(rb, [key, "_bin"]).where(
+        F.abs(F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts)))
+        <= tolerance_ms
+    )
+    return joined.drop("_bin")
+
+
 ORACLE = {
     "q_semi_anti_join": """
 SELECT 'semi' AS kind, o_orderpriority AS grp, count(*) AS cnt
