@@ -98,6 +98,67 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hierarchical_rollup(ev: DataFrame) -> dict[str, DataFrame]:
+    """Hypertable-style continuous-aggregate hierarchy: hour buckets
+    aggregated ONCE from raw, then day and month derived by
+    re-aggregating the HOUR frame — sum/count/min/max are algebraic,
+    so coarser levels never rescan raw data. At 100 TB the hour frame
+    is the materialized continuous aggregate (~5 orders of magnitude
+    smaller than raw); day/month queries read it, not the events.
+    Tested level-equal to direct aggregation in test_multidim_extra."""
+    hour = (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+    def _coarsen(finer: DataFrame, unit: str) -> DataFrame:
+        return (
+            finer.groupBy(
+                F.date_trunc(unit, "bucket").alias("bucket"), "event_type"
+            ).agg(
+                F.sum("n").alias("n"),
+                F.sum("sum_value").alias("sum_value"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+            )
+        )
+
+    day = _coarsen(hour, "day")
+    month = _coarsen(day, "month")
+    return {"hour": hour, "day": day, "month": month}
+
+
+def quantiles_approx(
+    ev: DataFrame, accuracy: int = 10000
+) -> DataFrame:
+    """The documented at-scale switch for exact ``percentile``:
+    ``percentile_approx`` (Greenwald-Khanna sketch — fixed memory,
+    mergeable across partitions, rank error <= 1/accuracy). The exact
+    variant stays on the oracle-checked contract (q_quantiles); this
+    one is for the >1e9-rows-per-group regime where an exact sort per
+    group is the bottleneck. Error bound asserted in tests."""
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), accuracy
+            ).alias("q")
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("q1"),
+            F.col("q")[1].alias("median"),
+            F.col("q")[2].alias("q3"),
+        )
+    )
+
+
 ORACLE = {
     "q_rollup_day": """
 SELECT event_type,

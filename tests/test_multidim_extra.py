@@ -1,0 +1,68 @@
+"""Hierarchical (continuous-aggregate) rollup and approx-quantile
+switch (operators/multidim.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.operators.common import events
+from lambda_sample_spark.operators.multidim import (
+    hierarchical_rollup,
+    quantiles_approx,
+)
+
+
+def _direct(ev, unit):
+    return (
+        ev.groupBy(F.date_trunc(unit, "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+def test_derived_levels_equal_direct_aggregation(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    levels = hierarchical_rollup(ev)
+    for unit in ("day", "month"):
+        derived = levels[unit].select(
+            "bucket", "event_type", "n",
+            F.round("sum_value", 6).alias("sum_value"),
+            "min_value", "max_value",
+        )
+        direct = _direct(ev, unit).select(
+            "bucket", "event_type", "n",
+            F.round("sum_value", 6).alias("sum_value"),
+            "min_value", "max_value",
+        )
+        assert derived.count() == direct.count()
+        assert derived.exceptAll(direct).count() == 0, unit
+        assert direct.exceptAll(derived).count() == 0, unit
+    # the hierarchy actually coarsens
+    assert levels["hour"].count() > levels["day"].count() > levels["month"].count()
+
+
+def test_approx_quantiles_within_rank_error(spark, sf_dir):
+    ev = events(spark, sf_dir)
+    approx = {
+        r.event_type: (r.q1, r.median, r.q3)
+        for r in quantiles_approx(ev, accuracy=10000).collect()
+    }
+    exact = {
+        r.event_type: tuple(r.q)
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("percentile(value, array(0.25D, 0.5D, 0.75D))").alias("q"))
+        .collect()
+    }
+    # percentile_approx returns true data values at most 1/accuracy
+    # rank away; on this distribution that lands within a tight value
+    # band of the interpolated exact quantile
+    for et, (a1, a2, a3) in approx.items():
+        e1, e2, e3 = exact[et]
+        spread = max(abs(e3 - e1), 1.0)
+        assert abs(a1 - e1) <= 0.05 * spread
+        assert abs(a2 - e2) <= 0.05 * spread
+        assert abs(a3 - e3) <= 0.05 * spread
