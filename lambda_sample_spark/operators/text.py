@@ -135,7 +135,9 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language ID by character-trigram profile overlap (rows-only).
+    """Language ID by character-trigram profile overlap
+    (oracle-checked: the whole train/score pipeline is deterministic
+    relational algebra, replicated in DuckDB SQL).
 
     Train: docs with doc_id % 10 < 8 build per-lang top-50 trigram
     profiles. Score: every doc's trigrams join the broadcast profile;
@@ -206,6 +208,40 @@ SELECT doc_id,
        CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]', 0))) AS BIGINT) AS n_distinct_bpe
 FROM documents
 """,
+    "q_lang_id": """
+WITH grams AS (
+  SELECT doc_id, lang, substr(text, i, 3) AS gram
+  FROM documents,
+       unnest(generate_series(1, greatest(length(text) - 2, 1))) AS t(i)
+), train AS (
+  SELECT * FROM grams WHERE doc_id % 10 < 8
+), counts AS (
+  SELECT lang, gram, count(*) AS cnt FROM train GROUP BY lang, gram
+), profile AS (
+  SELECT lang AS profile_lang, gram
+  FROM (
+    SELECT lang, gram,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY cnt DESC, gram) AS rk
+    FROM counts
+  ) WHERE rk <= 50
+), test AS (
+  SELECT DISTINCT doc_id, lang, gram FROM grams WHERE doc_id % 10 >= 8
+), scored AS (
+  SELECT t.doc_id, t.lang, p.profile_lang, count(*) AS overlap
+  FROM test t JOIN profile p ON t.gram = p.gram
+  GROUP BY t.doc_id, t.lang, p.profile_lang
+)
+SELECT doc_id,
+       lang AS actual_lang,
+       profile_lang AS predicted_lang,
+       CAST(overlap AS BIGINT) AS overlap
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY overlap DESC, profile_lang ASC) AS rk
+  FROM scored
+) WHERE rk = 1
+""",
     "q_doc_profile": r"""
 WITH t AS (
   SELECT doc_id, text, n_chars,
@@ -225,5 +261,5 @@ QUERIES = {
     "q_text_stats": text_stats,
     "q_token_count": token_count,
     "q_doc_profile": doc_profile,
-    "q_lang_id": lang_id,  # rows-only (profile argmax; not worth SQL contortions)
+    "q_lang_id": lang_id,
 }
