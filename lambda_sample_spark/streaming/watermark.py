@@ -94,6 +94,46 @@ def start_session_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "sensor",
+    max_lag: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows join left rows
+    of the same key whose event time is within [left.ts, left.ts +
+    max_lag] — the click-follows-view shape. Both sides carry
+    watermarks and the join condition bounds event-time distance, so
+    each side's buffered state is evicted once the other side's
+    watermark passes the bound — bounded state on two unbounded
+    streams (the unbridled stream-stream join would buffer forever).
+    """
+    l = (
+        left.withWatermark("ts", watermark_delay)
+        .select(
+            F.col(key).alias("k"),
+            F.col("ts").alias("l_ts"),
+            F.col("value").alias("l_value"),
+        )
+    )
+    r = (
+        right.withWatermark("ts", watermark_delay)
+        .select(
+            F.col(key).alias("rk"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"k = rk AND r_ts >= l_ts AND r_ts <= l_ts + interval {max_lag}"
+        ),
+        "inner",
+    ).select("k", "l_ts", "r_ts", "l_value", "r_value")
+
+
 def start_windowed_counts(
     entries_stream: DataFrame,
     out_dir: str,
