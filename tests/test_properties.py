@@ -112,3 +112,37 @@ def test_lww_idempotent_and_commutative(spark):
     assert base == lww(rows + rows)          # idempotent under replay
     assert base == lww(list(reversed(rows)))  # order-insensitive
     assert base == {("a", 1): 20.0, ("a", 2): 30.0, ("b", 1): 40.0}
+
+
+def test_gen_regimes_invariants(spark):
+    # Producer.scala:55-74 semantics: anomaly rows draw |value| in
+    # [BOUND, BOUND + BOUND/2); normal rows in [0, BOUND); label and
+    # regime always agree (each random draw is materialized once);
+    # deterministic under the fixed seed
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.sources.generator import BOUND, SENSORS, gen_regimes
+
+    df = gen_regimes(spark, n_per_sensor=500).cache()
+    try:
+        assert df.count() == 500 * len(SENSORS)
+        per_sensor = df.groupBy("sensor").count().collect()
+        assert {r.sensor for r in per_sensor} == set(SENSORS)
+        assert all(r["count"] == 500 for r in per_sensor)
+
+        mislabeled = df.where(
+            ((F.col("anomaly") == 1) & (F.abs("value") < BOUND))
+            | ((F.col("anomaly") == 0) & (F.abs("value") >= BOUND))
+        ).count()
+        assert mislabeled == 0
+        out_of_range = df.where(F.abs("value") >= BOUND + BOUND / 2).count()
+        assert out_of_range == 0
+
+        rate = df.agg(F.avg("anomaly")).first()[0]
+        assert 0.005 < rate < 0.10  # ~3.4% configured, loose band
+
+        again = gen_regimes(spark, n_per_sensor=500)
+        assert df.exceptAll(again).count() == 0
+        assert again.exceptAll(df).count() == 0
+    finally:
+        df.unpersist()
