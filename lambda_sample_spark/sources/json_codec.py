@@ -46,6 +46,20 @@ def json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def variant_decode(df: DataFrame) -> DataFrame:
+    """S4, schema-on-read form: ``parse_json`` into Spark 4's VARIANT
+    type + ``variant_get`` path extraction — the semi-structured path
+    when the payload schema isn't fixed (from_json with an explicit
+    struct, above, stays the typed fast path). VARIANT keeps the
+    parsed tree in a compact binary encoding, so repeated path
+    extraction skips re-parsing the JSON text."""
+    v = F.parse_json(F.col("props"))
+    return df.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+    )
+
+
 META_FIELDS = ["name", "ts", "fast_anomaly", "full_anomaly", "avg_anomaly"]
 
 
