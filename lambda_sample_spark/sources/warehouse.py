@@ -37,6 +37,63 @@ def write_partitioned_entries(df: DataFrame, path: str, key: str = "sensor") -> 
     )
 
 
+def zorder_column(cols: list[str], bits: int = 8):
+    """Morton (Z-order) value interleaving the low ``bits`` of the
+    pre-normalized integer columns ``_n0.._nk`` — bit i of dim d lands
+    at position i*ndims + d, so files sorted by the result cluster in
+    ALL dimensions at once."""
+    from pyspark.sql import functions as F
+
+    ndims = len(cols)
+    terms = [
+        f"(((_n{d} >> {i}) & 1) << {i * ndims + d})"
+        for d in range(ndims)
+        for i in range(bits)
+    ]
+    return F.expr(" + ".join(f"CAST({t} AS BIGINT)" for t in terms))
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Multi-dimension data-skipping layout: normalize each clustering
+    column to [0, 2^bits), interleave into a Morton value, range-
+    partition + sort files by it. Parquet min/max stats per file then
+    stay NARROW in every clustering dimension simultaneously, so a
+    conjunctive predicate over any of them prunes most files — the
+    property a single-column sort only gives its own column (asserted
+    in tests/test_zorder.py). Pure expressions end to end; the only
+    extra pass is one min/max aggregate broadcast back as scalars."""
+    from pyspark.sql import functions as F
+
+    aggs = df.agg(
+        *[F.min(c).alias(f"_min{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_max{i}") for i, c in enumerate(cols)],
+    )
+    j = df.crossJoin(F.broadcast(aggs))
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        span = F.col(f"_max{i}") - F.col(f"_min{i}")
+        norm = F.when(span == 0, F.lit(0)).otherwise(
+            ((F.col(c) - F.col(f"_min{i}")) / span * top).cast("bigint")
+        )
+        j = j.withColumn(f"_n{i}", norm)
+    j = j.withColumn("_z", zorder_column(cols, bits))
+    (
+        j.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z", *[f"_n{i}" for i in range(len(cols))],
+              *[f"_min{i}" for i in range(len(cols))],
+              *[f"_max{i}" for i in range(len(cols))])
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def create_bucketed_tables(
     spark: SparkSession,
     sf_dir: str,

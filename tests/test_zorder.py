@@ -1,0 +1,55 @@
+"""Z-order layout: per-file min/max ranges stay narrow in BOTH
+clustering dimensions (a single-column sort only narrows its own), so
+conjunctive predicates prune files in every dimension."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.operators.common import events
+from lambda_sample_spark.sources.warehouse import write_zordered
+
+N_FILES = 8
+
+
+def _avg_file_extent(spark, path, col, global_span):
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg((F.max(col) - F.min(col)).alias("ext"))
+    )
+    rows = per_file.collect()
+    assert len(rows) >= N_FILES // 2  # range partitioner may merge a few
+    return sum(float(r.ext) for r in rows) / len(rows) / global_span
+
+
+def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    ev = events(spark, sf_dir).select("event_id", "user_id", "value")
+    spans = ev.agg(
+        (F.max("user_id") - F.min("user_id")).alias("su"),
+        (F.max("value") - F.min("value")).alias("sv"),
+    ).first()
+
+    zpath = str(tmp_path / "zorder")
+    write_zordered(ev, zpath, ["user_id", "value"], n_files=N_FILES)
+    # baseline: classic single-column sort layout
+    lpath = str(tmp_path / "linear")
+    (
+        ev.repartitionByRange(N_FILES, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    z_user = _avg_file_extent(spark, zpath, "user_id", spans.su)
+    z_value = _avg_file_extent(spark, zpath, "value", spans.sv)
+    l_value = _avg_file_extent(spark, lpath, "value", spans.sv)
+
+    # z-order: BOTH dimensions materially narrower than global
+    assert z_user < 0.75, z_user
+    assert z_value < 0.75, z_value
+    # and strictly better than the single-column sort on the
+    # dimension that sort does NOT cluster
+    assert z_value < l_value, (z_value, l_value)
+    # and z-order loses no rows
+    assert spark.read.parquet(zpath).count() == ev.count()
