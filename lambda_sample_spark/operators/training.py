@@ -1,0 +1,118 @@
+"""Training-data pipeline utilities (north star §2.8 adjuncts): the
+steps between "deduped corpus" and "training batches" — stratified
+sampling, vocabulary building, deterministic splits, and sequence
+packing. All pure DataFrame ops; everything is reproducible from the
+data alone (content-hash-seeded, no RNG state to ship).
+
+Scale notes: sampling is per-row Bernoulli on a content hash (no
+shuffle); vocab building is one token aggregate + one top-k; packing
+is a per-partition running sum (one shuffle on the stratify key);
+splits are stateless hash arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum sampling with DETERMINISTIC membership: a row is in
+    the sample iff the low 32 bits of xxhash64(key) fall under the
+    stratum's fraction — reproducible across runs/executors, no RNG,
+    no shuffle (unlike ``sampleBy``, whose draw depends on partition
+    iteration order)."""
+    u = (F.xxhash64(F.col(key_col)).bitwiseAND(F.lit((1 << 32) - 1))) / F.lit(
+        float(1 << 32)
+    )
+    # per-stratum fraction as a single chained CASE expression
+    expr = F.lit(0.0)
+    for stratum, f in fractions.items():
+        expr = F.when(F.col(strata_col) == stratum, F.lit(float(f))).otherwise(expr)
+    return docs.where(u < expr)
+
+
+def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
+    """Corpus vocabulary: token -> (id, count), ids dense 0..top_n-1 by
+    (count desc, token) — the deterministic order every tokenizer
+    build step needs. One token aggregate + one global top-k
+    (TakeOrdered — per-partition heads, single k-row merge)."""
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(top_n)
+        .withColumn("token_id", F.row_number().over(w) - 1)
+        .select("token_id", "token", "cnt")
+    )
+
+
+def split_by_hash(
+    docs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: buckets of the salted
+    content hash partition [0,1) by the cumulative weights. Stateless
+    and stable — adding documents never reassigns existing ones (the
+    property random splits lose)."""
+    u = (
+        F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+        .bitwiseAND(F.lit((1 << 32) - 1))
+        / F.lit(float(1 << 32))
+    )
+    expr = None
+    acc = 0.0
+    for name, wgt in weights.items():
+        acc += wgt
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = list(weights)[-1]
+    return docs.withColumn("split", F.coalesce(expr, F.lit(last)))
+
+
+def pack_documents(
+    docs: DataFrame,
+    token_budget: int,
+    group_col: str = "lang",
+) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget bins —
+    the concat-and-split step that turns a corpus into training
+    sequences. Greedy sequential packing per group: documents in
+    deterministic (doc_id) order accumulate a running token sum; bin =
+    floor(cumsum_before / budget). One window pass per group key, no
+    driver involvement; bins are dense within each group.
+
+    Returns (group, bin_id, doc_id, n_tokens, offset) where offset is
+    the document's token start position within its bin's stream."""
+    sized = docs.select(
+        F.col(group_col).alias("grp"),
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        sized.withColumn("cum_before", before)
+        .select(
+            "grp",
+            F.floor(F.col("cum_before") / token_budget).alias("bin_id"),
+            "doc_id",
+            "n_tokens",
+            (F.col("cum_before") % token_budget).alias("offset"),
+        )
+    )

@@ -1,0 +1,86 @@
+"""Training-pipeline utilities: determinism, budget, and coverage
+properties (operators/training.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.operators.common import documents
+from lambda_sample_spark.operators.training import (
+    build_vocab,
+    pack_documents,
+    split_by_hash,
+    stratified_sample,
+)
+
+
+def test_stratified_sample_deterministic_and_close(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {langs[0]: 0.5, **{l: 0.1 for l in langs[1:]}}
+    s1 = stratified_sample(docs, fractions)
+    s2 = stratified_sample(docs, fractions)
+    assert s1.exceptAll(s2).count() == 0  # same rows every run
+    got = {
+        r.lang: r.n
+        for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, frac in fractions.items():
+        if totals.get(lang, 0) >= 30:
+            rate = got.get(lang, 0) / totals[lang]
+            assert abs(rate - frac) < 0.15, (lang, rate, frac)
+
+
+def test_build_vocab_dense_deterministic(spark, sf_dir):
+    vocab = build_vocab(documents(spark, sf_dir), top_n=20).collect()
+    ids = [r.token_id for r in vocab]
+    assert ids == list(range(len(vocab)))
+    counts = [r.cnt for r in vocab]
+    assert counts == sorted(counts, reverse=True)
+    assert len({r.token for r in vocab}) == len(vocab)
+
+
+def test_split_by_hash_total_and_stable(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s = split_by_hash(docs, w).cache()
+    try:
+        assert s.where(F.col("split").isNull()).count() == 0
+        n = s.count()
+        by = {r.split: r.n for r in s.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert 0.7 < by.get("train", 0) / n < 0.9
+        # stability: a subset gets identical assignments
+        sub = split_by_hash(docs.where(F.col("doc_id") % 2 == 0), w)
+        joined = s.select("doc_id", F.col("split").alias("a")).join(
+            sub.select("doc_id", F.col("split").alias("b")), "doc_id"
+        )
+        assert joined.where(F.col("a") != F.col("b")).count() == 0
+    finally:
+        s.unpersist()
+
+
+def test_pack_documents_budget_and_coverage(spark, sf_dir):
+    docs = documents(spark, sf_dir)
+    budget = 200
+    packed = pack_documents(docs, budget).cache()
+    try:
+        assert packed.count() == docs.count()  # every doc assigned
+        assert packed.where(F.col("offset") < 0).count() == 0
+        assert packed.where(F.col("offset") >= budget).count() == 0
+        # bins are dense 0..max per group
+        bins = packed.groupBy("grp").agg(
+            F.countDistinct("bin_id").alias("nb"), F.max("bin_id").alias("mx")
+        )
+        assert bins.where(F.col("nb") != F.col("mx") + 1).count() == 0
+        # a bin's content stays within budget + one overflowing doc
+        fill = packed.groupBy("grp", "bin_id").agg(
+            F.sum("n_tokens").alias("fill"), F.max("n_tokens").alias("biggest")
+        )
+        over = fill.where(F.col("fill") > budget + F.col("biggest")).count()
+        assert over == 0
+    finally:
+        packed.unpersist()
