@@ -81,6 +81,34 @@ def split_by_hash(
     return docs.withColumn("split", F.coalesce(expr, F.lit(last)))
 
 
+def quality_gate(
+    docs: DataFrame,
+    min_chars: int = 10,
+    max_chars: int = 100_000,
+    observation_name: str = "quality_gate",
+):
+    """Filter + telemetry in ONE pass: rows outside the quality bounds
+    are dropped, and ``observe()`` counts inputs/violations as scan-
+    time metrics (surfaced via ``collect_observation`` after any
+    action on the result — no second job, no count() re-scan). The
+    production shape for corpus QA: the gate that feeds training also
+    reports what it threw away.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(observation_name)
+    bad_len = (F.col("n_chars") < min_chars) | (F.col("n_chars") > max_chars)
+    bad_text = F.col("text").isNull() | (F.length(F.trim("text")) == 0)
+    observed = docs.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(bad_len.cast("long")).alias("n_bad_length"),
+        F.sum(bad_text.cast("long")).alias("n_bad_text"),
+    )
+    gated = observed.where(~bad_len & ~bad_text)
+    return gated, obs
+
+
 def pack_documents(
     docs: DataFrame,
     token_budget: int,

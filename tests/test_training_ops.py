@@ -84,3 +84,22 @@ def test_pack_documents_budget_and_coverage(spark, sf_dir):
         assert over == 0
     finally:
         packed.unpersist()
+
+
+def test_quality_gate_filters_and_observes_in_one_pass(spark):
+    from lambda_sample_spark.operators.training import quality_gate
+
+    rows = [
+        (1, "a" * 50, 50),     # ok
+        (2, "b" * 5, 5),       # too short
+        (3, "   ", 3),         # blank
+        (4, "d" * 200, 200),   # ok
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, n_chars INT")
+    gated, obs = quality_gate(docs, min_chars=10, max_chars=100)
+    kept = gated.collect()  # one action drives both filter and metrics
+    assert {r.doc_id for r in kept} == {1}  # 200 chars > max -> dropped too
+    m = obs.get
+    assert m["n_input"] == 4
+    assert m["n_bad_length"] == 3  # ids 2 (short), 3 (short), 4 (long)
+    assert m["n_bad_text"] == 1    # id 3
