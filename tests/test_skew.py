@@ -59,3 +59,54 @@ def test_salted_join_matches_plain(spark, sf_dir):
         .collect()[0]
     )
     assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """Prove the claimed runtime mitigation: with AQE skew-join
+    thresholds sized for test data, a pathologically skewed shuffle
+    join's final adaptive plan marks the sort-merge join skew=true
+    (the hot partition was split)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one key owns ~95% of 200k fact rows; right side is uniform
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000)
+            .cast("long").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.col("id").cast("double").alias("w")
+        )
+        # aggregate ON TOP of the join and collect THAT frame: the
+        # collect drives this DataFrame's own query execution, whose
+        # final adaptive plan contains the (possibly split) join.
+        # Global agg (no keys): imposes no distribution requirement, so
+        # OptimizeSkewedJoin is free to split; sum(length(payload))
+        # keeps the fat column in the shuffle (a keyed agg on the join
+        # key would forbid the split, and count(*) would let pruning
+        # shrink the shuffle below the skew threshold).
+        out = fact.join(dim, "k").agg(
+            F.sum(F.length("payload")).alias("bytes")
+        )
+        assert out.collect()[0]["bytes"] > 0  # collect drives THIS df's QE
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
