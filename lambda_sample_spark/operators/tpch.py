@@ -164,6 +164,69 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part — the correlated
+    scalar subquery (`WHERE cost = (SELECT min(cost) ... WHERE
+    partkey = outer.partkey)`) decorrelated the way Catalyst does it:
+    aggregate the subquery once, equi-join back on (partkey, min).
+    Stand-in cost relation: each supplier's cheapest sale price per
+    part from lineitem (the testdata has no partsupp table). Library
+    op; DuckDB-oracle-checked in tests/test_tpch_shapes.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    min_cost = cost.groupBy("l_partkey").agg(
+        F.min("cost").alias("min_cost")
+    ).withColumnRenamed("l_partkey", "m_partkey")
+    best = cost.join(
+        min_cost,
+        (F.col("l_partkey") == F.col("m_partkey"))
+        & (F.col("cost") == F.col("min_cost")),
+    ).select(F.col("l_partkey").alias("p_key"), "l_suppkey", "cost")
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("p_key").alias("partkey"),
+            F.col("s_name").alias("supplier"),
+            _r2(F.col("cost")).alias("cost"),
+        )
+    )
+
+
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers whose lineitems were the ONLY late
+    ones on a multi-supplier order — EXISTS (another supplier on the
+    order) AND NOT EXISTS (another LATE supplier on the order), i.e. a
+    left-semi then a left-anti against the same fact, both plain hash
+    joins. Late = shipped after the order date + 60 days."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+    )
+    late = flagged.where("late").select("l_orderkey", "l_suppkey").distinct()
+    other_supp = flagged.select("l_orderkey", "l_suppkey").distinct()
+    o1, o2 = late.alias("o1"), other_supp.alias("o2")
+    has_other = o1.join(
+        o2,
+        (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
+        & (F.col("o1.l_suppkey") != F.col("o2.l_suppkey")),
+        "left_semi",
+    )
+    l1, l2 = has_other.alias("l1"), late.alias("l2")
+    sole_late = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_anti",
+    )
+    return sole_late.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+
+
 ORACLE = {
     "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
