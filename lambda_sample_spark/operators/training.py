@@ -81,6 +81,40 @@ def split_by_hash(
     return docs.withColumn("split", F.coalesce(expr, F.lit(last)))
 
 
+def unigram_logprob_score(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Cheap LM-style quality proxy: mean unigram log-probability of a
+    document's tokens under the corpus unigram distribution (built by
+    ``build_vocab``), with add-one smoothing for out-of-vocabulary
+    tokens. Corpus-typical documents score high; gibberish and
+    off-distribution text score low — the classic first-pass filter
+    before an actual LM scores the survivors.
+
+    One token explode + one broadcastable vocab join + one mean per
+    doc; OOV handling via the left join's null branch.
+    """
+    total = vocab.agg(
+        F.sum("cnt").alias("_total"), F.count("*").alias("_vsize")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab.select("token", "cnt")), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1)
+                / (F.col("_total") + F.col("_vsize") + 1)
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.avg("logp"), 6).alias("avg_logprob"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
 def quality_gate(
     docs: DataFrame,
     min_chars: int = 10,

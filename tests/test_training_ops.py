@@ -103,3 +103,26 @@ def test_quality_gate_filters_and_observes_in_one_pass(spark):
     assert m["n_input"] == 4
     assert m["n_bad_length"] == 3  # ids 2 (short), 3 (short), 4 (long)
     assert m["n_bad_text"] == 1    # id 3
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark, sf_dir):
+    from lambda_sample_spark.operators.training import (
+        build_vocab,
+        unigram_logprob_score,
+    )
+
+    corpus = documents(spark, sf_dir)
+    vocab = build_vocab(corpus, top_n=100)
+    # a corpus-typical doc (common tokens) vs out-of-vocabulary noise
+    typical = " ".join(r.token for r in vocab.orderBy("token_id").limit(10).collect())
+    probe = spark.createDataFrame(
+        [(900001, typical), (900002, "zzq qqz xzx vvw wvv qqq zzz xxy yyx wyz")],
+        "doc_id BIGINT, text STRING",
+    )
+    scores = {
+        r.doc_id: r.avg_logprob
+        for r in unigram_logprob_score(probe, vocab).collect()
+    }
+    assert scores[900001] > scores[900002]
+    # and both are finite negatives
+    assert all(-100 < v < 0 for v in scores.values())
