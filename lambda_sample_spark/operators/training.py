@@ -147,32 +147,42 @@ def pack_documents(
     docs: DataFrame,
     token_budget: int,
     group_col: str = "lang",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget bins —
     the concat-and-split step that turns a corpus into training
-    sequences. Greedy sequential packing per group: documents in
-    deterministic (doc_id) order accumulate a running token sum; bin =
-    floor(cumsum_before / budget). One window pass per group key, no
-    driver involvement; bins are dense within each group.
+    sequences. Greedy sequential packing: documents in deterministic
+    (doc_id) order accumulate a running token sum; a new bin starts
+    when the budget would overflow.
 
-    Returns (group, bin_id, doc_id, n_tokens, offset) where offset is
-    the document's token start position within its bin's stream."""
+    SHARDED for scale: the running sum is a window per (group, shard)
+    where shard = hash(doc_id) % n_shards — one language never
+    serializes into a single reducer (the naive per-group window
+    would). Bins are globally unique via bin_id = shard + n_shards *
+    local_bin; the cost is at most one underfull tail bin per shard,
+    negligible against shard sizes. Deterministic end to end (hash
+    sharding, doc_id order — no RNG).
+
+    Returns (grp, bin_id, doc_id, n_tokens, offset); offset is the
+    document's token start within its bin's stream."""
     sized = docs.select(
         F.col(group_col).alias("grp"),
         "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("_shard"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("grp")
+        Window.partitionBy("grp", "_shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    local_bin = F.floor(F.col("cum_before") / token_budget)
     return (
         sized.withColumn("cum_before", before)
         .select(
             "grp",
-            F.floor(F.col("cum_before") / token_budget).alias("bin_id"),
+            (F.col("_shard") + F.lit(n_shards) * local_bin).alias("bin_id"),
             "doc_id",
             "n_tokens",
             (F.col("cum_before") % token_budget).alias("offset"),

@@ -66,22 +66,23 @@ def test_split_by_hash_total_and_stable(spark, sf_dir):
 def test_pack_documents_budget_and_coverage(spark, sf_dir):
     docs = documents(spark, sf_dir)
     budget = 200
-    packed = pack_documents(docs, budget).cache()
+    packed = pack_documents(docs, budget, n_shards=8).cache()
     try:
         assert packed.count() == docs.count()  # every doc assigned
         assert packed.where(F.col("offset") < 0).count() == 0
         assert packed.where(F.col("offset") >= budget).count() == 0
-        # bins are dense 0..max per group
-        bins = packed.groupBy("grp").agg(
-            F.countDistinct("bin_id").alias("nb"), F.max("bin_id").alias("mx")
-        )
-        assert bins.where(F.col("nb") != F.col("mx") + 1).count() == 0
+        # deterministic across runs
+        again = pack_documents(docs, budget, n_shards=8)
+        assert packed.exceptAll(again).count() == 0
         # a bin's content stays within budget + one overflowing doc
         fill = packed.groupBy("grp", "bin_id").agg(
             F.sum("n_tokens").alias("fill"), F.max("n_tokens").alias("biggest")
         )
         over = fill.where(F.col("fill") > budget + F.col("biggest")).count()
         assert over == 0
+        # sharding actually spreads work: > 1 shard stripe populated
+        stripes = packed.select((F.col("bin_id") % 8).alias("s")).distinct().count()
+        assert stripes > 1
     finally:
         packed.unpersist()
 
