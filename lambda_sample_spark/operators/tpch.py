@@ -186,7 +186,8 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("cost") == F.col("min_cost")),
     ).select(F.col("l_partkey").alias("p_key"), "l_suppkey", "cost")
     return (
-        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        # no hint: supplier scales with SF (like customer); AQE decides
+        best.join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select(
             F.col("p_key").alias("partkey"),
             F.col("s_name").alias("supplier"),
