@@ -263,7 +263,10 @@ def ivf_topk(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
     n = emb.count()
-    k = max(4, int(_math.isqrt(n)))
+    # k ~ sqrt(N), capped so the centroid table stays comfortably
+    # broadcastable (64k cells x 64-dim doubles ~ 32 MB) even at 1e9+
+    # vectors; beyond that, probe depth (nprobe) is the scaling knob
+    k = max(4, min(int(_math.isqrt(n)), 65536))
     # nprobe grows with k: a fixed probe count over more, smaller
     # cells would silently cut the scanned fraction as N grows
     nprobe = max(nprobe, k // 4)
