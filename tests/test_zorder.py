@@ -53,3 +53,35 @@ def test_zorder_narrows_both_dimensions(spark, sf_dir, tmp_path):
     assert z_value < l_value, (z_value, l_value)
     # and z-order loses no rows
     assert spark.read.parquet(zpath).count() == ev.count()
+
+
+def test_compact_parquet_merges_small_files(spark, sf_dir, tmp_path):
+    from lambda_sample_spark.sources.warehouse import compact_parquet
+
+    ev = events(spark, sf_dir).select("event_id", "ts", "user_id", "value")
+    path = str(tmp_path / "fragged")
+    # simulate micro-batch accretion: many tiny appends
+    for i in range(6):
+        ev.where(F.col("event_id") % 6 == i).repartition(4).write.mode(
+            "append"
+        ).parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    nb, na = compact_parquet(
+        spark, path, sort_col="ts", target_rows_per_file=before_rows // 2
+    )
+    assert nb >= 20
+    assert na <= 4
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.exceptAll(ev).count() == 0 and ev.exceptAll(after).count() == 0
+    # per-file sort re-established: each file's ts range is narrow
+    spans = (
+        after.groupBy(F.input_file_name())
+        .agg((F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("ext"))
+        .collect()
+    )
+    g = after.agg(
+        (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))).alias("g")
+    ).first().g
+    assert all(r.ext < 0.8 * g for r in spans)
