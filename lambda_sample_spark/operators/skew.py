@@ -24,6 +24,26 @@ from pyspark.sql import functions as F
 SALT_N = 8
 
 
+def heavy_hitters(df: DataFrame, col: str, min_share: float = 0.01) -> DataFrame:
+    """Keys owning at least ``min_share`` of all rows — the detection
+    step that decides WHERE salting/skew handling is needed (hot
+    tokens, hot join keys, hot sensors). Exact two-level plan: one
+    hash aggregate (map-side combined) + a broadcast scalar total;
+    output is bounded by 1/min_share rows regardless of input size.
+    For the sketch-only regime (key cardinality too large even for the
+    counted aggregate), ``df.stat.freqItems([col], min_share)`` is the
+    one-pass approximate variant — same contract, false positives
+    possible, no shuffle."""
+    counts = df.groupBy(col).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("total"))
+        .where(F.col("share") >= min_share)
+        .select(col, "cnt", F.round("share", 6).alias("share"))
+    )
+
+
 def _salt_of(*cols: str | Column) -> Column:
     """Deterministic per-row salt in [0, SALT_N): hash of the row's
     distinguishing columns — no rand(), so retries/replays are stable."""

@@ -110,3 +110,21 @@ def test_aqe_skew_join_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_detects_hot_key(spark):
+    import pyspark.sql.functions as F
+
+    from lambda_sample_spark.operators.skew import heavy_hitters
+
+    df = spark.range(10_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold-"), F.col("id")))
+        .alias("k")
+    )
+    hh = heavy_hitters(df, "k", min_share=0.05).collect()
+    assert [r.k for r in hh] == ["hot"]
+    assert abs(hh[0].share - 0.9) < 0.01
+    # output is bounded: nothing under the share floor leaks through
+    all_rows = heavy_hitters(df, "k", min_share=0.00005).count()
+    assert all_rows == 1 + 1000  # hot + every cold key
