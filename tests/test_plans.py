@@ -129,3 +129,37 @@ def test_simhash_one_explode_one_shuffle(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Generate") == 1, plan
     assert audit.has_partial_agg(df)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Catalyst's runtime filter: a selective filter on one join side
+    injects a bloom-filter predicate into the other side's scan, so
+    fact rows that cannot match die before the shuffle. Thresholds
+    tuned down to fire on test-sized data; assertion on the optimized
+    plan (BloomFilterMightContain / bloom_filter)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 450000  # highly selective build side
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
