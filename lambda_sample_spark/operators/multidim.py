@@ -98,6 +98,20 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_types(wide: DataFrame, value_cols: list[str]) -> DataFrame:
+    """UNPIVOT (melt): wide per-type count columns back to long
+    (key, event_type, n) rows — the inverse of pivot_types, via the
+    built-in ``unpivot`` (compiles to one Expand projection, no
+    shuffle, no UDF). Round-trip equality with pivot_types is tested
+    in test_multidim_extra."""
+    return wide.unpivot(
+        ids=["user_bucket"],
+        values=value_cols,
+        variableColumnName="event_type",
+        valueColumnName="n",
+    ).withColumn("event_type", F.expr("substring(event_type, 3)"))  # strip n_
+
+
 def hierarchical_rollup(ev: DataFrame) -> dict[str, DataFrame]:
     """Hypertable-style continuous-aggregate hierarchy: hour buckets
     aggregated ONCE from raw, then day and month derived by

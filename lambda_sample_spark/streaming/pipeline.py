@@ -118,6 +118,29 @@ def lww_entries(spark: SparkSession, entry_dir: str) -> DataFrame:
     )
 
 
+def vacuum_lww(spark: SparkSession, entry_dir: str) -> tuple[int, int]:
+    """Maintenance rewrite of the append log: materialize the
+    last-write-wins view back over the store, discarding superseded
+    (sensor, ts) versions — the upsert store's vacuum. The read-side
+    LWW view stays correct before AND after (idempotent); what changes
+    is storage and the window work every subsequent read pays.
+    Returns (rows_before, rows_after). Same single-writer maintenance
+    window assumption as compact_parquet."""
+    import shutil
+
+    log = spark.read.schema(ENTRY_SCHEMA + ", batch_id LONG").parquet(entry_dir)
+    rows_before = log.count()
+    winners = lww_entries(spark, entry_dir).withColumn(
+        "batch_id", F.lit(0).cast("long")
+    )
+    tmp = entry_dir.rstrip("/") + "__vacuum_tmp"
+    winners.write.mode("overwrite").parquet(tmp)
+    rows_after = spark.read.parquet(tmp).count()
+    shutil.rmtree(entry_dir)
+    shutil.move(tmp, entry_dir)
+    return rows_before, rows_after
+
+
 def refresh_snapshot(
     spark: SparkSession, entry_dir: str, snapshot_dir: str, recent_n: int = 200
 ) -> bool:

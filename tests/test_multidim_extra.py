@@ -66,3 +66,21 @@ def test_approx_quantiles_within_rank_error(spark, sf_dir):
         assert abs(a1 - e1) <= 0.05 * spread
         assert abs(a2 - e2) <= 0.05 * spread
         assert abs(a3 - e3) <= 0.05 * spread
+
+
+def test_unpivot_inverts_pivot(spark, sf_dir):
+    from lambda_sample_spark.operators.common import EVENT_TYPES
+    from lambda_sample_spark.operators.multidim import pivot_types, unpivot_types
+
+    wide = pivot_types(spark, sf_dir)
+    long = unpivot_types(wide, [f"n_{t}" for t in EVENT_TYPES])
+    # pivot(long) == wide again: compare against a direct group count
+    direct = (
+        events(spark, sf_dir)
+        .withColumn("user_bucket", (F.col("user_id") % 10).cast("bigint"))
+        .groupBy("user_bucket", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    nonzero = long.where(F.col("n") > 0)
+    assert nonzero.exceptAll(direct).count() == 0
+    assert direct.exceptAll(nonzero).count() == 0

@@ -86,3 +86,33 @@ def test_stream_schema(spark):
     st = sensor_stream(spark)
     assert [f.name for f in st.schema.fields] == ["sensor", "ts", "value", "anomaly"]
     assert st.isStreaming
+
+
+def test_vacuum_lww_compacts_superseded_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.streaming.pipeline import lww_entries, vacuum_lww
+
+    entry_dir = str(tmp_path / "entries")
+    rows = [
+        ("a", 1000, 1.0, 0, 0),   # superseded by batch 2
+        ("a", 1000, 9.0, 1, 2),   # winner
+        ("a", 2000, 5.0, 0, 1),   # sole version
+        ("b", 1000, 7.0, 0, 3),
+    ]
+    df = spark.createDataFrame(
+        [(s, t, v, a, b) for s, t, v, a, b in rows],
+        "sensor STRING, ts_ms LONG, value DOUBLE, anomaly INT, batch_id LONG",
+    ).select(
+        "sensor", F.timestamp_millis("ts_ms").alias("ts"), "value", "anomaly", "batch_id"
+    )
+    df.write.mode("overwrite").parquet(entry_dir)
+
+    before_view = lww_entries(spark, entry_dir).collect()
+    nb, na = vacuum_lww(spark, entry_dir)
+    after_view = lww_entries(spark, entry_dir).collect()
+
+    assert nb == 4 and na == 3  # one superseded version dropped
+    assert sorted(map(tuple, before_view)) == sorted(map(tuple, after_view))
+    winner = [r for r in after_view if r.sensor == "a" and r.value == 9.0]
+    assert len(winner) == 1
