@@ -144,7 +144,9 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
-def ann_candidates(emb: DataFrame, n_bits: int) -> DataFrame:
+def ann_candidates(
+    emb: DataFrame, n_bits: int, queries: DataFrame | None = None
+) -> DataFrame:
     """(q_id, q_vec, c_id, vec) candidate pairs: union over hash
     tables of same-bucket vectors, deduped per (query, candidate).
 
@@ -161,31 +163,66 @@ def ann_candidates(emb: DataFrame, n_bits: int) -> DataFrame:
     it so the matmul UDF runs once per vector, not once per side (at
     production scale the signatures ARE the index: a materialized
     table bucketed by (table, bucket), built once, probed by every
-    query batch)."""
+    query batch).
+
+    ``queries``: optional (q_id, q_vec) frame; defaults to the
+    contract's fixed probe set (vec_id < N_QUERIES) drawn from the
+    corpus itself."""
     sigs = _lsh_signatures(emb, n_bits).persist()
-    q = (
-        sigs.where(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("vec").alias("q_vec"),
-            "table",
-            # probe 0 = exact bucket, probe i = bit (i-1) flipped
-            F.explode(
-                F.array(
-                    F.col("bucket"),
-                    *[
-                        F.col("bucket").bitwiseXOR(F.lit(1 << i))
-                        for i in range(n_bits)
-                    ],
-                )
-            ).alias("bucket"),
+    if queries is None:
+        qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+            "table", "bucket",
         )
+    else:
+        qsigs = _lsh_signatures(
+            queries.select(
+                F.col("q_id").alias("vec_id"), F.col("q_vec").alias("vec")
+            ),
+            n_bits,
+        ).select(
+            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+            "table", "bucket",
+        )
+    q = qsigs.select(
+        "q_id",
+        "q_vec",
+        "table",
+        # probe 0 = exact bucket, probe i = bit (i-1) flipped
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                    for i in range(n_bits)
+                ],
+            )
+        ).alias("bucket"),
     )
     return (
         sigs.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
         .dropDuplicates(["q_id", "c_id"])
+    )
+
+
+def ann_lsh_search(
+    emb: DataFrame, queries: DataFrame | None, n_bits: int, k: int = TOP_K
+) -> DataFrame:
+    """Generic ANN search: top-k cosine neighbors from the multi-probe
+    LSH candidates for an arbitrary (q_id, q_vec) query frame (or the
+    contract probe set when None). The reusable surface behind
+    q_ann_lsh_topk."""
+    cands = ann_candidates(emb, n_bits, queries)
+    scored = cands.select(
+        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
     )
 
 
@@ -203,16 +240,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
     n_bits = lsh_bits_for(emb.count())
-    cands = ann_candidates(emb, n_bits)
-    scored = cands.select(
-        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
-    )
+    return ann_lsh_search(emb, None, n_bits)
 
 
 IVF_NPROBE = 4

@@ -87,3 +87,31 @@ def test_ivf_topk_shape_and_recall(spark):
     exact = similarity_topk(spark, sf).select("q_id", "c_id")
     hits = ivf.select("q_id", "c_id").join(exact, ["q_id", "c_id"]).count()
     assert hits / exact.count() >= 0.6
+
+
+def test_ann_search_external_queries(spark, sf_dir):
+    # the generic surface: queries NOT drawn from the corpus
+    from lambda_sample_spark.operators.similarity import ann_lsh_search
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = emb.count()
+    # perturbed copies of two corpus vectors as external queries
+    ext = (
+        emb.where(F.col("vec_id").isin(100, 101))
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("q_id"),
+            F.transform("vec", lambda x: x * 1.01).alias("q_vec"),
+        )
+    )
+    out = ann_lsh_search(emb, ext, lsh_bits_for(n), k=5)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append((r.rk, r.c_id))
+    assert set(by_q) == {1000100, 1000101}
+    assert all(sorted(rk for rk, _ in v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # a near-copy query must find its source vector at rank 1
+    top1 = {q: min(v)[1] for q, v in by_q.items()}
+    assert top1[1000100] == 100 and top1[1000101] == 101
