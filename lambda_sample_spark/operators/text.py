@@ -134,6 +134,43 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_near_dup(
+    docs: DataFrame, min_shared: int = 5, min_overlap: float = 0.5
+) -> DataFrame:
+    """Containment near-dup via winnowing sketches: pairs sharing at
+    least ``min_shared`` fingerprints AND whose shared count covers at
+    least ``min_overlap`` of the SMALLER sketch. Catches shared
+    passages (one doc containing a chunk of another) that whole-doc
+    token-set Jaccard structurally misses — MOSS's plagiarism-
+    detection use of the sketch.
+
+    Scale: the join key is a fingerprint (each selected by being a
+    window-minimum hash, so individual fingerprints are rare by
+    construction — no hot-key blowup like raw-token joins); pair
+    output is bounded by real sketch overlap. One sketch pass, one
+    equi-join, one count aggregate."""
+    fps = winnow_fingerprints(docs)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sk_sz"))
+    a = fps.select(F.col("doc_id").alias("d1"), "fp")
+    b = fps.select(F.col("doc_id").alias("d2"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    s1 = sizes.select(F.col("doc_id").alias("d1"), F.col("sk_sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc_id").alias("d2"), F.col("sk_sz").alias("sz2"))
+    overlap = F.col("n_shared") / F.least("sz1", "sz2")
+    return (
+        shared.join(s1, "d1")
+        .join(s2, "d2")
+        .where(overlap >= min_overlap)
+        .select("d1", "d2", "n_shared", F.round(overlap, 6).alias("containment"))
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by character-trigram profile overlap
     (oracle-checked: the whole train/score pipeline is deterministic

@@ -51,3 +51,24 @@ def test_sketch_density(spark):
 def test_disjoint_docs_share_nothing(spark):
     fps = _fps(spark, [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")])
     assert not (fps[1] & fps[2])
+
+
+def test_containment_detects_shared_passage(spark):
+    from lambda_sample_spark.operators.text import winnow_near_dup
+
+    passage = (
+        "it was the best of times it was the worst of times it was the "
+        "age of wisdom it was the age of foolishness it was the epoch"
+    )
+    a = passage + " and then entirely different trailing content follows here"
+    b = "completely unrelated opening words precede the stolen text " + passage
+    c = "nothing in common with either document at all whatsoever truly"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id BIGINT, text STRING"
+    )
+    pairs = winnow_near_dup(docs, min_shared=3, min_overlap=0.3).collect()
+    found = {(r.d1, r.d2) for r in pairs}
+    assert (1, 2) in found          # the shared passage is detected
+    assert all(3 not in p for p in found)  # the unrelated doc never pairs
+    row = next(r for r in pairs if (r.d1, r.d2) == (1, 2))
+    assert row.containment >= 0.3 and row.n_shared >= 3
