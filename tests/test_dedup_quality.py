@@ -70,3 +70,21 @@ def test_simhash_distance_separates_near_dups(spark, exact_pairs):
     avg_far = sum(far) / len(far)
     # the separation that makes simhash a usable blocking key
     assert avg_far > 2 * avg_near, (avg_near, avg_far)
+
+
+def test_approx_distinct_within_hll_error(spark):
+    # the remaining rows-only aggregate: HLL++ estimate vs exact
+    from lambda_sample_spark.operators.multidim import (
+        approx_distinct_users,
+        distinct_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r.event_type: r.n_users for r in distinct_users(spark, sf).collect()}
+    approx = {
+        r.event_type: r.approx_users
+        for r in approx_distinct_users(spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
