@@ -1,0 +1,84 @@
+"""Shuffle-budget regression guard: every contract query's physical
+plan must stay within its recorded Exchange count — an accidental
+extra shuffle (lost co-partitioning, a hint removed, a stray
+repartition) fails here before it shows up as a bench regression.
+Counts are plan-time only (no execution), so the whole sweep is
+cheap."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Exchange (hash+range) budgets recorded from the current plans.
+# Raising a number is a deliberate act with a review trail.
+BUDGET = {
+    "q_fast_anomaly": 1,
+    "q_clamp_score": 0,
+    "q_group_stats": 1,
+    "q_latest_extents": 1,
+    "q_union_all": 0,
+    "q_quantiles": 1,
+    "q_iqr_outliers": 3,
+    "q_share_of_total": 2,
+    "q_scan_filter_limit": 0,
+    "q_recent_topk": 1,
+    "q_upsert_lww": 1,
+    "q_change_detect": 1,
+    "q_sessionize": 1,
+    "q_tumbling_window": 1,
+    "q_moving_stats": 1,
+    "q_window_funcs": 2,
+    "q_lookup_join_left": 2,
+    "q_weighted_ensemble": 2,
+    "q_semi_anti_join": 2,
+    "q_outer_custdist": 2,
+    "q_asof_join": 2,
+    "q_rollup_day": 1,
+    "q_cube_type_user": 1,
+    "q_pivot_types": 2,
+    "q_distinct_users": 2,
+    "q_approx_distinct_users": 1,
+    "q_tpch_q1": 1,
+    "q_tpch_q3": 1,
+    "q_tpch_join_agg": 1,
+    "q_tpch_q6": 0,
+    "q_tpch_q18": 1,
+    "q_tpch_q14": 0,
+    "q_text_stats": 1,
+    "q_token_count": 0,
+    "q_doc_profile": 0,
+    "q_lang_id": 5,
+    "q_dedup_exact": 1,
+    # multi-branch adaptive plan: set-collapse + deletion join +
+    # (empty at this corpus) PPJoin + expansion; the raw corpus flows
+    # through only the first aggregate
+    "q_ngram_jaccard": 23,
+    "q_dedup_near": 8,  # banding + 2 min-propagation rounds
+    "q_simhash": 1,
+    "q_similarity_topk": 1,
+    "q_embed_near_dup": 0,
+    "q_ann_lsh_topk": 2,
+    "q_multimodal_features": 1,
+    "q_csv_scan": 0,
+    "q_gen_regimes": 0,
+    "q_json_codec": 0,
+    "q_rf_train": 0,  # training jobs run inside, plan itself is a local frame
+    "q_rf_predict": 0,
+    "q_histogram_models": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGET))
+def test_shuffle_budget(spark, name):
+    df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert n <= BUDGET[name], f"{name}: {n} exchanges > budget {BUDGET[name]}"
+
+
+def test_budget_covers_every_contract_query():
+    assert set(BUDGET) == set(entrymod.queries())
