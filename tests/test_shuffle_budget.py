@@ -72,6 +72,10 @@ BUDGET = {
 
 @pytest.mark.parametrize("name", sorted(BUDGET))
 def test_shuffle_budget(spark, name):
+    # cached frames from earlier tests substitute InMemoryRelation
+    # subtrees by plan equality and change the plan string — measure
+    # the cold plan
+    spark.catalog.clearCache()
     df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     n = plan.count("Exchange hashpartitioning") + plan.count(
