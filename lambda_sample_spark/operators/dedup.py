@@ -92,11 +92,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _distinct_tokens(docs)
 
     # 1. doc -> (lang, set_key) membership + distinct-set table
+    # sets feeds membership (used 4x: same-pairs + expansion) and the
+    # distinct-set table — persist so the explode+collect_set aggregate
+    # runs once, not once per branch
     sets = (
         toks.groupBy("doc_id", "lang")
         .agg(F.sort_array(F.collect_set("tok")).alias("tokset"))
         # tokens are whitespace-split, so a space separator is unambiguous
         .withColumn("set_key", F.md5(F.concat_ws(" ", "tokset")))
+        .persist()
     )
     membership = sets.select("doc_id", "lang", "set_key")
     groups = (
