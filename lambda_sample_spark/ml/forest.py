@@ -108,6 +108,9 @@ def export_tree_debug(model, tree_index: int = 0) -> str:
     return model.trees[tree_index].toDebugString
 
 
+N_BINS = 20
+
+
 def train_per_key_pandas(train_df: DataFrame, key_col: str = "event_type") -> DataFrame:
     """M1 (scalable variant): many-models training via applyInPandas —
     one worker-side fit per key, no driver loop. The in-group learner
@@ -115,32 +118,42 @@ def train_per_key_pandas(train_df: DataFrame, key_col: str = "event_type") -> Da
     empirical P(anomaly|bin)) because sklearn isn't available here; a
     real deployment would drop sklearn/xgboost into the same closure.
 
-    Returns one row per key: the serialized bin edges + posteriors.
+    Returns one row per (key, bin) — scalar columns only (the model is
+    the set of its bins, exploded): ``bin_lo`` is the bin's left edge,
+    ``posterior`` = P(anomaly | value in bin). The bin arithmetic
+    (``clamp(floor((v - vmin) / width), 0, 19)`` with
+    ``width = (vmax + 1e-9 - vmin) / 20``) is plain IEEE-double ops so
+    an external SQL engine reproduces it bit-for-bit.
     """
     schema = (
-        f"{key_col} STRING, n_rows BIGINT, bin_edges ARRAY<DOUBLE>, "
-        "bin_posteriors ARRAY<DOUBLE>"
+        f"{key_col} STRING, bin BIGINT, bin_lo DOUBLE, n_rows BIGINT, "
+        "n_in_bin BIGINT, n_pos BIGINT, posterior DOUBLE"
     )
     kc = key_col
+    nb = N_BINS
 
     def fit_group(pdf):
         import numpy as np
         import pandas as pd
 
-        v = pdf["value"].to_numpy()
-        y = pdf["anomaly"].to_numpy()
-        edges = np.linspace(v.min(), v.max() + 1e-9, 21)
-        idx = np.clip(np.digitize(v, edges) - 1, 0, 19)
-        post = np.zeros(20)
-        for b in range(20):
-            mask = idx == b
-            post[b] = float(y[mask].mean()) if mask.any() else 0.0
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        y = pdf["anomaly"].to_numpy(dtype=np.float64)
+        vmin = float(v.min())
+        width = (float(v.max()) + 1e-9 - vmin) / float(nb)
+        b = np.clip(np.floor((v - vmin) / width), 0, nb - 1).astype(np.int64)
+        n_in_bin = np.bincount(b, minlength=nb).astype(np.int64)
+        n_pos = np.bincount(b, weights=y, minlength=nb).astype(np.int64)
+        posterior = np.where(n_in_bin > 0, n_pos / np.maximum(n_in_bin, 1), 0.0)
+        bins = np.arange(nb, dtype=np.int64)
         return pd.DataFrame(
             {
-                kc: [pdf[kc].iloc[0]],
-                "n_rows": [len(pdf)],
-                "bin_edges": [edges.tolist()],
-                "bin_posteriors": [post.tolist()],
+                kc: pdf[kc].iloc[0],
+                "bin": bins,
+                "bin_lo": vmin + bins * width,
+                "n_rows": np.int64(len(pdf)),
+                "n_in_bin": n_in_bin,
+                "n_pos": n_pos,
+                "posterior": posterior,
             }
         )
 
@@ -205,14 +218,52 @@ def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_histogram_models(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): the scalable many-models path."""
+    """Contract: the scalable many-models path — oracle-checked since
+    the histogram learner is deterministic (its bin arithmetic is plain
+    IEEE-double ops DuckDB reproduces exactly)."""
     from ..operators.common import events
 
     labeled = _labeled_events(events(spark, sf_dir))
     return train_per_key_pandas(labeled)
 
 
-ORACLE: dict[str, str] = {}  # all rows-only: ML nondeterminism across engines
+# q_rf_train / q_rf_predict stay rows-only (MLlib RNG has no SQL twin);
+# the histogram path is deterministic, so it gets a full value oracle.
+ORACLE: dict[str, str] = {
+    "q_histogram_models": f"""
+WITH lab AS (
+  SELECT event_type, value,
+         CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END AS anomaly
+  FROM events
+), ext AS (
+  SELECT event_type,
+         count(*) AS n_rows,
+         min(value) AS vmin,
+         (max(value) + 1e-9 - min(value)) / 20.0 AS width
+  FROM lab GROUP BY event_type
+), binned AS (
+  SELECT l.event_type,
+         LEAST(GREATEST(CAST(floor((l.value - e.vmin) / e.width) AS BIGINT), 0), 19) AS bin,
+         l.anomaly
+  FROM lab l JOIN ext e USING (event_type)
+), per_bin AS (
+  SELECT event_type, bin, count(*) AS n_in_bin, sum(anomaly) AS n_pos
+  FROM binned GROUP BY event_type, bin
+), grid AS (
+  SELECT e.event_type, e.n_rows, e.vmin, e.width, gs.bin
+  FROM ext e CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bin) gs
+)
+SELECT g.event_type,
+       CAST(g.bin AS BIGINT) AS bin,
+       g.vmin + g.bin * g.width AS bin_lo,
+       CAST(g.n_rows AS BIGINT) AS n_rows,
+       CAST(COALESCE(p.n_in_bin, 0) AS BIGINT) AS n_in_bin,
+       CAST(COALESCE(p.n_pos, 0) AS BIGINT) AS n_pos,
+       CASE WHEN COALESCE(p.n_in_bin, 0) > 0
+            THEN CAST(p.n_pos AS DOUBLE) / p.n_in_bin ELSE 0.0 END AS posterior
+FROM grid g LEFT JOIN per_bin p USING (event_type, bin)
+"""
+}
 
 QUERIES = {
     "q_rf_train": rf_train,

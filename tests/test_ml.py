@@ -51,11 +51,20 @@ def test_histogram_models_scalable_path(spark, sf_dir):
 
     labeled = _labeled_events(events(spark, sf_dir))
     out = train_per_key_pandas(labeled).collect()
-    assert len(out) == 5  # one model row per event_type
+    assert len(out) == 5 * 20  # one row per (event_type, bin) — scalar cols only
+    by_key: dict[str, list] = {}
     for row in out:
-        assert len(row.bin_edges) == 21
-        assert len(row.bin_posteriors) == 20
-        assert all(0.0 <= p <= 1.0 for p in row.bin_posteriors)
+        by_key.setdefault(row.event_type, []).append(row)
+        assert 0.0 <= row.posterior <= 1.0
+        assert row.n_pos <= row.n_in_bin
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.bin)
+        assert [r.bin for r in rows] == list(range(20))
+        # bins partition the key's rows exactly
+        assert sum(r.n_in_bin for r in rows) == rows[0].n_rows
+        # left edges are increasing (equi-width grid)
+        los = [r.bin_lo for r in rows]
+        assert all(a < b for a, b in zip(los, los[1:]))
 
 
 def test_model_save_load_roundtrip(spark, tmp_path):
