@@ -86,38 +86,54 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     No per-document table is ever broadcast; every join is keyed and
     shuffle-safe, and AQE may broadcast the small sides at small SF.
+
+    Set identity is a 128-bit signature: two independent-seed
+    ``xxhash64`` hashes of the sorted token array, JVM codegen all the
+    way — no string serialization and no crypto hash in the hot loop.
+    One 64-bit hash would birthday-collide at 100 TB deletion-key
+    counts (~1e11 keys => hundreds of expected collisions => wrong
+    J=1.0 pairs); two seeds put collisions at ~1e-17. The shared
+    aggregate subtrees (sets, groups) are NOT persisted: Spark's
+    ReuseExchange rule dedupes the identical shuffle subplans at
+    execution, so nothing is cached into a long-lived session.
     """
     t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs)
 
     # 1. doc -> (lang, set_key) membership + distinct-set table
-    # sets feeds membership (used 4x: same-pairs + expansion) and the
-    # distinct-set table — persist so the explode+collect_set aggregate
-    # runs once, not once per branch
     sets = (
         toks.groupBy("doc_id", "lang")
         .agg(F.sort_array(F.collect_set("tok")).alias("tokset"))
-        # tokens are whitespace-split, so a space separator is unambiguous
-        .withColumn("set_key", F.md5(F.concat_ws(" ", "tokset")))
-        .persist()
+        .withColumn(
+            "set_key",
+            F.struct(
+                F.xxhash64("tokset").alias("h1"),
+                F.xxhash64(F.col("tokset"), F.lit(1)).alias("h2"),
+            ),
+        )
     )
     membership = sets.select("doc_id", "lang", "set_key")
     groups = (
         sets.groupBy("lang", "set_key")
-        .agg(F.min("doc_id").alias("rep"), F.first("tokset").alias("tokset"))
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.first("tokset").alias("tokset"),
+            F.count("*").alias("n_docs"),
+        )
         .withColumn("sz", F.size("tokset"))
     )
 
-    # 2. identical-set pairs: J = 1.0 with no verification needed
-    m1, m2 = membership.alias("m1"), membership.alias("m2")
-    same = (
-        m1.join(m2, ["lang", "set_key"])
-        .where(F.col("m1.doc_id") < F.col("m2.doc_id"))
+    # 2. identical-set pairs are (k, k) set pairs with J = 1.0 — they
+    # ride the same doc-pair expansion as the verified pairs below
+    # (one join tree instead of a separate membership self-join)
+    self_pairs = (
+        groups.where(F.col("n_docs") >= 2)
         .select(
-            F.col("m1.doc_id").alias("d1"),
-            F.col("m2.doc_id").alias("d2"),
-            r6(F.lit(1.0)).alias("jaccard"),
+            "lang",
+            F.col("set_key").alias("k1"),
+            F.col("set_key").alias("k2"),
+            F.lit(1.0).alias("jaccard"),
         )
     )
 
@@ -125,6 +141,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Only the larger side needs deletion keys, and only when
     # J = (sz-1)/sz can reach t, i.e. sz >= ceil(1/(1-t)).
     del_min_sz = math.ceil(1.0 / (1.0 - t))
+    _del = "concat(slice(tokset, 1, i-1), slice(tokset, i+1, size(tokset)-i))"
     del_keys = (
         groups.where(F.col("sz") >= del_min_sz)
         .select(
@@ -135,8 +152,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(tokset)), i -> "
-                    "md5(concat_ws(' ', concat(slice(tokset, 1, i-1), "
-                    "slice(tokset, i+1, size(tokset)-i)))))"
+                    f"named_struct('h1', xxhash64({_del}), "
+                    f"'h2', xxhash64({_del}, 1)))"
                 )
             ).alias("del_key"),
         )
@@ -216,26 +233,32 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "k1", "k2", "jaccard")
     )
     # big-set pairs differing by exactly one token are found by BOTH
-    # 3a and 3b — dedupe at the (tiny) verified-set-pair level
-    set_pairs = del_pairs.unionByName(verified).dropDuplicates(["lang", "k1", "k2"])
+    # 3a and 3b — dedupe at the (tiny) verified-set-pair level; the
+    # (k, k) identity pairs are disjoint by construction and skip it
+    set_pairs = (
+        del_pairs.unionByName(verified)
+        .dropDuplicates(["lang", "k1", "k2"])
+        .unionByName(self_pairs)
+    )
 
-    # 5. expand set pairs to doc pairs (output-bound)
+    # 5. expand set pairs to doc pairs (output-bound). Identity pairs
+    # (k1 = k2) expand to both orders of each doc pair — keep one.
     e1 = membership.select(
         "lang", F.col("set_key").alias("k1"), F.col("doc_id").alias("doc1")
     )
     e2 = membership.select(
         "lang", F.col("set_key").alias("k2"), F.col("doc_id").alias("doc2")
     )
-    cross = (
+    return (
         set_pairs.join(e1, ["lang", "k1"])
         .join(e2, ["lang", "k2"])
+        .where((F.col("k1") != F.col("k2")) | (F.col("doc1") < F.col("doc2")))
         .select(
             F.least("doc1", "doc2").alias("d1"),
             F.greatest("doc1", "doc2").alias("d2"),
             r6(F.col("jaccard")).alias("jaccard"),
         )
     )
-    return same.unionByName(cross)
 
 
 MINHASH_BANDS = 8
