@@ -75,10 +75,16 @@ def _fake_features(payload: bytes) -> list[float]:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    mapInPandas signature: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame],
-    so one Python worker handles whole Arrow batches — the real decode
-    would drop in at ``_fake_features`` without touching the plumbing.
+    The content hash is a JVM column expression (``F.md5(payload)``) —
+    a codegen'd projection, not a per-row Python call — so only the
+    feature stand-in itself runs Python-side. mapInPandas signature:
+    Iterator[pd.DataFrame] -> Iterator[pd.DataFrame], so one Python
+    worker handles whole Arrow batches — the real decode would drop in
+    at ``fake_features`` without touching the plumbing.
     """
+    hashed = media.select(
+        "doc_id", F.md5("payload").alias("content_hash"), "payload"
+    )
 
     # NB: the closure must be fully self-contained (no references to
     # module globals) so cloudpickle ships it by value — Spark's Python
@@ -96,18 +102,15 @@ def extract_features(media: DataFrame) -> DataFrame:
             return [x / 256.0 for x in digest[:feature_dim]]
 
         for pdf in batches:
-            payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "content_hash": payloads.map(
-                        lambda b: hashlib.md5(bytes(b)).hexdigest()
-                    ),
-                    "features": payloads.map(lambda b: fake_features(bytes(b))),
+                    "content_hash": pdf["content_hash"],
+                    "features": pdf["payload"].map(lambda b: fake_features(bytes(b))),
                 }
             )
 
-    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return hashed.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
 RESIZED_SCHEMA = (
