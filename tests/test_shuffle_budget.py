@@ -58,7 +58,9 @@ BUDGET = {
     "q_dedup_near": 8,  # banding + 2 min-propagation rounds
     "q_simhash": 1,
     "q_similarity_topk": 1,
-    "q_embed_near_dup": 0,
+    # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
+    # census aggregate (1 exchange) feeding the size-routed join
+    "q_embed_near_dup": 2,
     "q_ann_lsh_topk": 2,
     "q_multimodal_features": 1,
     "q_csv_scan": 0,

@@ -121,6 +121,51 @@ def test_ivf_candidate_fraction_is_sublinear(spark):
     assert max_cands < 0.3 * n, f"scanned {max_cands}/{n} — not sublinear"
 
 
+def test_fat_block_guard_no_quadratic_pairs(spark):
+    # One dominant label: the all-pairs self-join would build n^2/2
+    # comparisons; the guard must route the block through LSH
+    # co-bucketing with a candidate count bounded by bucket occupancy.
+    import random
+
+    from lambda_sample_spark.operators.similarity import (
+        LSH_TABLES,
+        LSH_TARGET_OCCUPANCY,
+        lsh_bits_for,
+        lsh_block_candidates,
+        near_dup_pairs,
+    )
+
+    random.seed(7)
+    n, dim, n_dups = 4000, 16, 20
+    rows = []
+    for i in range(n):
+        rows.append((i, "fat", [random.uniform(-1, 1) for _ in range(dim)]))
+    # planted exact duplicates inside the fat block (cos = 1.0 — must
+    # co-bucket in EVERY table, so the approximate path cannot miss them)
+    for i in range(n_dups):
+        rows.append((n + i, "fat", list(rows[i][2])))
+    # and a small block that must stay on the exact path
+    rows.append((90001, "small", [1.0] * dim))
+    rows.append((90002, "small", [1.0] * dim))
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, label STRING, vec ARRAY<DOUBLE>"
+    )
+
+    fat = emb.where(F.col("label") == "fat")
+    n_fat = n + n_dups
+    cands = lsh_block_candidates(fat, lsh_bits_for(n_fat)).count()
+    # linear-in-n occupancy budget, and far below the quadratic count
+    assert cands <= LSH_TABLES * LSH_TARGET_OCCUPANCY * n_fat, cands
+    assert cands < 0.15 * n_fat * (n_fat - 1) / 2, f"{cands} ~ quadratic"
+
+    out = near_dup_pairs(emb, threshold=0.95, fat_block_limit=500)
+    got = {(r.v1, r.v2) for r in out.collect()}
+    # every planted duplicate pair found, in both the fat and small blocks
+    for i in range(n_dups):
+        assert (i, n + i) in got
+    assert (90001, 90002) in got
+
+
 def test_ann_search_external_queries(spark, sf_dir):
     # the generic surface: queries NOT drawn from the corpus
     from lambda_sample_spark.operators.similarity import ann_lsh_search
