@@ -311,9 +311,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs).select("doc_id", "tok")
     # bands feeds both the bucket-rep aggregate and the propagation
-    # join — persist so the 64 min-hash aggregates run once (at scale
-    # this is the materialized signature table)
-    bands = _minhash_bands(toks).persist()
+    # join; AQE's runtime exchange reuse dedupes the shared 64-minhash
+    # aggregate subtree, so nothing needs caching into the session (at
+    # production scale this is a materialized signature table instead)
+    bands = _minhash_bands(toks)
 
     # round 0: rep = min doc_id over all buckets the doc belongs to
     bucket_rep = bands.groupBy("band", "sig").agg(

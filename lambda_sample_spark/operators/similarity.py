@@ -232,31 +232,29 @@ def ann_candidates(
     Expected candidates per query ~ tables * (bits+1) * occupancy —
     constant in N.
 
-    The signature frame feeds both sides of the bucket join — persist
-    it so the matmul UDF runs once per vector, not once per side (at
-    production scale the signatures ARE the index: a materialized
-    table bucketed by (table, bucket), built once, probed by every
-    query batch).
+    The corpus-side signature matmul runs exactly once: the query side
+    is signed from its own (tiny) frame — the contract probe set is
+    re-signed from a filtered scan of a handful of vectors rather than
+    re-running the full-corpus UDF on both join sides or caching the
+    signature frame into a long-lived session (at production scale the
+    signatures ARE the index: a materialized table bucketed by
+    (table, bucket), built once, probed by every query batch).
 
     ``queries``: optional (q_id, q_vec) frame; defaults to the
     contract's fixed probe set (vec_id < N_QUERIES) drawn from the
     corpus itself."""
-    sigs = _lsh_signatures(emb, n_bits).persist()
-    if queries is None:
-        qsigs = sigs.where(F.col("vec_id") < N_QUERIES).select(
-            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
-            "table", "bucket",
+    sigs = _lsh_signatures(emb, n_bits)
+    qside = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        if queries is None
+        else queries.select(
+            F.col("q_id").alias("vec_id"), F.col("q_vec").alias("vec")
         )
-    else:
-        qsigs = _lsh_signatures(
-            queries.select(
-                F.col("q_id").alias("vec_id"), F.col("q_vec").alias("vec")
-            ),
-            n_bits,
-        ).select(
-            F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
-            "table", "bucket",
-        )
+    )
+    qsigs = _lsh_signatures(qside, n_bits).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"),
+        "table", "bucket",
+    )
     q = qsigs.select(
         "q_id",
         "q_vec",
