@@ -146,22 +146,36 @@ def range_join_binned(
     A naive ``a.join(b, |a.ts - b.ts| <= tol)`` plans a nested-loop
     over each key group (quadratic comparisons). Binning makes it an
     EQUI-join: each left row maps to its time bin, each right row to
-    its bin AND both neighbors (replication factor 3, constant), so
-    every qualifying pair shares at least one (key, bin) and the join
-    is hash-partitioned like any other — then one exact filter removes
-    the false candidates. Per-bin work is occupancy^2 within tolerance
-    windows, the irreducible output bound; bin width defaults to the
-    tolerance (the optimum when output ~ tolerance-dense).
+    its bin AND every bin within the tolerance radius — replication
+    factor ``2*ceil(tolerance/bin) + 1``, which is the constant 3 at
+    the default ``bin_ms = tolerance_ms`` and grows only if a caller
+    narrows the bins (a qualifying pair can then sit several bins
+    apart; the radius keeps the join exact for ANY bin_ms instead of
+    silently dropping pairs). Every qualifying pair shares at least
+    one (key, bin), the join is hash-partitioned like any other, and
+    one exact filter removes the false candidates. Per-bin work is
+    occupancy^2 within tolerance windows, the irreducible output
+    bound; bin width defaults to the tolerance (the optimum when
+    output ~ tolerance-dense).
 
     Returns left.* plus the matching right columns, exactly the rows
     the naive join returns (asserted in tests/test_range_join.py).
     """
-    bin_ms = bin_ms or tolerance_ms
+    if bin_ms is None:
+        bin_ms = tolerance_ms
+    if bin_ms <= 0:
+        raise ValueError(f"bin_ms must be positive, got {bin_ms}")
+    radius = -(-tolerance_ms // bin_ms)  # ceil division
     lts = F.unix_millis(F.col(left_ts))
     rts = F.unix_millis(F.col(right_ts))
     lb = left.withColumn("_bin", F.floor(lts / bin_ms))
     rb = right.withColumn(
-        "_bin", F.explode(F.array(*[F.floor(rts / bin_ms) + d for d in (-1, 0, 1)]))
+        "_bin",
+        F.explode(
+            F.array(
+                *[F.floor(rts / bin_ms) + d for d in range(-radius, radius + 1)]
+            )
+        ),
     )
     joined = lb.join(rb, [key, "_bin"]).where(
         F.abs(F.unix_millis(F.col(left_ts)) - F.unix_millis(F.col(right_ts)))

@@ -103,10 +103,22 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     fingerprints (locality guarantee), and expected density is
     2/(w+1) — a ~%-sized sketch of each doc.
 
-    Pure DataFrame: k-grams via substring transform (no Python), hashes
-    via xxhash64, window minima via a rows-frame min over pos — one
-    shuffle keyed by doc_id. Output (doc_id, fp) rows: the sketch used
-    for containment / near-dup detection by fingerprint overlap.
+    True winnowing selects the minimum of EVERY w-window of
+    consecutive hashes (union over windows), which is what guarantees
+    >= 1 fingerprint per window and the 2/(w+1) expected density — a
+    trailing-window-only variant breaks both (a run of increasing
+    hashes selects nothing; shared passages can share zero
+    fingerprints), the round-3 advice finding. Formulation: each row
+    at position s computes min(struct(h, pos)) over the FORWARD frame
+    [s, s+w-1] — the per-window minimum with a deterministic
+    (leftmost-on-tie) pick — restricted to full windows (plus the
+    whole-doc window for docs shorter than w grams); the distinct
+    minima are the sketch.
+
+    Pure DataFrame: k-grams via substring transform (no Python),
+    hashes via xxhash64, per-window minima via one rows-frame over pos
+    — one shuffle keyed by doc_id. Output (doc_id, fp) rows: the
+    sketch used for containment / near-dup detection by overlap.
     """
     grams = docs.select(
         "doc_id",
@@ -118,18 +130,18 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         ).alias("pos", "gram"),
     )
     hashed = grams.withColumn("h", F.xxhash64("gram"))
-    w = (
+    fwd = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    # a hash is selected iff it is the minimum of some window it is in;
-    # with (effectively) unique 64-bit hashes this filter IS the
-    # winnowed set
     return (
-        hashed.withColumn("wmin", F.min("h").over(w))
-        .where(F.col("h") == F.col("wmin"))
-        .select("doc_id", F.col("h").alias("fp"))
+        hashed.withColumn("wmin", F.min(F.struct("h", "pos")).over(fwd))
+        .withColumn("wcnt", F.count("*").over(fwd))
+        # full windows only; pos == 0 (posexplode is 0-based) keeps the
+        # whole-doc window when the doc has fewer than w grams
+        .where((F.col("wcnt") == WINNOW_W) | (F.col("pos") == 0))
+        .select("doc_id", F.col("wmin.h").alias("fp"))
         .distinct()
     )
 

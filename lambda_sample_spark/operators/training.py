@@ -151,9 +151,12 @@ def pack_documents(
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget bins —
     the concat-and-split step that turns a corpus into training
-    sequences. Greedy sequential packing: documents in deterministic
-    (doc_id) order accumulate a running token sum; a new bin starts
-    when the budget would overflow.
+    sequences. Semantics are GPT-style concat-and-split: documents in
+    deterministic (doc_id) order form one token stream per shard, cut
+    at exact ``token_budget`` boundaries — a document is assigned to
+    the bin where it STARTS and may straddle the boundary (every bin
+    is exactly full; this is not no-overflow greedy binning, which
+    would leave bins underfull to keep documents whole).
 
     SHARDED for scale: the running sum is a window per (group, shard)
     where shard = hash(doc_id) % n_shards — one language never

@@ -51,9 +51,14 @@ def compact_parquet(
     classic operational fix is this periodic rewrite.
 
     Returns (files_before, files_after). The rewrite goes through a
-    temp dir then swaps, so a concurrent reader sees either the old or
-    the new layout, never a half-written one (single-writer maintenance
-    window assumed, as with any non-transactional table format)."""
+    temp dir, is verified, then swapped in via rmtree + move — which is
+    NOT atomic: there is a window where the path is absent or partial,
+    so this assumes an exclusive maintenance window (no readers, single
+    writer), like any non-transactional parquet rewrite. Concurrent
+    readers require a transactional table format (Delta/Iceberg MERGE +
+    snapshot isolation) or a versioned-directory + pointer-swap layout;
+    neither ships in this sandbox, so the assumption is documented
+    rather than papered over."""
     import math as _math
     import shutil
     from pyspark.sql import functions as F

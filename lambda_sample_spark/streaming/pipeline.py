@@ -124,8 +124,10 @@ def vacuum_lww(spark: SparkSession, entry_dir: str) -> tuple[int, int]:
     (sensor, ts) versions — the upsert store's vacuum. The read-side
     LWW view stays correct before AND after (idempotent); what changes
     is storage and the window work every subsequent read pays.
-    Returns (rows_before, rows_after). Same single-writer maintenance
-    window assumption as compact_parquet."""
+    Returns (rows_before, rows_after). Same EXCLUSIVE maintenance
+    window assumption as compact_parquet: the rmtree + move swap is
+    not atomic, so no reader may race it (a transactional table format
+    is the concurrent-reader production shape)."""
     import shutil
 
     log = spark.read.schema(ENTRY_SCHEMA + ", batch_id LONG").parquet(entry_dir)

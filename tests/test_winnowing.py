@@ -48,6 +48,36 @@ def test_sketch_density(spark):
     assert density >= 0.5 / (WINNOW_W + 1)
 
 
+def test_matches_reference_winnowing_exactly(spark):
+    # Schleimer et al. winnowing = union of every w-window's minimum.
+    # Recompute that set in plain Python from the same xxhash64 values
+    # and require exact agreement (catches trailing-window-only
+    # variants, which break the >=1-fingerprint-per-window guarantee —
+    # the round-3 advice finding).
+    from lambda_sample_spark.operators.text import WINNOW_K
+
+    for text in [BASE, "tiny", BASE[:WINNOW_K + WINNOW_W - 2]]:
+        grams = [
+            text[i : i + WINNOW_K]
+            for i in range(max(len(text) - WINNOW_K + 1, 1))
+        ]
+        hdict = {
+            r.gram: r.h
+            for r in spark.createDataFrame([(g,) for g in set(grams)], "gram STRING")
+            .select("gram", F.xxhash64("gram").alias("h"))
+            .collect()
+        }
+        hs = [hdict[g] for g in grams]
+        if len(hs) < WINNOW_W:
+            expected = {min(hs)}
+        else:
+            expected = {
+                min(hs[i : i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
+            }
+        fps = _fps(spark, [(1, text)])
+        assert fps[1] == expected, (text[:20], fps[1], expected)
+
+
 def test_disjoint_docs_share_nothing(spark):
     fps = _fps(spark, [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")])
     assert not (fps[1] & fps[2])
