@@ -5,20 +5,46 @@ Reference: mqtt/Producer.scala:55-74 — every tick, each sensor draws
 ``sign * (bound + rand(0, bound/2))`` in the anomaly regime
 (bound=100, application.conf:5) and labels the row.
 
-Batch formulation: ``spark.range`` + seeded ``rand()`` — fully
+Batch formulation: ``spark.range`` + a counter-based PRNG — fully
 distributed, no driver loop; the streaming twin (rate source) lives in
-streaming/pipeline.py. Contract: rows-only (randomness is seeded but
-engine-specific, so no DuckDB oracle).
+streaming/pipeline.py.
+
+Determinism contract: each per-row uniform is a 3-round LCG
+(``s -> (1103515245*s + 12345) mod 2^31``, the classic glibc
+constants) seeded from ``(seed, id, stream)`` with plain BIGINT
+arithmetic — no engine-specific hash or rand(), so DuckDB evaluates
+the *identical* expression and the query is fully oracle-checked
+(values, not just rows). All intermediate doubles (``s / 2^31``,
+``u * BOUND``) are exact in IEEE 754 (<=38 significant bits), so the
+two engines agree bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SENSORS = ["Warehouse 13", "The Forsaken Inn", "Old Mill", "Motel 6"]
 BOUND = 100
 ANOMALY_RATE = 0.034  # fixture-measured rate (FIXTURES.md)
+
+LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2**31
+_N_STREAMS = 8  # id*_N_STREAMS + stream never collides across streams
+
+
+def _uniform(stream: int, seed: int) -> Column:
+    """U[0,1) from (seed, id, stream): 3 LCG rounds, exact double."""
+    s = F.col("id") * _N_STREAMS + F.lit(stream + seed * 1000003)
+    for _ in range(3):
+        s = (s * LCG_A + LCG_C) % LCG_M
+    return s / F.lit(float(LCG_M))
+
+
+def _uniform_sql(stream: int, seed: int) -> str:
+    s = f"(id*{_N_STREAMS} + {stream + seed * 1000003})"
+    for _ in range(3):
+        s = f"(({s} * {LCG_A} + {LCG_C}) % {LCG_M})"
+    return f"({s} / {float(LCG_M)})"
 
 
 def gen_regimes(
@@ -36,10 +62,10 @@ def gen_regimes(
         .withColumn("tick", (F.col("id") / n_sensors).cast("bigint"))
     )
     df = base.join(F.broadcast(sensors), "sid")
-    anomaly = (F.rand(seed) < ANOMALY_RATE).cast("int")
-    sign = F.when(F.rand(seed + 1) < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
-    normal_mag = F.floor(F.rand(seed + 2) * BOUND)
-    anomal_mag = BOUND + F.floor(F.rand(seed + 3) * (BOUND // 2))
+    anomaly = (_uniform(0, seed) < ANOMALY_RATE).cast("int")
+    sign = F.when(_uniform(1, seed) < 0.5, F.lit(-1.0)).otherwise(F.lit(1.0))
+    normal_mag = F.floor(_uniform(2, seed) * BOUND)
+    anomal_mag = BOUND + F.floor(_uniform(3, seed) * (BOUND // 2))
     value = sign * F.when(anomaly == 1, anomal_mag).otherwise(normal_mag)
     return df.select(
         "sensor",
@@ -91,6 +117,32 @@ def render_sensor_list(fleet: DataFrame) -> str:
     return out.first()["doc"]
 
 
-ORACLE: dict[str, str] = {}  # rows-only: seeded randomness is engine-specific
+def _gen_regimes_oracle(n_per_sensor: int = 1000, seed: int = 42) -> str:
+    n = n_per_sensor * len(SENSORS)
+    sensor_case = " ".join(
+        f"WHEN {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(SENSORS)
+    )
+    u0, u1, u2, u3 = (_uniform_sql(k, seed) for k in range(4))
+    return f"""
+    WITH base AS (SELECT t.range AS id FROM range(0, {n}) t),
+    drawn AS (
+      SELECT
+        CASE id % {len(SENSORS)} {sensor_case} END AS sensor,
+        id // {len(SENSORS)} AS tick,
+        CAST({u0} < {ANOMALY_RATE} AS INTEGER) AS anomaly,
+        CASE WHEN {u1} < 0.5 THEN -1.0 ELSE 1.0 END AS sign,
+        FLOOR({u2} * {BOUND}) AS normal_mag,
+        {BOUND} + FLOOR({u3} * {BOUND // 2}) AS anomal_mag
+      FROM base
+    )
+    SELECT sensor, tick,
+      CAST(sign * (CASE WHEN anomaly = 1 THEN anomal_mag ELSE normal_mag END) AS DOUBLE) AS value,
+      anomaly
+    FROM drawn
+    """
+
+
+ORACLE: dict[str, str] = {"q_gen_regimes": _gen_regimes_oracle()}
 
 QUERIES = {"q_gen_regimes": q_gen_regimes}
