@@ -343,37 +343,59 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_bit(i: int) -> str:
+    """Bit i of the 64-bit token hash, from md5 hex nibble i//4.
+
+    The token hash is the first 16 hex chars of md5(tok) — chosen over
+    xxhash64 because BOTH engines (Spark and DuckDB) compute the
+    identical digest, which is what lets the whole simhash pipeline be
+    value-oracle-checked. Nibble d covers bits [4d, 4d+3]; the nibble
+    value comes from its position in the hex alphabet (instr is
+    1-indexed in both engines). Valid SQL in both dialects.
+    """
+    d, b = i // 4, i % 4
+    nib = f"(instr('0123456789abcdef', substr(mh, {d + 1}, 1)) - 1)"
+    return f"((({nib} >> {b}) & 1) = 1)"
+
+
+# bit 63 as a shift overflows signed 64-bit in DuckDB (and ANSI Spark);
+# its place value is the literal min-long instead
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN v{i} > 0 THEN {-(2**63) if i == 63 else f'CAST({2**i} AS BIGINT)'} "
+    f"ELSE CAST(0 AS BIGINT) END)"
+    for i in range(64)
+)
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash (rows-only): 64-bit signature by per-bit voting over
-    xxhash64(token); near-dup docs land within small Hamming distance.
+    """SimHash: 64-bit signature by per-bit voting over a 64-bit token
+    hash; near-dup docs land within small Hamming distance.
 
     Pure DataFrame formulation with NO bit explode: one row per token
     enters a single groupBy(doc_id) whose 64 aggregate expressions are
-    conditional sums — bit i votes +1 if ``(h >> i) & 1`` else -1,
+    conditional sums — bit i votes +1 if hash-bit i is set else -1,
     evaluated map-side with partial aggregation. The signature is then
-    folded from the 64 vote columns with integer shifts in one
-    projection. Shuffle input = one row per (doc, token); at 100 TB
-    the 64 sums travel as one 512-byte partial-agg row per doc.
+    folded from the 64 vote columns in one projection. Shuffle input =
+    one row per (doc, token); at 100 TB the 64 sums travel as one
+    512-byte partial-agg row per doc.
+
+    The token hash is md5-derived (see _simhash_bit) so the identical
+    expression runs in DuckDB: this query is value-oracle-checked, not
+    rows-only.
     """
     docs = documents(spark, sf_dir)
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("mh", F.md5("tok"))
     votes = [
-        F.sum(
-            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
-        ).alias(f"v{i}")
+        F.sum(F.when(F.expr(_simhash_bit(i)), 1).otherwise(-1)).alias(f"v{i}")
         for i in range(64)
     ]
-    sig_expr = " + ".join(
-        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
-        for i in range(64)
-    )
     return (
         toks.groupBy("doc_id")
         .agg(*votes)
-        .select("doc_id", F.expr(sig_expr).alias("simhash"))
+        .select("doc_id", F.expr(_SIMHASH_FOLD).alias("simhash"))
     )
 
 
@@ -404,11 +426,34 @@ JOIN sizes s1 ON d1 = s1.doc_id
 JOIN sizes s2 ON d2 = s2.doc_id
 WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.95
 """,
+    # identical md5-nibble bit derivation + 64 conditional-sum votes +
+    # fold — DuckDB evaluates the very same expressions (see
+    # _simhash_bit / _SIMHASH_FOLD)
+    "q_simhash": (
+        r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(tok) AS mh FROM toks
+), votes AS (
+  SELECT doc_id, """
+        + ", ".join(
+            f"sum(CASE WHEN {_simhash_bit(i)} THEN 1 ELSE -1 END) AS v{i}"
+            for i in range(64)
+        )
+        + f"""
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id, {_SIMHASH_FOLD} AS simhash FROM votes
+"""
+    ),
 }
 
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_ngram_jaccard": ngram_jaccard,
     "q_dedup_near": dedup_near_minhash,  # rows-only
-    "q_simhash": simhash,  # rows-only
+    "q_simhash": simhash,
 }
