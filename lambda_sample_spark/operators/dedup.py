@@ -265,25 +265,53 @@ MINHASH_BANDS = 8
 MINHASH_ROWS = 8  # 8 bands x 8 rows = 64 minhashes; S-curve threshold
 # ~ (1/b)^(1/r) = 0.77 Jaccard — near-dup, not merely related
 REP_ROUNDS = 2  # min-propagation rounds (transitivity closure depth)
+MINHASH_P = 2147483647  # 2^31 - 1; universal-hash modulus
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic (a_i, b_i) for minhash i — embedded as literals
+    in both the Spark plan and the DuckDB oracle."""
+    a = (1103515245 * (i + 1) + 12345) % MINHASH_P
+    b = (69069 * (i + 1) + 1234567) % MINHASH_P
+    return (a or 1), b
+
+
+def _band_sig(mh_cols: list) -> "F.Column":
+    """Fold one band's row minhashes into a signature:
+    md5(concat_ws('|', ...)) — one tiny expression (the 128-node
+    arithmetic fold it replaces dominated codegen time, recompiled for
+    every lineage instance), rendered identically by DuckDB (both
+    engines print BIGINT as plain decimal), with md5-grade collision
+    odds."""
+    return F.md5(F.concat_ws("|", *mh_cols))
 
 
 def _minhash_bands(toks: DataFrame) -> DataFrame:
     """(doc_id, tok) -> (doc_id, band, sig): 64 minhash values folded
-    into 16 banded signatures. Each minhash is min(xxhash64(tok, k))
-    over the doc's token set — one shuffle, 64 min-aggregates computed
-    map-side. Two docs land in the same (band, sig) bucket iff all 4
-    of that band's minhashes agree, i.e. with probability ~ J^4 per
-    band (the standard banding S-curve: high-Jaccard pairs collide in
-    some band almost surely, low-Jaccard ones almost never)."""
+    into 8 banded signatures. Each minhash is min((a_i*h + b_i) mod p)
+    over the doc's token set, where h is a 32-bit md5-derived token
+    hash computed ONCE per token and the 64 universal-hash transforms
+    are pure affine arithmetic — one shuffle, 64 min-aggregates
+    computed map-side, and every expression replays bit-for-bit in
+    DuckDB (the oracle seam; see _hex_word_spark). Two docs land in the
+    same (band, sig) bucket iff all 8 of that band's minhashes agree,
+    i.e. with probability ~ J^8 per band (the standard banding
+    S-curve: high-Jaccard pairs collide in some band almost surely,
+    low-Jaccard ones almost never)."""
     k = MINHASH_BANDS * MINHASH_ROWS
-    sigs = toks.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("tok", F.lit(i))).alias(f"mh{i}") for i in range(k)]
+    hashed = toks.withColumn("mh", F.md5("tok")).withColumn(
+        "h", F.expr(_hex_word_spark("mh", 1)) % MINHASH_P
     )
+    mins = []
+    for i in range(k):
+        a, b = _affine_params(i)
+        mins.append(F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh{i}"))
+    sigs = hashed.groupBy("doc_id").agg(*mins)
     bands = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(
-                *[f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)]
+            _band_sig(
+                [F.col(f"mh{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
             ).alias("sig"),
         )
         for b in range(MINHASH_BANDS)
@@ -294,7 +322,10 @@ def _minhash_bands(toks: DataFrame) -> DataFrame:
 
 
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 (rows-only): MinHash-banded near-dup CLUSTERING.
+    """X2: MinHash-banded near-dup CLUSTERING (value-oracle-checked:
+    every hash is md5/affine arithmetic DuckDB replays identically,
+    and the bounded REP_ROUNDS min-propagation transcribes to nested
+    CTEs — see _dedup_near_oracle).
 
     Emits (doc_id, rep_id, is_near_dup) — every doc mapped to the
     minimum doc_id of its near-dup neighborhood — rather than all
@@ -304,17 +335,22 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets: per-bucket min doc_id, then per-doc min over its 16
     buckets, iterated REP_ROUNDS times for transitivity (each round is
     two hash aggregations — no pairwise join EVER materializes).
-    Hand-rolled on DataFrame minhashes (xxhash64 min-aggregates);
-    deliberately not MLlib's MinHashLSH.approxSimilarityJoin, whose
-    pair materialization is the quadratic thing we're avoiding.
+    Hand-rolled on DataFrame minhashes (affine universal-hash
+    min-aggregates); deliberately not MLlib's
+    MinHashLSH.approxSimilarityJoin, whose pair materialization is the
+    quadratic thing we're avoiding.
     """
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs).select("doc_id", "tok")
     # bands feeds both the bucket-rep aggregate and the propagation
-    # join; AQE's runtime exchange reuse dedupes the shared 64-minhash
-    # aggregate subtree, so nothing needs caching into the session (at
-    # production scale this is a materialized signature table instead)
-    bands = _minhash_bands(toks)
+    # join, and the rep frame feeds itself in the pointer-jumping
+    # loop. localCheckpoint truncates the lineage at these small
+    # frames (docs x BANDS rows, then 1 row/doc) so the 64-minhash
+    # aggregate runs ONCE per call — the iterative-algorithm standard;
+    # at production scale this is a materialized signature table.
+    # Unlike persist(), the checkpoint RDD is dropped by the
+    # ContextCleaner when the returned DataFrame is garbage-collected.
+    bands = _minhash_bands(toks).localCheckpoint()
 
     # round 0: rep = min doc_id over all buckets the doc belongs to
     bucket_rep = bands.groupBy("band", "sig").agg(
@@ -327,6 +363,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pointer-jumping rounds: rep := rep(rep) for transitivity
     for _ in range(REP_ROUNDS - 1):
+        rep = rep.localCheckpoint()
         parent = rep.select(
             F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
         )
@@ -343,19 +380,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_bit(i: int) -> str:
-    """Bit i of the 64-bit token hash, from md5 hex nibble i//4.
+def _hex_word_spark(col: str, pos: int) -> str:
+    """8 hex chars of ``col`` starting at 1-indexed ``pos`` as a
+    BIGINT — Spark dialect (conv). The md5-derived words are what make
+    these pipelines value-oracle-checkable: both engines compute the
+    identical digest, then parse the same hex; only the parse syntax
+    differs per dialect (values are equal)."""
+    return f"CAST(conv(substr({col}, {pos}, 8), 16, 10) AS BIGINT)"
 
-    The token hash is the first 16 hex chars of md5(tok) — chosen over
-    xxhash64 because BOTH engines (Spark and DuckDB) compute the
-    identical digest, which is what lets the whole simhash pipeline be
-    value-oracle-checked. Nibble d covers bits [4d, 4d+3]; the nibble
-    value comes from its position in the hex alphabet (instr is
-    1-indexed in both engines). Valid SQL in both dialects.
-    """
-    d, b = i // 4, i % 4
-    nib = f"(instr('0123456789abcdef', substr(mh, {d + 1}, 1)) - 1)"
-    return f"((({nib} >> {b}) & 1) = 1)"
+
+def _hex_word_duck(col: str, pos: int) -> str:
+    """DuckDB twin of _hex_word_spark (hex-literal cast)."""
+    return f"(('0x' || substr({col}, {pos}, 8))::BIGINT)"
+
+
+def _simhash_bit(i: int) -> str:
+    """Bit i of the 64-bit token hash, from precomputed 32-bit word
+    columns ``lo``/``hi`` (first/second 8 hex chars of md5(tok) — see
+    _hex_word_spark). Identical expression in both dialects."""
+    w, s = ("lo", i) if i < 32 else ("hi", i - 32)
+    return f"((({w} >> {s}) & 1) = 1)"
 
 
 # bit 63 as a shift overflows signed 64-bit in DuckDB (and ANSI Spark);
@@ -384,19 +428,79 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only.
     """
     docs = documents(spark, sf_dir)
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
-    ).withColumn("mh", F.md5("tok"))
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.trim("text"), r"\s+"))
+            ).alias("tok"),
+        )
+        .withColumn("mh", F.md5("tok"))
+        .select(
+            "doc_id",
+            F.expr(_hex_word_spark("mh", 9)).alias("lo"),
+            F.expr(_hex_word_spark("mh", 1)).alias("hi"),
+        )
+    )
     votes = [
         F.sum(F.when(F.expr(_simhash_bit(i)), 1).otherwise(-1)).alias(f"v{i}")
         for i in range(64)
     ]
     return (
-        toks.groupBy("doc_id")
+        words.groupBy("doc_id")
         .agg(*votes)
         .select("doc_id", F.expr(_SIMHASH_FOLD).alias("simhash"))
     )
+
+
+def _dedup_near_oracle() -> str:
+    """DuckDB transcription of dedup_near_minhash: identical md5/affine
+    minhashes, band folds, bucket-rep aggregate, and exactly
+    REP_ROUNDS - 1 pointer-jumping rounds as nested CTEs (the Spark
+    side's iteration is bounded and deterministic, so no recursive CTE
+    is needed — the oracle IS the same dataflow)."""
+    assert REP_ROUNDS == 2, "oracle transcribes exactly one extra round"
+    k = MINHASH_BANDS * MINHASH_ROWS
+    mh_aggs = ",\n         ".join(
+        f"min((h * {a} + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in ((j, _affine_params(j)) for j in range(k))
+    )
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = ", ".join(
+            f"mh{b * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, "
+            f"md5(concat_ws('|', {cols})) AS sig FROM sigs"
+        )
+    bands_sql = "\n  UNION ALL ".join(band_selects)
+    return rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), digests AS (
+  SELECT doc_id, md5(tok) AS mh FROM toks
+), hashed AS (
+  SELECT doc_id, ({_hex_word_duck("mh", 1)} % {MINHASH_P}) AS h FROM digests
+), sigs AS (
+  SELECT doc_id, {mh_aggs}
+  FROM hashed GROUP BY doc_id
+), bands AS (
+  {bands_sql}
+), bucket_rep AS (
+  SELECT band, sig, min(doc_id) AS bucket_rep FROM bands GROUP BY band, sig
+), rep0 AS (
+  SELECT b.doc_id, min(br.bucket_rep) AS rep_id
+  FROM bands b JOIN bucket_rep br ON b.band = br.band AND b.sig = br.sig
+  GROUP BY b.doc_id
+), rep1 AS (
+  SELECT r.doc_id, coalesce(p.rep_id, r.rep_id) AS rep_id
+  FROM rep0 r LEFT JOIN rep0 p ON r.rep_id = p.doc_id
+)
+SELECT doc_id, rep_id, doc_id <> rep_id AS is_near_dup FROM rep1
+"""
 
 
 ORACLE = {
@@ -437,6 +541,11 @@ WITH toks AS (
   FROM documents
 ), h AS (
   SELECT doc_id, md5(tok) AS mh FROM toks
+), nib AS (
+  SELECT doc_id, """
+        + f"{_hex_word_duck('mh', 9)} AS lo, {_hex_word_duck('mh', 1)} AS hi"
+        + """
+  FROM h
 ), votes AS (
   SELECT doc_id, """
         + ", ".join(
@@ -444,16 +553,17 @@ WITH toks AS (
             for i in range(64)
         )
         + f"""
-  FROM h GROUP BY doc_id
+  FROM nib GROUP BY doc_id
 )
 SELECT doc_id, {_SIMHASH_FOLD} AS simhash FROM votes
 """
     ),
+    "q_dedup_near": _dedup_near_oracle(),
 }
 
 QUERIES = {
     "q_dedup_exact": dedup_exact,
     "q_ngram_jaccard": ngram_jaccard,
-    "q_dedup_near": dedup_near_minhash,  # rows-only
+    "q_dedup_near": dedup_near_minhash,
     "q_simhash": simhash,
 }
