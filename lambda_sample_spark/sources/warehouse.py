@@ -56,9 +56,10 @@ def compact_parquet(
     so this assumes an exclusive maintenance window (no readers, single
     writer), like any non-transactional parquet rewrite. Concurrent
     readers require a transactional table format (Delta/Iceberg MERGE +
-    snapshot isolation) or a versioned-directory + pointer-swap layout;
-    neither ships in this sandbox, so the assumption is documented
-    rather than papered over."""
+    snapshot isolation) or a versioned-directory + pointer-swap layout —
+    the latter is implemented here as compact_versioned /
+    write_versioned for tables that opt into the ``v=N`` + ``_VERSION``
+    layout; this in-place variant remains for plain directories."""
     import math as _math
     import shutil
     from pyspark.sql import functions as F
@@ -80,6 +81,115 @@ def compact_parquet(
     files_after = (
         spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     )
+    return files_before, files_after
+
+
+VERSION_POINTER = "_VERSION"
+
+
+def current_version(root: str) -> int | None:
+    """Version the table pointer currently names, or None if the table
+    has never been committed."""
+    import os
+
+    try:
+        with open(os.path.join(root, VERSION_POINTER)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def versioned_path(root: str, version: int) -> str:
+    import os
+
+    return os.path.join(root, f"v={version}")
+
+
+def read_versioned(spark: SparkSession, root: str) -> DataFrame:
+    """Read the current committed version. The version directory is
+    immutable once committed, so a query that resolved the pointer
+    keeps a consistent snapshot for its whole lifetime even if a
+    writer commits (or vacuums other versions) concurrently."""
+    v = current_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    return spark.read.parquet(versioned_path(root, v))
+
+
+def write_versioned(df: DataFrame, root: str) -> int:
+    """Commit ``df`` as the next version of a versioned parquet table.
+
+    The minimal transactional layout (the single-pointer core of what
+    Delta/Iceberg generalize): data lands in a fresh immutable
+    ``v=<n+1>/`` directory, then the ``_VERSION`` pointer file is
+    swapped via ``os.replace`` — atomic on POSIX — so a concurrent
+    reader resolves either the old version or the new one, never a
+    half-written directory (the non-atomic rmtree+move window that
+    plain ``compact_parquet`` documents). Old versions remain readable
+    until ``vacuum_versions``; single-WRITER is still assumed (two
+    concurrent committers could race the same version number)."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    v = (current_version(root) or 0) + 1
+    df.write.mode("overwrite").parquet(versioned_path(root, v))
+    tmp = os.path.join(root, VERSION_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, VERSION_POINTER))
+    return v
+
+
+def vacuum_versions(root: str, keep: int = 2) -> list[int]:
+    """Drop all but the newest ``keep`` committed versions (never the
+    current one). Returns the versions removed. Readers that resolved
+    a dropped version BEFORE the vacuum can still fail mid-scan — the
+    retention window is the operator's promise that no query runs
+    longer than ``keep`` commits, exactly like Delta/Iceberg VACUUM."""
+    import os
+    import re
+    import shutil
+
+    cur = current_version(root)
+    versions = sorted(
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    )
+    doomed = [v for v in versions[:-keep] if v != cur] if keep else []
+    for v in doomed:
+        shutil.rmtree(versioned_path(root, v))
+    return doomed
+
+
+def compact_versioned(
+    spark: SparkSession,
+    root: str,
+    sort_col: str | None = None,
+    target_rows_per_file: int = 1_000_000,
+) -> tuple[int, int]:
+    """compact_parquet's concurrent-reader-safe twin for versioned
+    tables: rewrite the current version into ~target-sized files as a
+    NEW version and atomically swap the pointer. Readers mid-query on
+    the old version are untouched (its directory survives until
+    vacuum); new readers see only compacted files. Returns
+    (files_before, files_after)."""
+    import math as _math
+    from pyspark.sql import functions as F
+
+    df = read_versioned(spark, root)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_rows = df.count()
+    n_files = max(1, _math.ceil(n_rows / target_rows_per_file))
+    if sort_col is not None:
+        out = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        out = df.repartition(n_files)
+    v = write_versioned(out, root)
+    after = spark.read.parquet(versioned_path(root, v))
+    files_after = after.select(F.input_file_name()).distinct().count()
     return files_before, files_after
 
 

@@ -100,3 +100,50 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
             spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
         else:
             spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", saved)
+
+
+def test_versioned_commit_is_pointer_swap(spark, tmp_path):
+    """write_versioned commits via an atomic _VERSION pointer: old
+    version directories stay immutable and readable (a mid-query
+    reader keeps its snapshot), vacuum honors retention and never
+    drops the current version."""
+    import os
+
+    from lambda_sample_spark.sources.warehouse import (
+        compact_versioned,
+        current_version,
+        read_versioned,
+        vacuum_versions,
+        versioned_path,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "vt")
+    df1 = spark.range(100).withColumnRenamed("id", "k")
+    assert write_versioned(df1, root) == 1
+    assert current_version(root) == 1
+
+    # a reader resolves v1 and holds its snapshot...
+    reader = read_versioned(spark, root)
+
+    # ...while a writer commits v2 (many tiny files, then compacted)
+    df2 = spark.range(200).withColumnRenamed("id", "k").repartition(16)
+    assert write_versioned(df2, root) == 2
+    nb, na = compact_versioned(spark, root, sort_col="k")
+    assert nb == 16 and na == 1
+    assert current_version(root) == 3
+
+    # the v1 snapshot still collects in full: commits never mutate it
+    assert reader.count() == 100
+    assert read_versioned(spark, root).count() == 200
+
+    # pointer file contains exactly the version, no partial states
+    with open(os.path.join(root, "_VERSION")) as f:
+        assert f.read() == "3"
+
+    # vacuum keeps the newest `keep` and never the current
+    assert vacuum_versions(root, keep=2) == [1]
+    assert os.path.isdir(versioned_path(root, 2))
+    assert os.path.isdir(versioned_path(root, 3))
+    assert not os.path.isdir(versioned_path(root, 1))
+    assert read_versioned(spark, root).count() == 200
