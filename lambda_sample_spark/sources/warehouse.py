@@ -193,6 +193,82 @@ def compact_versioned(
     return files_before, files_after
 
 
+MERGE_BUCKETS = 16  # production: size so a bucket ~ a few hundred MB
+
+
+def merge_versioned(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int = MERGE_BUCKETS,
+) -> int:
+    """MERGE-shaped upsert on a versioned table: rows in ``updates``
+    replace current rows with equal ``keys`` (insert-or-update, the
+    reference's Cassandra upsert semantics — Consumer.scala:59-66),
+    committed as the next version with the atomic pointer swap.
+
+    Bounded-work by construction, the property that matters at 100 TB:
+    the table is hash-bucketed on the merge keys (``_bkt`` partition
+    directories), so a merge (1) prunes the current-version scan to
+    the buckets the updates touch, (2) rewrites ONLY those buckets
+    (anti-join current ⋉̸ updates, union updates), and (3) carries
+    every untouched bucket into the new version BY HARDLINK — zero
+    data copied, the filesystem analogue of a Delta/Iceberg manifest
+    referencing unchanged files from the previous snapshot (links
+    share inodes, so vacuuming an old version never corrupts a newer
+    one). Merge cost scales with touched data, not table size.
+
+    ``updates`` must be unique per key (enforced via dropDuplicates).
+    Returns the committed version number.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    bkt = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
+    updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt)
+    cur = current_version(root)
+    if cur is None:
+        os.makedirs(root, exist_ok=True)
+        v = 1
+        updates.write.partitionBy("_bkt").parquet(versioned_path(root, v))
+    else:
+        touched = sorted(
+            r._bkt for r in updates.select("_bkt").distinct().collect()
+        )
+        current = spark.read.parquet(versioned_path(root, cur))
+        # partition pruning: only touched bucket directories are read
+        pruned = current.where(F.col("_bkt").isin(touched))
+        kept = pruned.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        merged = kept.unionByName(updates)
+        v = cur + 1
+        new_dir = versioned_path(root, v)
+        merged.write.partitionBy("_bkt").parquet(new_dir)
+        # carry untouched buckets forward by reference (hardlink)
+        old_dir = versioned_path(root, cur)
+        for d in os.listdir(old_dir):
+            if not d.startswith("_bkt="):
+                continue
+            if int(d.split("=", 1)[1]) in touched:
+                continue
+            os.makedirs(os.path.join(new_dir, d), exist_ok=True)
+            for fname in os.listdir(os.path.join(old_dir, d)):
+                if fname.startswith((".", "_")):
+                    continue
+                os.link(
+                    os.path.join(old_dir, d, fname),
+                    os.path.join(new_dir, d, fname),
+                )
+    tmp = os.path.join(root, VERSION_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, VERSION_POINTER))
+    return v
+
+
 def zorder_column(cols: list[str], bits: int = 8):
     """Morton (Z-order) value interleaving the low ``bits`` of the
     pre-normalized integer columns ``_n0.._nk`` — bit i of dim d lands

@@ -126,8 +126,10 @@ def vacuum_lww(spark: SparkSession, entry_dir: str) -> tuple[int, int]:
     is storage and the window work every subsequent read pays.
     Returns (rows_before, rows_after). Same EXCLUSIVE maintenance
     window assumption as compact_parquet: the rmtree + move swap is
-    not atomic, so no reader may race it (a transactional table format
-    is the concurrent-reader production shape)."""
+    not atomic, so no reader may race it. The concurrent-reader
+    production shape is sources/warehouse.merge_versioned — the same
+    LWW semantics as a bounded-work MERGE with atomic pointer-swap
+    commits."""
     import shutil
 
     log = spark.read.schema(ENTRY_SCHEMA + ", batch_id LONG").parquet(entry_dir)

@@ -147,3 +147,69 @@ def test_versioned_commit_is_pointer_swap(spark, tmp_path):
     assert os.path.isdir(versioned_path(root, 3))
     assert not os.path.isdir(versioned_path(root, 1))
     assert read_versioned(spark, root).count() == 200
+
+
+def test_merge_versioned_rewrites_only_touched_buckets(spark, tmp_path):
+    """MERGE on the versioned store: updates replace rows by key, only
+    the buckets the updates hash into are rewritten, untouched buckets
+    are carried forward by hardlink (same inode), and vacuuming the
+    old version never breaks the new one (links share inodes)."""
+    import os
+
+    from lambda_sample_spark.sources.warehouse import (
+        merge_versioned,
+        read_versioned,
+        vacuum_versions,
+        versioned_path,
+    )
+
+    root = str(tmp_path / "merged")
+    base = spark.createDataFrame(
+        [(k, 1.0) for k in range(100)], "k BIGINT, val DOUBLE"
+    )
+    assert merge_versioned(spark, root, base, keys=["k"]) == 1
+
+    reader_v1 = read_versioned(spark, root)
+
+    ups = spark.createDataFrame(
+        [(k, 2.0) for k in (3, 7, 11, 13, 17)] + [(k, 9.0) for k in (200, 201, 202)],
+        "k BIGINT, val DOUBLE",
+    )
+    assert merge_versioned(spark, root, ups, keys=["k"]) == 2
+
+    got = {
+        r.k: r.val for r in read_versioned(spark, root).select("k", "val").collect()
+    }
+    expect = {k: 1.0 for k in range(100)}
+    expect.update({k: 2.0 for k in (3, 7, 11, 13, 17)})
+    expect.update({k: 9.0 for k in (200, 201, 202)})
+    assert got == expect
+
+    # the v1 snapshot is untouched by the merge
+    assert {r.k: r.val for r in reader_v1.select("k", "val").collect()} == {
+        k: 1.0 for k in range(100)
+    }
+
+    # bucket directories: untouched ones share inodes with v1 (carried
+    # by reference), touched ones are fresh files
+    def inodes(vdir):
+        out = {}
+        for d in os.listdir(vdir):
+            if d.startswith("_bkt="):
+                out[d] = {
+                    os.stat(os.path.join(vdir, d, f)).st_ino
+                    for f in os.listdir(os.path.join(vdir, d))
+                    if not f.startswith((".", "_"))
+                }
+        return out
+
+    v1, v2 = inodes(versioned_path(root, 1)), inodes(versioned_path(root, 2))
+    shared = [d for d in v2 if d in v1 and v2[d] == v1[d]]
+    rewritten = [d for d in v2 if d not in v1 or not (v2[d] & v1[d])]
+    assert shared, "expected some untouched buckets carried by hardlink"
+    assert rewritten, "expected touched buckets to be rewritten"
+    assert len(shared) + len(rewritten) == len(v2)
+
+    # removing the old version leaves the new one fully readable
+    assert vacuum_versions(root, keep=1) == [1]
+    assert len(read_versioned(spark, root).collect()) == 103
