@@ -173,17 +173,41 @@ def lsh_bits_for(n: int) -> int:
     return max(LSH_MIN_BITS, min(LSH_MAX_BITS, bits))
 
 
+LSH_SEED = 42
+_LCG_M = 2**31
+# three LCG rounds with distinct multipliers, each followed by an
+# xor-shift — a plain LCG over sequential (plane, dim) seeds keeps its
+# lattice correlation and the hyperplanes come out correlated (bucket
+# occupancy 160 vs 34 on the test corpus, recall 0.36 vs 0.78); the
+# xor-shift breaks the affine structure. All values stay < 2^31 so the
+# arithmetic is exact in BIGINT and int64 alike.
+_MIX_ROUNDS = ((1103515245, 12345), (29943829, 48271), (1588635695, 7919))
+
+
+def _mix_round_sql(a: int, c: int) -> str:
+    """One LCG + xor-shift round over column ``s`` — chained through
+    CTE stages by _ann_lsh_oracle so the expression stays linear-sized.
+    The same plain BIGINT arithmetic the numpy side runs, so the
+    DuckDB oracle regenerates the identical hyperplanes (no RNG state
+    to ship)."""
+    lcg = f"((s * {a} + {c}) % {_LCG_M})"
+    return f"xor({lcg}, ({lcg} >> 13))"
+
+
 def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     """Attach (table, bucket) rows per vector: LSH_TABLES independent
     hash tables of n_bits signed-random-hyperplane bits each.
 
     All projections happen in ONE numpy matmul per Arrow batch
     (vectorized pandas UDF): (batch x dim) @ (dim x planes) -> signs
-    -> per-table bucket ids. Hyperplanes are seeded-deterministic and
-    regenerated identically inside every worker — nothing is shipped
-    but the seed. Multiple small tables (vs one wide signature) trade
-    bucket selectivity for recall: a near-neighbor only needs to agree
-    in ONE table to become a candidate.
+    -> per-table bucket ids. Hyperplane weights are counter-based
+    (plane j, dim d -> 3 LCG rounds -> [-1,1)): regenerated
+    identically inside every worker — nothing shipped but constants —
+    AND replayed exactly by the DuckDB oracle (see _lcg_w_sql), which
+    is what graduates q_ann_lsh_topk from rows-only to value-checked.
+    Multiple small tables (vs one wide signature) trade bucket
+    selectivity for recall: a near-neighbor only needs to agree in ONE
+    table to become a candidate.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -193,16 +217,18 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        planes = None  # (dim, n_tables*n_bits), built lazily from dim
         out = []
         mat = np.array(vecs.tolist(), dtype=np.float64)
         if mat.ndim != 2 or mat.size == 0:
             return pd.Series([[0] * n_tables] * len(vecs))
         dim = mat.shape[1]
-        planes = (
-            np.random.RandomState(42)
-            .uniform(-1.0, 1.0, size=(dim, n_tables * n_bits))
-        )
+        j = np.arange(n_tables * n_bits, dtype=np.int64)[None, :]
+        d = np.arange(dim, dtype=np.int64)[:, None]
+        s = (LSH_SEED * 1000003 + j * dim + d) % _LCG_M
+        for a, c in _MIX_ROUNDS:
+            s = (a * s + c) % _LCG_M
+            s = s ^ (s >> 13)
+        planes = 2.0 * (s / _LCG_M) - 1.0  # (dim, n_tables*n_bits)
         bits = (mat @ planes) > 0  # (batch, n_tables*n_bits)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         for row in bits:
@@ -298,7 +324,9 @@ def ann_lsh_search(
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN (rows-only): multi-table random-hyperplane LSH top-k.
+    """ANN: multi-table random-hyperplane LSH top-k (value-checked:
+    counter-based hyperplanes let the DuckDB oracle replay the whole
+    sign→bucket→multi-probe→rerank pipeline — see _ann_lsh_oracle).
 
     The 100 TB path for X3: candidates are the union over hash tables
     of same-bucket vectors — per-query work scales with bucket
@@ -441,6 +469,86 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _ann_lsh_oracle() -> str:
+    """DuckDB transcription of ann_lsh_topk: regenerate the LCG
+    hyperplanes, recompute per-table sign buckets, expand the
+    Hamming-1 multi-probe on the query side, dedupe candidates, exact
+    cosine rerank. ``n_bits`` is derived from count(*) IN SQL with the
+    same clamp arithmetic as lsh_bits_for, so the oracle tracks any
+    corpus size the driver runs it at. The seed-mixing rounds chain
+    through CTE stages (mix0..mix{len(_MIX_ROUNDS) - 1}) to keep each
+    expression linear-sized."""
+    mix_ctes = ", ".join(
+        f"mix{r} AS (SELECT j, d, {_mix_round_sql(a, c)} AS s "
+        f"FROM {'seeds' if r == 0 else f'mix{r - 1}'})"
+        for r, (a, c) in enumerate(_MIX_ROUNDS)
+    )
+    last = f"mix{len(_MIX_ROUNDS) - 1}"
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM embeddings),
+dims AS (SELECT max(len(embedding)) AS dim FROM embeddings),
+bits AS (
+  SELECT GREATEST({LSH_MIN_BITS}, LEAST({LSH_MAX_BITS},
+    CAST(ceil(log2(GREATEST(n / {LSH_TARGET_OCCUPANCY}.0, 1.0))) AS INTEGER))) AS b
+  FROM nn
+),
+el AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+dimvals AS (SELECT DISTINCT i - 1 AS d FROM el),
+seeds AS (
+  SELECT p.j, dd.d,
+         (({LSH_SEED * 1000003} + p.j * (SELECT dim FROM dims) + dd.d)
+          % {_LCG_M}) AS s
+  FROM range(0, {LSH_TABLES * LSH_MAX_BITS}) p(j), dimvals dd
+  WHERE p.j < {LSH_TABLES} * (SELECT b FROM bits)
+),
+{mix_ctes},
+planes AS (
+  SELECT j, d, (2.0 * (s / {float(_LCG_M)}) - 1.0) AS w FROM {last}
+),
+dots AS (
+  SELECT e.vec_id, p.j, sum(e.x * p.w) AS dot
+  FROM el e JOIN planes p ON p.d = e.i - 1
+  GROUP BY e.vec_id, p.j
+),
+sigs AS (
+  SELECT vec_id, j // (SELECT b FROM bits) AS tbl,
+         sum(CASE WHEN dot > 0
+             THEN (CAST(1 AS BIGINT) << (j % (SELECT b FROM bits)))
+             ELSE CAST(0 AS BIGINT) END) AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+probes AS (
+  SELECT vec_id AS q_id, tbl, bucket FROM sigs WHERE vec_id < {N_QUERIES}
+  UNION ALL
+  SELECT s.vec_id, s.tbl, xor(s.bucket, CAST(1 AS BIGINT) << t.i)
+  FROM sigs s, range(0, {LSH_MAX_BITS}) t(i)
+  WHERE s.vec_id < {N_QUERIES} AND t.i < (SELECT b FROM bits)
+),
+cand AS (
+  SELECT DISTINCT p.q_id, s.vec_id AS c_id
+  FROM probes p JOIN sigs s ON p.tbl = s.tbl AND p.bucket = s.bucket
+  WHERE s.vec_id <> p.q_id
+),
+scored AS (
+  SELECT c.q_id, c.c_id,
+         round({_cos_sql('qe.embedding', 'ce.embedding')}, 6) AS cos
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.q_id
+  JOIN embeddings ce ON ce.vec_id = c.c_id
+),
+ranked AS (
+  SELECT q_id, c_id, cos,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS BIGINT) AS rk
+  FROM scored
+)
+SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
+"""
+
+
 ORACLE = {
     "q_similarity_topk": f"""
 WITH q AS (
@@ -464,10 +572,11 @@ FROM embeddings a
 JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {NEAR_DUP_THRESHOLD}
 """,
+    "q_ann_lsh_topk": _ann_lsh_oracle(),
 }
 
 QUERIES = {
     "q_similarity_topk": similarity_topk,
     "q_embed_near_dup": embed_near_dup,
-    "q_ann_lsh_topk": ann_lsh_topk,  # rows-only
+    "q_ann_lsh_topk": ann_lsh_topk,
 }
