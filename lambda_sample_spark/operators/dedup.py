@@ -342,28 +342,23 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = documents(spark, sf_dir)
     toks = _distinct_tokens(docs).select("doc_id", "tok")
-    # bands feeds both the bucket-rep aggregate and the propagation
-    # join, and the rep frame feeds itself in the pointer-jumping
-    # loop. localCheckpoint truncates the lineage at these small
-    # frames (docs x BANDS rows, then 1 row/doc) so the 64-minhash
-    # aggregate runs ONCE per call — the iterative-algorithm standard;
-    # at production scale this is a materialized signature table.
-    # Unlike persist(), the checkpoint RDD is dropped by the
-    # ContextCleaner when the returned DataFrame is garbage-collected.
-    bands = _minhash_bands(toks).localCheckpoint()
+    bands = _minhash_bands(toks)
 
-    # round 0: rep = min doc_id over all buckets the doc belongs to
-    bucket_rep = bands.groupBy("band", "sig").agg(
-        F.min("doc_id").alias("bucket_rep")
-    )
+    # round 0: rep = min doc_id over all buckets the doc belongs to.
+    # The per-bucket min is a WINDOW over (band, sig), not an
+    # aggregate joined back — the join formulation references the
+    # bands lineage twice (and the 64-minhash aggregate under it re-
+    # runs per reference, since nothing may stay persisted in the
+    # driver's shared session — test_no_cache_leak); the window needs
+    # bands exactly once, so the whole round is two shuffles total.
+    w = Window.partitionBy("band", "sig")
     rep = (
-        bands.join(bucket_rep, ["band", "sig"])
+        bands.withColumn("bucket_rep", F.min("doc_id").over(w))
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("rep_id"))
     )
     # pointer-jumping rounds: rep := rep(rep) for transitivity
     for _ in range(REP_ROUNDS - 1):
-        rep = rep.localCheckpoint()
         parent = rep.select(
             F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
         )
