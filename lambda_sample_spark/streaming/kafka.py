@@ -53,20 +53,23 @@ def _require_enabled() -> tuple[str, str]:
     return bootstrap, os.environ.get(TOPIC_ENV, DEFAULT_TOPIC)
 
 
-def sensor_stream_kafka(spark: SparkSession) -> DataFrame:
-    """S3: subscribe + decode — ``readStream.format("kafka")`` then
-    ``from_json(value)`` into the MqttEntry shape with the ingest-time
-    ms timestamp (Consumer.scala:53-66 semantics). Drop-in replacement
-    for ``pipeline.sensor_stream``: same output schema, so the rest of
-    the pipeline (upsert, snapshot, serving) is source-agnostic."""
-    bootstrap, topic = _require_enabled()
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "latest")
-        .load()
-    )
+# the connector's fixed source schema (Kafka docs): every record a
+# Spark job reads from a broker arrives in exactly this shape, so a
+# recorded fixture with this schema exercises the decode path the
+# broker would drive
+KAFKA_SOURCE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset LONG, timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def decode_kafka_records(raw: DataFrame) -> DataFrame:
+    """S3 decode, separated from the broker glue so it is provable
+    without one: ``from_json(value)`` into the MqttEntry shape with the
+    broker timestamp truncated to ms (Consumer.scala:53-66 semantics —
+    ms precision for Cassandra fidelity). A corrupt payload decodes to
+    a null struct (null fields downstream), mirroring the reference's
+    log-and-continue deserializer, not a stream crash."""
     decoded = raw.select(
         F.from_json(F.col("value").cast("string"), WIRE_SCHEMA).alias("e"),
         F.col("timestamp").alias("broker_ts"),
@@ -80,16 +83,40 @@ def sensor_stream_kafka(spark: SparkSession) -> DataFrame:
     )
 
 
+def to_wire(entries: DataFrame) -> DataFrame:
+    """S2 serialize, separated from the broker glue: JSON wire format
+    with fixed field order (Producer.scala:72-73) keyed by sensor so a
+    sensor's readings stay in one Kafka partition (the ordering the
+    reference gets from its single consumer actor)."""
+    return entries.select(
+        F.col("sensor").cast("string").alias("key"),
+        F.to_json(F.struct("sensor", "value", "anomaly")).alias("value"),
+    )
+
+
+def sensor_stream_kafka(spark: SparkSession) -> DataFrame:
+    """S3: subscribe + decode — ``readStream.format("kafka")`` then
+    :func:`decode_kafka_records`. Drop-in replacement for
+    ``pipeline.sensor_stream``: same output schema, so the rest of the
+    pipeline (upsert, snapshot, serving) is source-agnostic."""
+    bootstrap, topic = _require_enabled()
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "latest")
+        .load()
+    )
+    return decode_kafka_records(raw)
+
+
 def publish_stream_kafka(entries: DataFrame, checkpoint_dir: str):
     """S2: publish — entries serialized to the JSON wire format
     (fixed field order, Producer.scala:72-73) keyed by sensor so a
     sensor's readings stay in one partition (ordering guarantee the
     reference gets from its single consumer actor)."""
     bootstrap, topic = _require_enabled()
-    wire = entries.select(
-        F.col("sensor").cast("string").alias("key"),
-        F.to_json(F.struct("sensor", "value", "anomaly")).alias("value"),
-    )
+    wire = to_wire(entries)
     return (
         wire.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
