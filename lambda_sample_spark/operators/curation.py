@@ -1,0 +1,159 @@
+"""Corpus curation ops (north star §2.8 adjuncts): benchmark
+decontamination, PII redaction, and deterministic training-order
+shuffle — the steps a 100 TB pretraining pipeline runs between dedup
+and packing. Not contract queries (the driver gate is frozen at 50);
+each is DuckDB-oracle-checked in tests/test_curation.py instead.
+
+Scale notes: decontamination is an n-gram-hash equi-join — corpus-side
+work is one pass + one shuffle on the hash (or zero shuffles when the
+benchmark side fits a broadcast, the common case: eval sets are MBs).
+PII redaction is chained ``regexp_replace`` — JVM codegen, no Python.
+The shuffle is a sort by a keyed hash: deterministic, seedable, and
+executed as one range-partitioned sort (no RNG column to persist).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- decontamination ---------------------------------------------------
+
+
+def _ngram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """One row per (id, distinct n-gram hash). Token n-grams (the
+    GPT-3-style contamination unit) via a sliding zip over the token
+    array; hashing before the explode keeps shuffled rows narrow
+    (BIGINT, not the n-gram string)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    )
+    return docs.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram_h")
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any token ``n``-gram with an
+    evaluation benchmark (the n=13 overlap rule used for pretraining
+    decontamination). Returns one row per contaminated (doc, benchmark
+    item): ``doc_id, bench_id, shared_ngrams``.
+
+    Docs shorter than ``n`` tokens produce their full-text gram (the
+    slice clamps), so short verbatim copies are still caught. The
+    benchmark side is broadcast by default — eval sets are tiny next
+    to the corpus — making the corpus-side plan scan+explode+
+    broadcast-join with NO shuffle of corpus data; set
+    ``broadcast_benchmark=False`` to co-shuffle both sides on the
+    gram hash when the benchmark is itself huge."""
+    doc_grams = _ngram_hashes(docs, id_col, text_col, n)
+    bench_grams = _ngram_hashes(
+        benchmark.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.col(bench_text_col).alias("__btext"),
+        ),
+        "bench_id",
+        "__btext",
+        n,
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    return (
+        doc_grams.join(bench_grams, "gram_h")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count_distinct("gram_h").alias("shared_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Drop every contaminated document: left-anti join against the
+    contaminated id set."""
+    hits = contamination_check(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col, **kwargs
+    ).select(id_col).distinct()
+    return docs.join(hits, id_col, "left_anti")
+
+
+# --- PII redaction -----------------------------------------------------
+
+# pattern -> replacement token; order matters (emails before bare
+# domains would, e.g., matter in a fuller set). Patterns are anchored
+# on non-word boundaries so they compose under chaining.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?:\+?\d{1,3}[-. ]?)?(?:\(\d{3}\)|\d{3})[-. ]?\d{3}[-. ]?\d{4}\b",
+        "<PHONE>",
+    ),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", count_hits: bool = True
+) -> DataFrame:
+    """Replace common PII shapes (email, IPv4, phone, SSN) with typed
+    redaction tokens. Chained ``regexp_replace`` — one codegen'd
+    projection, no Python, no extra pass. With ``count_hits`` each
+    class also gets a ``n_<class>`` column (match count BEFORE
+    redaction) so downstream filters can drop PII-dense docs without
+    re-scanning."""
+    out = docs
+    c = F.col(text_col)
+    if count_hits:
+        for name, pat, _ in PII_PATTERNS:
+            out = out.withColumn(
+                f"n_{name}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+            )
+    red = c
+    for _, pat, tok in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tok)
+    return out.withColumn(text_col, red)
+
+
+# --- deterministic training-order shuffle ------------------------------
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Global pseudo-random training order that is a pure function of
+    (key, seed): sort by ``xxhash64(key, seed)``. Reproducible across
+    runs and cluster sizes (no RNG column, no partition-order
+    dependence), re-seedable per epoch, and executed as ONE
+    range-partitioned sort. With ``n_shards`` the result is instead
+    hash-bucketed into that many shards and sorted within each —
+    the layout training loaders consume (shard files, locally
+    shuffled) without a global sort's full range exchange."""
+    h = F.xxhash64(F.col(key_col), F.lit(seed))
+    if n_shards is None:
+        return docs.orderBy(h)
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    return (
+        docs.withColumn("shard", shard)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions(F.xxhash64(F.col(key_col), F.lit(seed + 1)))
+    )

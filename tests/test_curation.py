@@ -1,0 +1,139 @@
+"""Curation ops: decontamination, PII redaction, deterministic
+shuffle. Decontamination and redaction are DuckDB-oracle-checked on
+the documents table (same bar as the contract, minus a driver slot —
+the gate is frozen at 50); the shuffle is property-checked
+(reproducibility has no SQL twin worth writing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.io import load_table
+from lambda_sample_spark.operators.curation import (
+    contamination_check,
+    decontaminate,
+    deterministic_shuffle,
+    redact_pii,
+)
+from tests.oracle_harness import compare, duckdb_con
+
+# DuckDB twin of _ngram_hashes, joining on the gram STRING (hash
+# equality == string equality absent collisions, and a collision would
+# surface here as a value mismatch)
+_NGRAMS_SQL = """
+SELECT {id} AS id, unnest(list_distinct(
+  list_transform(
+    range(0, greatest(len(toks) - {n}, 0) + 1),
+    i -> array_to_string(toks[i + 1 : i + {n}], ' ')
+  ))) AS gram
+FROM (SELECT {id}, regexp_split_to_array(trim(text), '\\s+') AS toks
+      FROM {src})
+"""
+
+
+def test_contamination_check_vs_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # benchmark: verbatim snippets of some corpus docs (planted
+    # contamination) plus one novel probe that must match nothing
+    bench = docs.orderBy("doc_id").limit(3).select(
+        F.concat(F.lit("b-"), F.col("doc_id")).alias("bench_id"),
+        F.col("text"),
+    ).union(
+        spark.createDataFrame(
+            [("b-novel", "zzz qqq xxx yyy www vvv uuu ttt sss rrr qq2 pp3 oo4")],
+            "bench_id string, text string",
+        )
+    )
+    n = 13
+    got = contamination_check(docs, bench, n=n)
+    assert got.where(F.col("bench_id") == "b-novel").count() == 0
+    # every planted bench item is caught against its source doc
+    assert (
+        got.where(F.expr("bench_id = concat('b-', doc_id)")).count() == 3
+    )
+    con = duckdb_con(sf_dir)
+    con.execute(
+        "CREATE VIEW bench AS "
+        "SELECT 'b-' || doc_id AS bench_id, text FROM documents "
+        "WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3) "
+        "UNION ALL SELECT 'b-novel', "
+        "'zzz qqq xxx yyy www vvv uuu ttt sss rrr qq2 pp3 oo4'"
+    )
+    oracle = con.execute(
+        f"""
+        WITH dg AS ({_NGRAMS_SQL.format(id='doc_id', n=n, src='documents')}),
+             bg AS ({_NGRAMS_SQL.format(id='bench_id', n=n, src='bench')})
+        SELECT dg.id AS doc_id, bg.id AS bench_id,
+               count(DISTINCT dg.gram) AS shared_ngrams
+        FROM dg JOIN bg ON dg.gram = bg.gram
+        GROUP BY 1, 2
+        """
+    ).fetchdf()
+    assert compare("contamination", got, oracle) == []
+
+
+def test_decontaminate_drops_only_hits(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.orderBy("doc_id").limit(2).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    clean = decontaminate(docs, bench)
+    hit_ids = {
+        r.doc_id
+        for r in contamination_check(docs, bench).select("doc_id").distinct().collect()
+    }
+    kept = {r.doc_id for r in clean.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - hit_ids
+    assert len(hit_ids) >= 2  # at least the planted sources fall
+
+
+def test_redact_pii_vs_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(0)
+    pii_rows = [
+        ("p1", "mail me at jane.doe+x@corp.example.com or call 555-123-4567 now"),
+        ("p2", "server 192.168.0.1 leaked ssn 123-45-6789 twice 123-45-6789"),
+        ("p3", "clean text with no pii at all"),
+        ("p4", "a@b.io b@c.io phones +1 (555) 123 4567 and 555.123.4567"),
+    ]
+    df = spark.createDataFrame(pii_rows, "doc_id string, text string")
+    got = redact_pii(df).select("doc_id", "text", "n_email", "n_ipv4", "n_phone", "n_ssn")
+    out = {r.doc_id: r for r in got.collect()}
+    assert "<EMAIL>" in out["p1"].text and "<PHONE>" in out["p1"].text
+    assert out["p2"].n_ssn == 2 and "<IP>" in out["p2"].text
+    assert out["p3"].text == pii_rows[2][1]  # untouched
+    assert out["p4"].n_email == 2 and out["p4"].n_phone == 2
+    # DuckDB twin: same regexes (RE2-compatible subset), global replace
+    con = duckdb_con(sf_dir)
+    con.execute(
+        "CREATE TABLE pii(doc_id VARCHAR, text VARCHAR); "
+        + "".join(
+            f"INSERT INTO pii VALUES ('{i}', '{t}');" for i, t in pii_rows
+        )
+    )
+    from lambda_sample_spark.operators.curation import PII_PATTERNS
+
+    sel, red = [], "text"
+    for name, pat, tok in PII_PATTERNS:
+        sel.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    oracle = con.execute(
+        f"SELECT doc_id, {red} AS text, {', '.join(sel)} FROM pii"
+    ).fetchdf()
+    assert compare("redact_pii", got, oracle) == []
+
+
+def test_deterministic_shuffle_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = [r.doc_id for r in deterministic_shuffle(docs, seed=7).collect()]
+    b = [r.doc_id for r in deterministic_shuffle(docs, seed=7).collect()]
+    c = [r.doc_id for r in deterministic_shuffle(docs, seed=8).collect()]
+    assert a == b  # pure function of (key, seed)
+    assert a != c  # re-seeding permutes
+    assert sorted(a) == sorted(c)  # a permutation, not a filter
+    # sharded layout: same multiset, requested fan-out, stable per seed
+    sharded = deterministic_shuffle(docs, seed=7, n_shards=4)
+    assert sharded.select("shard").distinct().count() == 4
+    assert sorted(r.doc_id for r in sharded.collect()) == sorted(a)
