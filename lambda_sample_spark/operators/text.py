@@ -71,6 +71,60 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, ns: tuple[int, ...] = (2, 3)) -> DataFrame:
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1, token
+    approximation): per doc and n, the fraction of n-grams that are
+    duplicates (``dup_ngram_frac``) and the fraction of tokens covered
+    by the single most frequent n-gram (``top_ngram_frac``). High
+    values flag boilerplate/looping text the quality gate should drop.
+
+    Shape: one (doc, n, gram-hash) row into a two-level aggregate —
+    the simhash/ngram shuffle shape; grams hash to BIGINT before the
+    explode so shuffled rows stay narrow. Output is one row per
+    (doc_id, n): explode-friendly for a gate join, scalar columns only.
+    """
+    toks = _tokens(F.col("text"))
+
+    def gram_hashes(n: int):
+        # NB: the lambda must stay single-parameter — transform() passes
+        # (element, index) to two-parameter lambdas
+        return F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        )
+
+    per_n = []
+    for n in ns:
+        grams = gram_hashes(n)
+        per_n.append(
+            docs.select(
+                "doc_id",
+                F.lit(n).alias("n"),
+                F.size(toks).alias("n_tok"),
+                F.explode(grams).alias("gram_h"),
+            )
+        )
+    exploded = per_n[0]
+    for d in per_n[1:]:
+        exploded = exploded.unionByName(d)
+    counts = exploded.groupBy("doc_id", "n", "n_tok", "gram_h").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        counts.groupBy("doc_id", "n", "n_tok")
+        .agg(
+            r6(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                / F.sum("c")
+            ).alias("dup_ngram_frac"),
+            r6(
+                F.least(F.max("c") * F.col("n") / F.col("n_tok"), F.lit(1.0))
+            ).alias("top_ngram_frac"),
+        )
+        .drop("n_tok")
+    )
+
+
 def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document profile: quality score (length score x (1 -
     stopword ratio) — the shape of a C4/Gopher-style quality filter,

@@ -125,6 +125,55 @@ def test_redact_pii_vs_duckdb(spark, sf_dir):
     assert compare("redact_pii", got, oracle) == []
 
 
+def test_repetition_stats_vs_duckdb(spark, sf_dir):
+    from lambda_sample_spark.operators.text import repetition_stats
+
+    # hand-checkable plants + the real corpus
+    plants = [
+        ("rep-1", "a b a b a b"),   # 2-grams: ab,ba,ab,ba,ab -> all dup
+        ("rep-2", "x y z w"),        # all 2-grams unique
+    ]
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string"), "text"
+    ).union(spark.createDataFrame(plants, "doc_id string, text string"))
+    got = repetition_stats(docs)
+    by = {(r.doc_id, r.n): r for r in got.where(F.col("doc_id").startswith("rep-")).collect()}
+    assert by[("rep-1", 2)].dup_ngram_frac == 1.0
+    assert by[("rep-1", 2)].top_ngram_frac == 1.0  # 3 hits * 2 / 6, capped
+    assert by[("rep-2", 2)].dup_ngram_frac == 0.0
+    assert by[("rep-2", 2)].top_ngram_frac == 0.5
+    con = duckdb_con(sf_dir)
+    con.execute(
+        "CREATE VIEW docs2 AS SELECT doc_id::VARCHAR AS doc_id, text FROM documents "
+        "UNION ALL SELECT * FROM (VALUES ('rep-1', 'a b a b a b'), "
+        "('rep-2', 'x y z w')) v(doc_id, text)"
+    )
+    oracle = con.execute(
+        r"""
+        WITH base AS (
+          SELECT doc_id, n, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM docs2, (VALUES (2), (3)) t(n)
+        ), g AS (
+          SELECT doc_id, n, len(toks) AS n_tok,
+                 unnest(list_transform(
+                   range(0, greatest(len(toks) - n, 0) + 1),
+                   i -> array_to_string(toks[i + 1 : i + n], ' '))) AS gram
+          FROM base
+        ), c AS (
+          SELECT doc_id, n, n_tok, gram, count(*) AS c
+          FROM g GROUP BY ALL
+        )
+        SELECT doc_id, n,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+                     / sum(c), 6) AS dup_ngram_frac,
+               round(least(max(c) * n / n_tok::DOUBLE, 1.0), 6)
+                   AS top_ngram_frac
+        FROM c GROUP BY doc_id, n, n_tok
+        """
+    ).fetchdf()
+    assert compare("repetition_stats", got, oracle) == []
+
+
 def test_deterministic_shuffle_properties(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     a = [r.doc_id for r in deterministic_shuffle(docs, seed=7).collect()]
