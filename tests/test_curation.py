@@ -88,6 +88,27 @@ def test_decontaminate_drops_only_hits(spark, sf_dir):
     assert len(hit_ids) >= 2  # at least the planted sources fall
 
 
+def test_contamination_corpus_side_never_shuffles(spark, sf_dir):
+    # the 100 TB property: with a broadcast benchmark the corpus-side
+    # plan is scan -> explode -> broadcast-join -> partial agg; the only
+    # Exchange in the whole plan is the final (doc, bench) aggregate's,
+    # whose input is the (tiny) join survivors, never corpus grams
+    from lambda_sample_spark.plans import audit
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.limit(2).select(F.col("doc_id").alias("bench_id"), "text")
+    plan = audit.simple_plan(contamination_check(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    # no Exchange between the corpus scan and the join: below the join
+    # node the corpus branch (text up to the BroadcastExchange child)
+    # must be shuffle-free
+    corpus_branch = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange"
+    )[0]
+    assert "Exchange hashpartitioning" not in corpus_branch
+    assert audit.has_partial_agg(contamination_check(docs, bench))
+
+
 def test_redact_pii_vs_duckdb(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(0)
     pii_rows = [
