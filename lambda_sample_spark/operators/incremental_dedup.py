@@ -1,0 +1,150 @@
+"""Incremental near-dup dedup against a persisted minhash index
+(north star §2.8 X2 at steady state): the nightly-ingest workflow —
+dedup a new batch against an already-ingested corpus WITHOUT
+re-reading or re-minhashing the corpus, then commit the survivors'
+signatures so the next batch sees them.
+
+Composition of existing pieces: the md5/affine banded minhash from
+``dedup.py`` (16 signature rows per doc) + the versioned table layer
+from ``sources/warehouse.py`` (atomic pointer swap, bounded-work
+merge). The index holds ONLY (doc_id, band, sig) — ~100 bytes/doc —
+so the 100 TB corpus's index is ~TB-scale and the per-batch cost is:
+
+  scan new batch (once)  ->  minhash it  ->  broadcast the batch's
+  distinct (band, sig) keys  ->  hash-filter the index scan (left-semi
+  against the broadcast: NO index shuffle, no corpus text touched)
+  ->  one window over the touched buckets  ->  merge-append survivors.
+
+Match semantics are the LSH banding criterion: a new doc duplicates a
+kept doc iff they share a full band signature. Corpus docs take
+precedence as representatives; within the batch the min doc_id wins,
+and rep chains are pointer-jumped TO FIXPOINT so every flagged doc's
+``rep_id`` is a doc that was actually kept (the ingest invariant —
+dropped docs are deleted downstream, so a dangling rep would corrupt
+lineage; ``dedup_near_minhash``'s fixed REP_ROUNDS is the batch
+compromise this path cannot afford). Each jump round materializes to
+a scratch directory — iterating on lineage alone doubles the plan per
+round — and the final flags land in ``<index_root>/ingest_log/``, the
+per-batch audit record a production pipeline keeps anyway. Doc ids
+are assumed unique across the corpus + all batches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.warehouse import merge_versioned, read_versioned
+from .dedup import _minhash_bands
+
+INDEX_KEYS = ["doc_id", "band"]  # one row per doc per band
+
+
+def minhash_bands_for(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) for arbitrary input docs (doc_id, text)."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
+    )
+    return _minhash_bands(toks)
+
+
+def match_plan(
+    spark: SparkSession, index_root: str, new_docs: DataFrame
+) -> DataFrame:
+    """The (lazy) matching core: one row per new doc with the round-0
+    representative ``rep_id`` — a corpus doc when any bucket matches,
+    else the min batch doc of its buckets. This is the plan to audit:
+    the index branch must be a hash-filtered scan feeding the
+    broadcast semi-join, never a shuffle."""
+    new_bands = minhash_bands_for(new_docs)
+    try:
+        idx = read_versioned(spark, index_root).select("doc_id", "band", "sig")
+    except FileNotFoundError:
+        idx = spark.createDataFrame([], "doc_id long, band int, sig string")
+    # touch only buckets the batch lands in; the batch's key set
+    # (16 rows/doc) broadcasts, so the index branch is a hash-filtered
+    # scan — zero index shuffle
+    touched = idx.join(
+        F.broadcast(new_bands.select("band", "sig").distinct()),
+        ["band", "sig"],
+        "left_semi",
+    )
+    # prec 0 = corpus (kept by definition), 1 = new: min struct(prec,
+    # doc_id) per bucket elects a corpus doc when any matches
+    u = touched.withColumn("prec", F.lit(0)).unionByName(
+        new_bands.select("doc_id", "band", "sig").withColumn("prec", F.lit(1))
+    )
+    w = Window.partitionBy("band", "sig")
+    return (
+        u.withColumn("rk", F.min(F.struct("prec", "doc_id")).over(w))
+        .where(F.col("prec") == 1)
+        .groupBy("doc_id")
+        .agg(F.min("rk").alias("rk"))
+        .select("doc_id", F.col("rk.doc_id").alias("rep_id"))
+    )
+
+
+def ingest_batch(
+    spark: SparkSession, index_root: str, new_docs: DataFrame, commit: bool = True
+) -> DataFrame:
+    """Dedup ``new_docs`` against the index (and each other), then —
+    with ``commit`` — merge the SURVIVORS' band signatures in as the
+    next index version. Returns one row per new doc (materialized to
+    ``<index_root>/ingest_log/batch=N``):
+    ``doc_id, rep_id, is_near_dup`` — ``rep_id`` is the KEPT doc it
+    duplicates (a corpus doc when one matches, else the surviving
+    within-batch representative), or itself when kept."""
+    rep0 = match_plan(spark, index_root, new_docs)
+    # pointer-jump to fixpoint: a chain D -> C -> B -> A must resolve
+    # every doc to the KEPT root A (min-propagation only strictly
+    # decreases rep ids, so chains are acyclic and doubling converges
+    # in O(log chain)). Rounds materialize to scratch parquet — the
+    # rep frame is batch-sized and narrow, and lineage-only iteration
+    # doubles the plan per round.
+    scratch = os.path.join(index_root, "_ingest_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    rep0.write.parquet(os.path.join(scratch, "r0"))
+    cur = spark.read.parquet(os.path.join(scratch, "r0"))
+    r = 0
+    while True:
+        dropped = cur.where(F.col("rep_id") != F.col("doc_id"))
+        dangling = cur.join(
+            dropped.select(F.col("doc_id").alias("d")),
+            cur.rep_id == F.col("d"),
+            "left_semi",
+        ).count()
+        if dangling == 0:
+            break
+        parent = cur.select(
+            F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
+        )
+        nxt = cur.join(parent, cur.rep_id == parent.p_doc, "left").select(
+            "doc_id", F.coalesce("p_rep", "rep_id").alias("rep_id")
+        )
+        r += 1
+        nxt.write.parquet(os.path.join(scratch, f"r{r}"))
+        cur = spark.read.parquet(os.path.join(scratch, f"r{r}"))
+    flags = cur.withColumn(
+        "is_near_dup", F.col("rep_id") != F.col("doc_id")
+    )
+    # the returned frame must outlive the scratch dir: persist it as
+    # the batch's ingest-log record (the audit artifact a production
+    # pipeline keeps), then drop the intermediate rounds
+    log_dir = os.path.join(index_root, "ingest_log")
+    os.makedirs(log_dir, exist_ok=True)
+    batch_no = len(os.listdir(log_dir))
+    final = os.path.join(log_dir, f"batch={batch_no}")
+    flags.write.parquet(final)
+    flags = spark.read.parquet(final)
+    shutil.rmtree(scratch, ignore_errors=True)
+    if commit:
+        survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
+        keep_bands = minhash_bands_for(new_docs).join(survivors, "doc_id")
+        merge_versioned(spark, index_root, keep_bands, INDEX_KEYS)
+    return flags
