@@ -154,6 +154,14 @@ def deterministic_shuffle(
     shard = F.pmod(h, F.lit(n_shards)).cast("int")
     return (
         docs.withColumn("shard", shard)
-        .repartition(n_shards, "shard")
-        .sortWithinPartitions(F.xxhash64(F.col(key_col), F.lit(seed + 1)))
+        # range-partition on the shard id (hash-repartition would fold
+        # several shard ids into one output partition and leave others
+        # empty), and keep shard as the leading sort key so shards stay
+        # CONTIGUOUS even when a sampled range boundary puts two shard
+        # ids in one partition — the shard-files-locally-shuffled
+        # layout the docstring promises
+        .repartitionByRange(n_shards, "shard")
+        .sortWithinPartitions(
+            "shard", F.xxhash64(F.col(key_col), F.lit(seed + 1))
+        )
     )

@@ -65,7 +65,10 @@ def match_plan(
     try:
         idx = read_versioned(spark, index_root).select("doc_id", "band", "sig")
     except FileNotFoundError:
-        idx = spark.createDataFrame([], "doc_id long, band int, sig string")
+        # day-one ingest: empty index with the BATCH's own schema, so
+        # corpora whose doc_id is not bigint (string ids etc.) union
+        # cleanly instead of failing or silently coercing
+        idx = new_bands.select("doc_id", "band", "sig").limit(0)
     # touch only buckets the batch lands in; the batch's key set
     # (16 rows/doc) broadcasts, so the index branch is a hash-filtered
     # scan — zero index shuffle

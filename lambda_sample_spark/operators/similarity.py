@@ -205,6 +205,17 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     identically inside every worker — nothing shipped but constants —
     AND replayed exactly by the DuckDB oracle (see _lcg_w_sql), which
     is what graduates q_ann_lsh_topk from rows-only to value-checked.
+
+    Sign-boundary assumption: the oracle replays the PLANES exactly
+    (integer LCG), but the dot products are float64 sums whose
+    accumulation order differs between numpy's pairwise/SIMD reduction
+    and DuckDB's scan-order sum — a dot product close enough to zero
+    could round to opposite signs and flip a bucket bit. The contract
+    corpus is guarded against this: tests/test_similarity_scale.py asserts
+    every |dot| across all (vector, plane) pairs at the correctness
+    SFs clears a margin many orders of magnitude above float64
+    accumulation error (~1e-13 relative), so the replay is exact IN
+    PRACTICE on the graded corpus, not by float semantics alone.
     Multiple small tables (vs one wide signature) trade bucket
     selectivity for recall: a near-neighbor only needs to agree in ONE
     table to become a candidate.

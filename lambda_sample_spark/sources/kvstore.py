@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .warehouse import MERGE_BUCKETS, merge_versioned, read_versioned
+from .warehouse import merge_versioned, read_versioned, resolve_buckets
 
 KV_KEYS = ["hkey", "field"]
 
@@ -36,7 +36,7 @@ def hset_df(
     spark: SparkSession,
     root: str,
     updates: DataFrame,
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> int:
     """Distributed HSET: every row of ``updates`` (columns ``hkey``,
     ``field``, ``value BINARY``) replaces the current value of its
@@ -54,7 +54,7 @@ def hset(
     root: str,
     hkey: str,
     mapping: dict[str, bytes],
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> int:
     """Driver-side HSET of a small field->bytes mapping (the reference's
     per-sensor ``hset`` calls). For bulk writes use :func:`hset_df`."""
@@ -68,10 +68,14 @@ def hget(
     root: str,
     hkey: str,
     field: str,
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> bytes | None:
     """Point lookup of one field. Prunes the scan to the single bucket
-    directory that can hold (hkey, field)."""
+    directory that can hold (hkey, field). The bucket count comes from
+    the table's persisted ``_BUCKETS`` metadata — a stale caller-side
+    constant can no longer aim the pruning at the wrong directory (an
+    explicit conflicting argument raises)."""
+    n_buckets = resolve_buckets(root, n_buckets)
     df = read_versioned(spark, root)
     bkt = F.pmod(F.xxhash64(F.lit(hkey), F.lit(field)), F.lit(n_buckets)).cast(
         "int"
@@ -115,7 +119,7 @@ def foreach_batch_hset(
     field_col: str = "field",
     value_col: str = "value",
     order_col: str | None = None,
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ):
     """S10 as a streaming sink: ``writeStream.foreachBatch(...)`` body
     that HSETs every micro-batch row. Within a batch the newest row per

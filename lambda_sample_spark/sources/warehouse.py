@@ -194,6 +194,53 @@ def compact_versioned(
 
 
 MERGE_BUCKETS = 16  # production: size so a bucket ~ a few hundred MB
+BUCKETS_META = "_BUCKETS"
+# updates with more key rows than this skip the broadcast anti-join hint
+# and let the planner/AQE pick (a 2M-row key set is already past any
+# sane autoBroadcastJoinThreshold)
+BROADCAST_KEY_ROWS = 2_000_000
+
+
+def stored_buckets(root: str) -> int | None:
+    """Bucket count the table was created with, or None if the table
+    predates bucket metadata (or doesn't exist)."""
+    import os
+
+    try:
+        with open(os.path.join(root, BUCKETS_META)) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return None
+
+
+def _write_buckets(root: str, n_buckets: int) -> None:
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, BUCKETS_META + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(n_buckets))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, BUCKETS_META))
+
+
+def resolve_buckets(root: str, n_buckets: int | None) -> int:
+    """The table's authoritative bucket count: the persisted metadata
+    when present (an explicit conflicting argument raises rather than
+    silently pruning/rewriting the wrong buckets), else the argument,
+    else MERGE_BUCKETS. Tables created before bucket metadata existed
+    get the resolved value persisted by the next merge."""
+    stored = stored_buckets(root)
+    if stored is not None:
+        if n_buckets is not None and n_buckets != stored:
+            raise ValueError(
+                f"table {root} was bucketed with n_buckets={stored}; "
+                f"caller passed {n_buckets} — reads/merges with a "
+                "mismatched bucket count would corrupt the table"
+            )
+        return stored
+    return MERGE_BUCKETS if n_buckets is None else n_buckets
 
 
 def merge_versioned(
@@ -201,7 +248,7 @@ def merge_versioned(
     root: str,
     updates: DataFrame,
     keys: list[str],
-    n_buckets: int = MERGE_BUCKETS,
+    n_buckets: int | None = None,
 ) -> int:
     """MERGE-shaped upsert on a versioned table: rows in ``updates``
     replace current rows with equal ``keys`` (insert-or-update, the
@@ -220,12 +267,17 @@ def merge_versioned(
     one). Merge cost scales with touched data, not table size.
 
     ``updates`` must be unique per key (enforced via dropDuplicates).
-    Returns the committed version number.
+    ``n_buckets`` is authoritative only at table CREATION; afterwards
+    the count persisted in the ``_BUCKETS`` metadata file wins, and an
+    explicit conflicting argument raises (see resolve_buckets) — a
+    mismatched count would prune/rewrite the wrong buckets and leave
+    stale rows alive. Returns the committed version number.
     """
     import os
 
     from pyspark.sql import functions as F
 
+    n_buckets = resolve_buckets(root, n_buckets)
     bkt = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
     updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt)
     cur = current_version(root)
@@ -234,13 +286,23 @@ def merge_versioned(
         v = 1
         updates.write.partitionBy("_bkt").parquet(versioned_path(root, v))
     else:
-        touched = sorted(
-            r._bkt for r in updates.select("_bkt").distinct().collect()
-        )
+        # one aggregate action yields the touched-bucket set AND the
+        # update size: the collect is bounded by n_buckets rows (the
+        # groupBy reduces first), independent of how large the update
+        # batch is — no unbounded driver materialization
+        per_bkt = updates.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+        touched = sorted(r._bkt for r in per_bkt)
+        n_update_rows = sum(r.n for r in per_bkt)
         current = spark.read.parquet(versioned_path(root, cur))
         # partition pruning: only touched bucket directories are read
         pruned = current.where(F.col("_bkt").isin(touched))
-        kept = pruned.join(F.broadcast(updates.select(*keys)), keys, "left_anti")
+        # broadcast the update keyset only while it plausibly fits the
+        # broadcast budget; a huge backfill batch falls back to a
+        # planner-chosen (AQE) join — still pruned to touched buckets
+        upd_keys = updates.select(*keys)
+        if n_update_rows <= BROADCAST_KEY_ROWS:
+            upd_keys = F.broadcast(upd_keys)
+        kept = pruned.join(upd_keys, keys, "left_anti")
         merged = kept.unionByName(updates)
         v = cur + 1
         new_dir = versioned_path(root, v)
@@ -260,6 +322,10 @@ def merge_versioned(
                     os.path.join(old_dir, d, fname),
                     os.path.join(new_dir, d, fname),
                 )
+    # persist the bucket count with the table (idempotent; also
+    # upgrades legacy tables in place) BEFORE the pointer swap, so a
+    # reader never sees a committed version without its metadata
+    _write_buckets(root, n_buckets)
     tmp = os.path.join(root, VERSION_POINTER + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(v))
