@@ -43,9 +43,11 @@ def test_hget_prunes_to_one_bucket(spark, tmp_path):
     kvstore.hset(
         spark, root, "model", {f"s{i}": bytes([i]) for i in range(64)}
     )
-    from lambda_sample_spark.sources.warehouse import read_versioned
+    from lambda_sample_spark.sources.warehouse import read_versioned, resolve_buckets
 
-    n = kvstore.MERGE_BUCKETS
+    # the table's authoritative bucket count comes from the persisted
+    # _BUCKETS metadata written at creation (warehouse.resolve_buckets)
+    n = resolve_buckets(root, None)
     bkt = F.pmod(
         F.xxhash64(F.lit("model"), F.lit("s7")), F.lit(n)
     ).cast("int")
