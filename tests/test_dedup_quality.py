@@ -73,7 +73,10 @@ def test_simhash_distance_separates_near_dups(spark, exact_pairs):
 
 
 def test_approx_distinct_within_hll_error(spark):
-    # the remaining rows-only aggregate: HLL++ estimate vs exact
+    # HLL++ estimate vs exact, now folded into the contract output: the
+    # query itself emits the exact count plus a within_pct boolean from
+    # the pinned 2% bound (the estimate is cross-checked in-query, so
+    # the DuckDB oracle can hash-match against its own sketch).
     from lambda_sample_spark.operators.multidim import (
         approx_distinct_users,
         distinct_users,
@@ -81,10 +84,10 @@ def test_approx_distinct_within_hll_error(spark):
 
     sf = "/root/testdata/sf0.01"
     exact = {r.event_type: r.n_users for r in distinct_users(spark, sf).collect()}
-    approx = {
-        r.event_type: r.approx_users
-        for r in approx_distinct_users(spark, sf).collect()
-    }
-    assert set(exact) == set(approx)
+    rows = approx_distinct_users(spark, sf).collect()
+    got = {r.event_type: (r.n_users_exact, r.within_pct) for r in rows}
+    assert set(exact) == set(got)
     for et, n in exact.items():
-        assert abs(approx[et] - n) / n <= 0.05, (et, approx[et], n)
+        n_exact, within = got[et]
+        assert n_exact == n, (et, n_exact, n)
+        assert within is True, f"HLL estimate outside 2% for {et}"

@@ -41,6 +41,65 @@ def test_lsh_bits_grow_with_corpus():
     assert lsh_bits_for(10**9) == LSH_MAX_BITS
 
 
+def test_sign_margin_clears_float64_accumulation_error():
+    # The oracle replays the LSH planes exactly (integer LCG) but sums
+    # the dot products in scan order while numpy reduces pairwise/SIMD;
+    # a |dot| near zero could round to opposite signs and flip a bucket
+    # bit, hash-mismatching q_ann_lsh_topk for a reason that isn't a
+    # bug. Guard: at every correctness SF the driver grades at, the
+    # smallest |dot| over ALL (vector, plane) pairs must clear a margin
+    # many orders of magnitude above float64 accumulation error
+    # (~1e-13 relative on 64-term sums). Exercises the production
+    # lsh_planes() matrix, not a transcription.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from lambda_sample_spark.operators.similarity import lsh_planes
+
+    MARGIN = 1e-9
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        tbl = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+        mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+        n, dim = mat.shape
+        bits = lsh_bits_for(n)
+        planes = lsh_planes(dim, bits)
+        dots = mat @ planes  # (n, tables*bits)
+        min_abs = float(np.abs(dots).min())
+        assert min_abs >= MARGIN, (sf, min_abs)
+
+
+def test_udf_buckets_match_lsh_planes(spark):
+    # The worker-side UDF inlines the plane arithmetic (a module-level
+    # function reference would cloudpickle by-reference and require
+    # the package on every executor); this pins the inline twin to the
+    # canonical lsh_planes() so they can't drift apart.
+    import numpy as np
+
+    from lambda_sample_spark.operators.similarity import (
+        _lsh_signatures,
+        lsh_planes,
+    )
+
+    rng = np.random.RandomState(3)
+    dim, n, bits = 8, 40, 6
+    vecs = rng.uniform(-1, 1, size=(n, dim))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    got = {
+        (r.vec_id, r.table): r.bucket
+        for r in _lsh_signatures(emb, bits).collect()
+    }
+    planes = lsh_planes(dim, bits)
+    sign_bits = (vecs @ planes) > 0
+    weights = 1 << np.arange(bits)
+    for i in range(n):
+        sigs = sign_bits[i].reshape(LSH_TABLES, bits) @ weights
+        for t in range(LSH_TABLES):
+            assert got[(i, t)] == int(sigs[t]), (i, t)
+
+
 def test_candidate_set_is_budget_bounded(spark, sf_dir):
     emb = embeddings(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
