@@ -180,9 +180,34 @@ def _contract_models(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     return _MODEL_CACHE[key]
 
 
+def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key facts about the exact training frame the
+    contract models fit on (newest RECENT_TRAIN_N rows per key): row
+    count, class counts, feature extents. One aggregate pass; every
+    column is plain SQL over the same window, so DuckDB replays it
+    exactly — these ride along in the rows-only RF contract rows so
+    their structure is checkable even though MLlib posteriors are not
+    (see tests/test_ml.py::test_rf_metadata_matches_duckdb)."""
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(
+        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
+    )
+    return labeled.groupBy("event_type").agg(
+        F.count("*").alias("n_train_rows"),
+        F.sum("anomaly").cast("bigint").alias("n_train_pos"),
+        F.round(F.min("value"), 6).alias("train_vmin"),
+        F.round(F.max("value"), 6).alias("train_vmax"),
+    )
+
+
 def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (rows-only): train per-key forests on the newest 20k
-    rows per key; report model facts."""
+    rows per key; report model facts. The forest columns (num_trees,
+    feature_importance) are MLlib-RNG-dependent; the training-set
+    metadata columns (n_train_rows / n_train_pos / train_vmin /
+    train_vmax) are deterministic and DuckDB-replayable."""
     models = _contract_models(spark, sf_dir)
     rows = [
         (
@@ -192,14 +217,25 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for k, m in sorted(models.items())
     ]
-    return spark.createDataFrame(
+    facts = spark.createDataFrame(
         rows, "event_type STRING, num_trees INT, feature_importance DOUBLE"
+    )
+    return facts.join(_train_stats(spark, sf_dir), "event_type").select(
+        "event_type",
+        "num_trees",
+        "feature_importance",
+        "n_train_rows",
+        "n_train_pos",
+        "train_vmin",
+        "train_vmax",
     )
 
 
 def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (rows-only): posterior P(anomaly) for probe values
-    (mirrors AnalyzerSpec's sample triple) per trained key."""
+    (mirrors AnalyzerSpec's sample triple) per trained key. p_anomaly
+    is MLlib-RNG-dependent (tolerance-tested); above_threshold and the
+    per-key training counts are deterministic structure."""
     models = _contract_models(spark, sf_dir)
     probes = spark.createDataFrame(
         [(10.0,), (480.0,), (166.0,)], "value DOUBLE"
@@ -211,10 +247,25 @@ def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(scored)
     if not outs:
-        return spark.createDataFrame([], "event_type STRING, value DOUBLE, p_anomaly DOUBLE")
+        return spark.createDataFrame(
+            [],
+            "event_type STRING, value DOUBLE, p_anomaly DOUBLE, "
+            "above_threshold BOOLEAN, n_train_rows BIGINT, n_train_pos BIGINT",
+        )
     from functools import reduce
 
-    return reduce(DataFrame.unionByName, outs)
+    scored = reduce(DataFrame.unionByName, outs)
+    stats = _train_stats(spark, sf_dir).select(
+        "event_type", "n_train_rows", "n_train_pos"
+    )
+    return scored.join(stats, "event_type").select(
+        "event_type",
+        "value",
+        "p_anomaly",
+        (F.col("value") > F.lit(LABEL_THRESHOLD)).alias("above_threshold"),
+        "n_train_rows",
+        "n_train_pos",
+    )
 
 
 def q_histogram_models(spark: SparkSession, sf_dir: str) -> DataFrame:

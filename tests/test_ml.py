@@ -100,3 +100,56 @@ def test_tree_debug_export(spark, fixture_models):
     models, _ = fixture_models
     text = export_tree_debug(models[sorted(models)[0]])
     assert "If (feature" in text and "Predict:" in text
+
+
+def test_rf_metadata_matches_duckdb(spark):
+    # The rows-only RF contract rows now carry deterministic training-set
+    # metadata (row counts, class counts, feature extents over the
+    # newest-RECENT_TRAIN_N window); DuckDB replays that structure
+    # exactly even though the MLlib posteriors have no SQL twin.
+    import duckdb
+
+    from lambda_sample_spark.ml.forest import (
+        LABEL_THRESHOLD,
+        RECENT_TRAIN_N,
+        rf_predict,
+        rf_train,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""
+            WITH recent AS (
+              SELECT event_type, value,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_train_rows,
+                   sum(CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END) AS n_train_pos,
+                   round(min(value), 6) AS train_vmin,
+                   round(max(value), 6) AS train_vmax
+            FROM recent WHERE rn <= {RECENT_TRAIN_N}
+            GROUP BY event_type
+            """
+        ).fetchall()
+    }
+    got_train = rf_train(spark, sf).collect()
+    assert got_train, "at least one key must train"
+    for r in got_train:
+        n_rows, n_pos, vmin, vmax = want[r.event_type]
+        assert r.n_train_rows == n_rows, r
+        assert r.n_train_pos == n_pos, r
+        assert r.train_vmin == vmin and r.train_vmax == vmax, r
+
+    for r in rf_predict(spark, sf).collect():
+        n_rows, n_pos, *_ = want[r.event_type]
+        assert r.n_train_rows == n_rows and r.n_train_pos == n_pos, r
+        assert r.above_threshold == (r.value > LABEL_THRESHOLD), r

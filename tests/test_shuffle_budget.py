@@ -66,8 +66,11 @@ BUDGET = {
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
-    "q_rf_train": 0,  # training jobs run inside, plan itself is a local frame
-    "q_rf_predict": 0,
+    # raised 0 -> 1 in round 6: the contract rows now join deterministic
+    # training-set metadata (newest-20k window + per-key aggregate — one
+    # exchange, reused by the agg); the training jobs still run inside
+    "q_rf_train": 1,
+    "q_rf_predict": 1,
     "q_histogram_models": 1,
 }
 
