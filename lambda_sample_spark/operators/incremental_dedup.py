@@ -38,10 +38,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..sources.warehouse import merge_versioned, read_versioned
+from ..sources.warehouse import (
+    compact_versioned_bucketed,
+    merge_versioned,
+    read_versioned,
+    vacuum_versions,
+)
 from .dedup import _minhash_bands
 
 INDEX_KEYS = ["doc_id", "band"]  # one row per doc per band
+# steady-state maintenance cadence: every Nth committed version gets a
+# bucket-preserving compaction (each merge rewrites its touched buckets
+# as a fresh shuffle-sized file set, so per-bucket fan-in grows with
+# commit count until coalesced); vacuum runs after every commit and
+# keeps this many newest versions as the reader-retention window
+COMPACT_EVERY = 8
+VACUUM_KEEP = 4
 
 
 def minhash_bands_for(docs: DataFrame) -> DataFrame:
@@ -106,33 +118,52 @@ def ingest_batch(
     # pointer-jump to fixpoint: a chain D -> C -> B -> A must resolve
     # every doc to the KEPT root A (min-propagation only strictly
     # decreases rep ids, so chains are acyclic and doubling converges
-    # in O(log chain)). Rounds materialize to scratch parquet — the
-    # rep frame is batch-sized and narrow, and lineage-only iteration
-    # doubles the plan per round.
+    # in ceil(log2(chain)) rounds). Rounds materialize to scratch
+    # parquet — the rep frame is batch-sized and narrow, and
+    # lineage-only iteration doubles the plan per round. The fixpoint
+    # test ("this round changed 0 rows" — equivalent to "no dangling
+    # rep": a dangling rep's parent row would rewrite it) rides each
+    # round's write job as an Observation metric, so every round is
+    # exactly ONE driver round-trip; the old shape ran a separate
+    # dangling-census count() job per round on top of the write. The
+    # loop also carries the unconditional doubling bound ceil(log2(n))
+    # (chain length <= batch size n, observed for free on the round-0
+    # write) as a can't-happen backstop.
+    from math import ceil, log2
+
+    from pyspark.sql import Observation
+
     scratch = os.path.join(index_root, "_ingest_scratch")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch)
-    rep0.write.parquet(os.path.join(scratch, "r0"))
+    obs0 = Observation()
+    rep0.observe(obs0, F.count(F.lit(1)).alias("n")).write.parquet(
+        os.path.join(scratch, "r0")
+    )
     cur = spark.read.parquet(os.path.join(scratch, "r0"))
+    n_batch = int(obs0.get["n"])
+    max_rounds = max(1, ceil(log2(max(n_batch, 2))))
     r = 0
-    while True:
-        dropped = cur.where(F.col("rep_id") != F.col("doc_id"))
-        dangling = cur.join(
-            dropped.select(F.col("doc_id").alias("d")),
-            cur.rep_id == F.col("d"),
-            "left_semi",
-        ).count()
-        if dangling == 0:
-            break
+    while r < max_rounds:
         parent = cur.select(
             F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
         )
-        nxt = cur.join(parent, cur.rep_id == parent.p_doc, "left").select(
-            "doc_id", F.coalesce("p_rep", "rep_id").alias("rep_id")
+        nxt = (
+            cur.join(parent, cur.rep_id == parent.p_doc, "left")
+            .select(
+                "doc_id",
+                F.coalesce("p_rep", "rep_id").alias("rep_id"),
+                (F.coalesce("p_rep", "rep_id") != F.col("rep_id")).alias("_chg"),
+            )
         )
+        obs = Observation()
         r += 1
-        nxt.write.parquet(os.path.join(scratch, f"r{r}"))
+        nxt.observe(
+            obs, F.sum(F.col("_chg").cast("bigint")).alias("changed")
+        ).drop("_chg").write.parquet(os.path.join(scratch, f"r{r}"))
         cur = spark.read.parquet(os.path.join(scratch, f"r{r}"))
+        if int(obs.get["changed"] or 0) == 0:
+            break
     flags = cur.withColumn(
         "is_near_dup", F.col("rep_id") != F.col("doc_id")
     )
@@ -149,5 +180,15 @@ def ingest_batch(
     if commit:
         survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
         keep_bands = minhash_bands_for(new_docs).join(survivors, "doc_id")
-        merge_versioned(spark, index_root, keep_bands, INDEX_KEYS)
+        v = merge_versioned(spark, index_root, keep_bands, INDEX_KEYS)
+        # steady-state maintenance, in the ingest loop itself so a
+        # nightly pipeline gets it without a separate job: periodic
+        # bucket-preserving compaction bounds read fan-in (file count
+        # per bucket) regardless of how many batches have landed, and
+        # vacuum bounds disk growth to the retention window (hardlinked
+        # carry-forward files share inodes, so dropping an old version
+        # never touches a newer one's data)
+        if v % COMPACT_EVERY == 0:
+            compact_versioned_bucketed(spark, index_root)
+        vacuum_versions(index_root, keep=VACUUM_KEEP)
     return flags

@@ -87,6 +87,20 @@ def compact_parquet(
 VERSION_POINTER = "_VERSION"
 
 
+def _commit_pointer(root: str, v: int) -> None:
+    """Atomically swap the ``_VERSION`` pointer to ``v`` (fsync'd temp
+    file + ``os.replace`` — POSIX-atomic, so a concurrent reader sees
+    the old or the new version, never a torn pointer)."""
+    import os
+
+    tmp = os.path.join(root, VERSION_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(v))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, VERSION_POINTER))
+
+
 def current_version(root: str) -> int | None:
     """Version the table pointer currently names, or None if the table
     has never been committed."""
@@ -133,12 +147,7 @@ def write_versioned(df: DataFrame, root: str) -> int:
     os.makedirs(root, exist_ok=True)
     v = (current_version(root) or 0) + 1
     df.write.mode("overwrite").parquet(versioned_path(root, v))
-    tmp = os.path.join(root, VERSION_POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, VERSION_POINTER))
+    _commit_pointer(root, v)
     return v
 
 
@@ -326,13 +335,39 @@ def merge_versioned(
     # upgrades legacy tables in place) BEFORE the pointer swap, so a
     # reader never sees a committed version without its metadata
     _write_buckets(root, n_buckets)
-    tmp = os.path.join(root, VERSION_POINTER + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(v))
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, VERSION_POINTER))
+    _commit_pointer(root, v)
     return v
+
+
+def compact_versioned_bucketed(spark: SparkSession, root: str) -> tuple[int, int]:
+    """Small-files compaction for ``merge_versioned`` tables — the
+    steady-state maintenance a merge-append workload needs: every merge
+    rewrites its touched buckets as fresh shuffle-partition-count file
+    sets, so file fan-in per bucket grows with commit count until a
+    rewrite coalesces it. Unlike ``compact_versioned`` (plain tables),
+    this PRESERVES the ``_bkt=`` partition layout the merge path's
+    pruning and hardlink carry-forward depend on — compacting a merge
+    table with the plain variant would flatten the bucket directories
+    and the next merge would silently drop every untouched bucket.
+    One output file per bucket; committed as a new version via the
+    atomic pointer swap (readers on the old version are untouched).
+    Returns (files_before, files_after)."""
+    from pyspark.sql import functions as F
+
+    n_buckets = resolve_buckets(root, None)
+    df = read_versioned(spark, root)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    cur = current_version(root)
+    v = cur + 1
+    (
+        df.repartition(n_buckets, "_bkt")
+        .write.partitionBy("_bkt")
+        .parquet(versioned_path(root, v))
+    )
+    _commit_pointer(root, v)
+    after = spark.read.parquet(versioned_path(root, v))
+    files_after = after.select(F.input_file_name()).distinct().count()
+    return files_before, files_after
 
 
 def zorder_column(cols: list[str], bits: int = 8):

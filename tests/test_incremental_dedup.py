@@ -115,3 +115,73 @@ def test_reingesting_same_batch_is_all_dups(spark, sf_dir, tmp_path):
     # identical texts under fresh ids: every one collides with the
     # corpus copy
     assert again.where(~F.col("is_near_dup")).count() == 0
+
+
+def _synthetic_batch(spark, b: int):
+    # 30 docs per batch; the first 10 of every batch b>0 repeat batch
+    # 0's first 10 texts verbatim (guaranteed near-dups — identical
+    # token sets share every band), the rest are unique to (b, i)
+    rows = []
+    for i in range(30):
+        if i < 10:
+            text = " ".join(f"dup{i}_{j}" for j in range(30))
+        else:
+            text = " ".join(f"tok{b}_{i}_{j}" for j in range(30))
+        rows.append((b * 1000 + i, text))
+    return spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+
+def test_maintenance_bounds_fanin_and_versions(spark, tmp_path):
+    # 10 sequential ingest_batch calls: the wired-in steady-state
+    # maintenance (periodic bucket-preserving compaction + vacuum)
+    # must keep (a) on-disk version count inside the retention window,
+    # (b) current-version file fan-in bounded — NOT growing with the
+    # number of batches ingested — and (c) flag semantics identical.
+    import os
+    import re
+
+    from lambda_sample_spark.sources.warehouse import stored_buckets
+
+    root = str(tmp_path / "mhidx")
+    for b in range(10):
+        flags = inc.ingest_batch(spark, root, _synthetic_batch(spark, b))
+        got = {r.doc_id: r for r in flags.collect()}
+        assert len(got) == 30
+        if b > 0:
+            # the 10 planted repeats dedup against batch 0's kept docs
+            for i in range(10):
+                r = got[b * 1000 + i]
+                assert r.is_near_dup and r.rep_id == i, r
+            assert sum(1 for r in got.values() if not r.is_near_dup) == 20
+
+    versions = [
+        int(m.group(1))
+        for d in os.listdir(root)
+        if (m := re.fullmatch(r"v=(\d+)", d))
+    ]
+    # 10 merges + 1 compaction commit = 11 versions created; vacuum
+    # keeps only the retention window
+    assert max(versions) == 11
+    assert len(versions) <= inc.VACUUM_KEEP, sorted(versions)
+
+    cur_dir = os.path.join(root, f"v={max(versions)}")
+    n_files = sum(
+        1
+        for d in os.listdir(cur_dir)
+        if d.startswith("_bkt=")
+        for f in os.listdir(os.path.join(cur_dir, d))
+        if not f.startswith((".", "_"))
+    )
+    # bounded by buckets x shuffle-partition fan-in of the few merges
+    # since the last compaction — independent of total batch count
+    n_buckets = stored_buckets(root)
+    assert n_files <= 4 * n_buckets, (n_files, n_buckets)
+
+    # the index still holds exactly the kept docs' signatures
+    kept_ids = {
+        r.doc_id
+        for r in read_versioned(spark, root).select("doc_id").distinct().collect()
+    }
+    assert kept_ids == {0 * 1000 + i for i in range(30)} | {
+        b * 1000 + i for b in range(1, 10) for i in range(10, 30)
+    }
