@@ -47,6 +47,79 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
+def _ngram_sets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Level-1 set collapse for ngram_jaccard: the doc -> set_key
+    membership frame and the distinct-set ``groups`` table (rep doc,
+    sorted token array, size). Split out so the scale-stress test can
+    feed ``_ppjoin_candidates`` directly."""
+    toks = _distinct_tokens(docs)
+    sets = (
+        toks.groupBy("doc_id", "lang")
+        .agg(F.sort_array(F.collect_set("tok")).alias("tokset"))
+        .withColumn(
+            "set_key",
+            F.struct(
+                F.xxhash64("tokset").alias("h1"),
+                F.xxhash64(F.col("tokset"), F.lit(1)).alias("h2"),
+            ),
+        )
+    )
+    membership = sets.select("doc_id", "lang", "set_key")
+    groups = (
+        sets.groupBy("lang", "set_key")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.first("tokset").alias("tokset"),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("sz", F.size("tokset"))
+    )
+    return membership, groups
+
+
+def _ppjoin_candidates(
+    groups: DataFrame, t: float = JACCARD_THRESHOLD
+) -> DataFrame:
+    """PPJoin candidate set-pairs over distinct sets big enough to
+    qualify while differing by >= 2 tokens: both sides must reach
+    big_min_sz (derived from |A △ B| <= (1-t)/(1+t) * (|A|+|B|)).
+    Exposed so the scale-stress test can count candidates directly —
+    the prefix filter's promise is candidates ~ true-pair-bounded, not
+    corpus-quadratic."""
+    b_min = math.ceil(2.0 * (1.0 + t) / (1.0 - t) / (1.0 + t))
+    big_min_sz = math.ceil(t * b_min)
+    bigs = groups.where(F.col("sz") >= big_min_sz)
+    gtoks = bigs.select(
+        "lang", "set_key", "rep", "sz", F.explode("tokset").alias("tok")
+    )
+    dfreq = gtoks.groupBy("tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang", "set_key").orderBy("df", "tok")
+    prefix = (
+        gtoks.join(dfreq, "tok")  # no hint: vocabulary grows with corpus; AQE broadcasts while small
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
+        .select("lang", "set_key", "rep", "sz", "tok")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            # size compatibility: J >= t forces t*|A| <= |B| <= |A|/t
+            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
+            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
+        )
+        .select(
+            F.col("a.lang").alias("lang"),
+            F.col("a.set_key").alias("k1"),
+            F.col("b.set_key").alias("k2"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set Jaccard similarity >= 0.95 between same-language
     pairs — EXACT result via set-collapse + prefix filtering (PPJoin).
@@ -99,30 +172,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
-    toks = _distinct_tokens(docs)
-
-    # 1. doc -> (lang, set_key) membership + distinct-set table
-    sets = (
-        toks.groupBy("doc_id", "lang")
-        .agg(F.sort_array(F.collect_set("tok")).alias("tokset"))
-        .withColumn(
-            "set_key",
-            F.struct(
-                F.xxhash64("tokset").alias("h1"),
-                F.xxhash64(F.col("tokset"), F.lit(1)).alias("h2"),
-            ),
-        )
-    )
-    membership = sets.select("doc_id", "lang", "set_key")
-    groups = (
-        sets.groupBy("lang", "set_key")
-        .agg(
-            F.min("doc_id").alias("rep"),
-            F.first("tokset").alias("tokset"),
-            F.count("*").alias("n_docs"),
-        )
-        .withColumn("sz", F.size("tokset"))
-    )
+    membership, groups = _ngram_sets(docs)
 
     # 2. identical-set pairs are (k, k) set pairs with J = 1.0 — they
     # ride the same doc-pair expansion as the verified pairs below
@@ -179,40 +229,8 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 3b. PPJoin over distinct sets big enough to qualify while
-    # differing by >= 2 tokens: both sides must reach big_min_sz
-    # (derived from |A △ B| <= (1-t)/(1+t) * (|A|+|B|)).
-    b_min = math.ceil(2.0 * (1.0 + t) / (1.0 - t) / (1.0 + t))
-    big_min_sz = math.ceil(t * b_min)
-    bigs = groups.where(F.col("sz") >= big_min_sz)
-    gtoks = bigs.select(
-        "lang", "set_key", "rep", "sz", F.explode("tokset").alias("tok")
-    )
-    dfreq = gtoks.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("lang", "set_key").orderBy("df", "tok")
-    prefix = (
-        gtoks.join(dfreq, "tok")  # no hint: vocabulary grows with corpus; AQE broadcasts while small
-        .withColumn("rnk", F.row_number().over(w))
-        .where(F.col("rnk") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1)
-        .select("lang", "set_key", "rep", "sz", "tok")
-    )
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.rep") < F.col("b.rep"))
-            # size compatibility: J >= t forces t*|A| <= |B| <= |A|/t
-            & (F.col("b.sz") >= F.lit(t) * F.col("a.sz"))
-            & (F.col("a.sz") >= F.lit(t) * F.col("b.sz")),
-        )
-        .select(
-            F.col("a.lang").alias("lang"),
-            F.col("a.set_key").alias("k1"),
-            F.col("b.set_key").alias("k2"),
-        )
-        .distinct()
-    )
+    # differing by >= 2 tokens (see _ppjoin_candidates).
+    cand = _ppjoin_candidates(groups, t)
 
     # 4. exact verification on the deduped set table
     g1 = groups.select(
