@@ -122,26 +122,27 @@ def ingest_batch(
     # parquet — the rep frame is batch-sized and narrow, and
     # lineage-only iteration doubles the plan per round. The fixpoint
     # test ("this round changed 0 rows" — equivalent to "no dangling
-    # rep": a dangling rep's parent row would rewrite it) rides each
-    # round's write job as an Observation metric, so every round is
-    # exactly ONE driver round-trip; the old shape ran a separate
-    # dangling-census count() job per round on top of the write. The
-    # loop also carries the unconditional doubling bound ceil(log2(n))
-    # (chain length <= batch size n, observed for free on the round-0
-    # write) as a can't-happen backstop.
+    # rep": a dangling rep's parent row would rewrite it) is computed
+    # as a per-row _chg flag DURING each round's join and read back
+    # from the just-written parquet with an any-row probe
+    # (limit(1).count() — footer reads + early exit, pennies next to
+    # the old shape's full dangling-census semi-join + count() job per
+    # round). The unconditional doubling bound ceil(log2(n)) backstops
+    # the loop (chain length <= batch size n; the n count on the
+    # materialized round-0 parquet is metadata-only). NOTE: do NOT
+    # "optimize" the probe into a df.observe()/Observation metric —
+    # first use initializes the session's lazy ObservationManager
+    # (Spark 4.1), which is not serializable and breaks every later
+    # closure that captures the session (e.g. MLlib training
+    # summaries) with "Task not serializable".
     from math import ceil, log2
-
-    from pyspark.sql import Observation
 
     scratch = os.path.join(index_root, "_ingest_scratch")
     shutil.rmtree(scratch, ignore_errors=True)
     os.makedirs(scratch)
-    obs0 = Observation()
-    rep0.observe(obs0, F.count(F.lit(1)).alias("n")).write.parquet(
-        os.path.join(scratch, "r0")
-    )
+    rep0.write.parquet(os.path.join(scratch, "r0"))
     cur = spark.read.parquet(os.path.join(scratch, "r0"))
-    n_batch = int(obs0.get["n"])
+    n_batch = cur.count()  # metadata-only on freshly-written parquet
     max_rounds = max(1, ceil(log2(max(n_batch, 2))))
     r = 0
     while r < max_rounds:
@@ -156,13 +157,12 @@ def ingest_batch(
                 (F.coalesce("p_rep", "rep_id") != F.col("rep_id")).alias("_chg"),
             )
         )
-        obs = Observation()
         r += 1
-        nxt.observe(
-            obs, F.sum(F.col("_chg").cast("bigint")).alias("changed")
-        ).drop("_chg").write.parquet(os.path.join(scratch, f"r{r}"))
-        cur = spark.read.parquet(os.path.join(scratch, f"r{r}"))
-        if int(obs.get["changed"] or 0) == 0:
+        nxt.write.parquet(os.path.join(scratch, f"r{r}"))
+        written = spark.read.parquet(os.path.join(scratch, f"r{r}"))
+        changed = written.where(F.col("_chg")).limit(1).count()
+        cur = written.select("doc_id", "rep_id")
+        if changed == 0:
             break
     flags = cur.withColumn(
         "is_near_dup", F.col("rep_id") != F.col("doc_id")

@@ -39,7 +39,11 @@ BUDGET = {
     "q_cube_type_user": 1,
     "q_pivot_types": 2,
     "q_distinct_users": 2,
-    "q_approx_distinct_users": 1,
+    # raised 1 -> 2 in round 6: the query now also computes the exact
+    # count_distinct it validates its HLL sketch against (in-query 2%
+    # bound — that's what graduated it to hash-checked), and exact
+    # distinct plans the standard expand + two-stage aggregate
+    "q_approx_distinct_users": 2,
     "q_tpch_q1": 1,
     "q_tpch_q3": 1,
     "q_tpch_join_agg": 1,
