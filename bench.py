@@ -71,8 +71,10 @@ def main() -> None:
     spark = get_spark(app_name="lambda-sample-spark-bench")
     queries = entrymod.queries()
 
-    # warm the JVM + file-listing caches with the flagship once
-    force(queries["q_fast_anomaly"](spark, sf_dir))
+    # full warmup sweep (unmeasured): JIT/codegen compilation and
+    # file-listing caches land here instead of inflating sweep 1
+    for name in HEADLINE:
+        force(queries[name](spark, sf_dir))
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # Interleave: sweep the whole HEADLINE list once per repeat instead of
@@ -80,14 +82,20 @@ def main() -> None:
     # inflates at most one sweep's worth of samples per query, and min-of-N
     # rejects it; back-to-back repeats let a single stall poison all N
     # samples of one query (observed as phantom ±50% round-over-round moves
-    # on zero-source-change diffs).
+    # on zero-source-change diffs). Whole-PROCESS drift (every query
+    # uniformly slower in one invocation — CPU frequency, page cache) is
+    # not rejectable by any repeat scheme; sweep_totals/sweep_spread in the
+    # output expose it so cross-round comparisons can be read accordingly.
     runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    sweep_totals = []
     for _ in range(repeats):
+        t_sweep = time.perf_counter()
         for name in HEADLINE:
             fn = queries[name]
             t0 = time.perf_counter()
             force(fn(spark, sf_dir))
             runs[name].append(time.perf_counter() - t0)
+        sweep_totals.append(round(time.perf_counter() - t_sweep, 4))
     timings = {name: round(min(rs), 4) for name, rs in runs.items()}
     timings_max = {name: round(max(rs), 4) for name, rs in runs.items()}
 
@@ -101,6 +109,11 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "total_sec": round(sum(timings.values()), 4),
+        # host-noise indicator: spread of whole-sweep wall times within
+        # this invocation (cross-invocation drift of ~1.3x has been
+        # observed on this box with zero source change)
+        "sweep_totals": sweep_totals,
+        "sweep_spread": round(max(sweep_totals) / max(min(sweep_totals), 1e-9), 3),
     }
     print(json.dumps(out))
     spark.stop()
