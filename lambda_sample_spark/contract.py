@@ -55,6 +55,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         for name, fn in m.QUERIES.items():
             assert name not in out, f"duplicate contract query {name}"
             out[name] = fn
+    # tail registrations: queries promoted after the original 50-entry
+    # contract froze — appended last so the driver's first-50 window
+    # keeps checking the original contract unchanged
+    for m in _MODULES:
+        for name, fn in getattr(m, "QUERIES_TAIL", {}).items():
+            assert name not in out, f"duplicate contract query {name}"
+            out[name] = fn
     return out
 
 

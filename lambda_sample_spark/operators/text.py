@@ -147,6 +147,12 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINNOW_K = 5  # k-gram length
 WINNOW_W = 4  # winnowing window (w consecutive k-gram hashes)
+# (hash, pos) packed into one BIGINT for the cross-engine window-min:
+# h (32-bit md5 word) * 2^20 + pos — identical lexicographic order to
+# struct(h, pos) while replayable as plain integer arithmetic in
+# DuckDB. Caps docs at 2^20 grams (1M chars) — far above the corpus;
+# the 100 TB path would widen the pack or shard long docs.
+_WINNOW_POS_BITS = 20
 
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
@@ -169,11 +175,16 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     whole-doc window for docs shorter than w grams); the distinct
     minima are the sketch.
 
-    Pure DataFrame: k-grams via substring transform (no Python),
-    hashes via xxhash64, per-window minima via one rows-frame over pos
-    — one shuffle keyed by doc_id. Output (doc_id, fp) rows: the
-    sketch used for containment / near-dup detection by overlap.
+    Pure DataFrame: k-grams via substring transform (no Python), gram
+    hash = first md5 word (the dedup.py oracle idiom — both engines
+    compute the identical digest, so the whole sketch value-checks
+    against DuckDB; see q_winnowing), per-window minima via one
+    rows-frame over pos — one shuffle keyed by doc_id. Output
+    (doc_id, fp) rows: the sketch used for containment / near-dup
+    detection by overlap.
     """
+    from .dedup import _hex_word_spark
+
     grams = docs.select(
         "doc_id",
         F.posexplode(
@@ -183,19 +194,25 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "gram"),
     )
-    hashed = grams.withColumn("h", F.xxhash64("gram"))
+    hashed = grams.withColumn(
+        "h", F.expr(_hex_word_spark("md5(gram)", 1))
+    )
     fwd = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
+    packed = F.col("h") * F.lit(1 << _WINNOW_POS_BITS) + F.col("pos")
     return (
-        hashed.withColumn("wmin", F.min(F.struct("h", "pos")).over(fwd))
+        hashed.withColumn("wmin", F.min(packed).over(fwd))
         .withColumn("wcnt", F.count("*").over(fwd))
         # full windows only; pos == 0 (posexplode is 0-based) keeps the
         # whole-doc window when the doc has fewer than w grams
         .where((F.col("wcnt") == WINNOW_W) | (F.col("pos") == 0))
-        .select("doc_id", F.col("wmin.h").alias("fp"))
+        .select(
+            "doc_id",
+            F.expr(f"wmin div {1 << _WINNOW_POS_BITS}").alias("fp"),
+        )
         .distinct()
     )
 
@@ -287,7 +304,73 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract: winnowing document fingerprints over the corpus —
+    value-checked (md5-word gram hashes + packed integer window-min
+    replay identically in DuckDB)."""
+    return winnow_fingerprints(documents(spark, sf_dir))
+
+
+def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract: top-1000 corpus vocabulary with dense deterministic
+    ids ((count desc, token) order) — the tokenizer build step of the
+    training pipeline (operators/training.py build_vocab),
+    value-checked end-to-end."""
+    from .training import build_vocab
+
+    return build_vocab(documents(spark, sf_dir)).select(
+        F.col("token_id").cast("bigint").alias("token_id"),
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+def _winnowing_oracle() -> str:
+    """DuckDB transcription of winnow_fingerprints: identical k-gram
+    extraction (1-based substr with tail clamp), identical md5-word
+    hash, identical packed (h, pos) forward-window minimum."""
+    from .dedup import _hex_word_duck
+
+    pack = 1 << _WINNOW_POS_BITS
+    return rf"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1))) AS i
+  FROM documents
+), hashed AS (
+  SELECT doc_id, i - 1 AS pos,
+         {_hex_word_duck(f"md5(substr(text, i, {WINNOW_K}))", 1)} AS h
+  FROM g
+), win AS (
+  SELECT doc_id, pos,
+         min(h * {pack} + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wcnt
+  FROM hashed
+)
+SELECT DISTINCT doc_id, wmin // {pack} AS fp
+FROM win WHERE wcnt = {WINNOW_W} OR pos = 0
+"""
+
+
 ORACLE = {
+    "q_winnowing": _winnowing_oracle(),
+    "q_vocab_topn": r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), ranked AS (
+  SELECT token, cnt,
+         row_number() OVER (ORDER BY cnt DESC, token) - 1 AS token_id
+  FROM counts
+)
+SELECT token_id, token, cnt FROM ranked WHERE token_id < 1000
+""",
     "q_text_stats": r"""
 WITH per_doc AS (
   SELECT lang, n_chars,
@@ -365,4 +448,13 @@ QUERIES = {
     "q_token_count": token_count,
     "q_doc_profile": doc_profile,
     "q_lang_id": lang_id,
+}
+
+# round-6 promotions, registered AFTER every module's QUERIES (see
+# contract.py): the driver's correctness harness checks the first 50
+# registered queries, and the original 50-entry contract must keep its
+# registration order — new entries append at the tail
+QUERIES_TAIL = {
+    "q_winnowing": q_winnowing,
+    "q_vocab_topn": q_vocab_topn,
 }

@@ -67,6 +67,11 @@ BUDGET = {
     "q_embed_near_dup": 2,
     "q_ann_lsh_topk": 2,
     "q_multimodal_features": 1,
+    # round 6 promotions: winnowing = one doc_id window + map-side
+    # distinct partial; vocab = one token aggregate (the global top-k
+    # window runs post-limit on <= 1000 rows)
+    "q_winnowing": 1,
+    "q_vocab_topn": 1,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,

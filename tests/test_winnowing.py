@@ -50,10 +50,15 @@ def test_sketch_density(spark):
 
 def test_matches_reference_winnowing_exactly(spark):
     # Schleimer et al. winnowing = union of every w-window's minimum.
-    # Recompute that set in plain Python from the same xxhash64 values
-    # and require exact agreement (catches trailing-window-only
-    # variants, which break the >=1-fingerprint-per-window guarantee —
-    # the round-3 advice finding).
+    # Recompute that set in plain Python from the same md5-word hashes
+    # (hashlib — independent of the Spark expression) and require
+    # exact agreement (catches trailing-window-only variants, which
+    # break the >=1-fingerprint-per-window guarantee — the round-3
+    # advice finding). Ties on h within a window resolve to the
+    # leftmost pos in the operator; the fingerprint (h alone) is
+    # unaffected, so plain min(h) is the correct reference.
+    import hashlib
+
     from lambda_sample_spark.operators.text import WINNOW_K
 
     for text in [BASE, "tiny", BASE[:WINNOW_K + WINNOW_W - 2]]:
@@ -61,13 +66,9 @@ def test_matches_reference_winnowing_exactly(spark):
             text[i : i + WINNOW_K]
             for i in range(max(len(text) - WINNOW_K + 1, 1))
         ]
-        hdict = {
-            r.gram: r.h
-            for r in spark.createDataFrame([(g,) for g in set(grams)], "gram STRING")
-            .select("gram", F.xxhash64("gram").alias("h"))
-            .collect()
-        }
-        hs = [hdict[g] for g in grams]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
         if len(hs) < WINNOW_W:
             expected = {min(hs)}
         else:
