@@ -55,6 +55,8 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_text_stats",
     "q_json_codec",
+    "q_winnowing",
+    "q_vocab_topn",
 ]
 
 

@@ -495,6 +495,68 @@ def ivf_topk(
     )
 
 
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int | None = None,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    fat_block_limit: int = FAT_BLOCK_LIMIT,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column — the SemDeDup
+    recipe (Abbas et al., 2023: cluster the embeddings, prune
+    near-identical pairs WITHIN each cluster) composed from this
+    module's existing scale paths:
+
+      1. spherical k-means coarse clustering (``ivf_index``; k ~
+         sqrt(N) capped, so the centroid table stays broadcastable and
+         expected cluster size ~ sqrt(N)),
+      2. within-cluster cosine pairing via ``near_dup_pairs`` with the
+         cluster id as the blocking label — small clusters take the
+         exact all-pairs path, clusters past ``fat_block_limit`` are
+         routed through LSH co-bucketing (candidates bounded by bucket
+         occupancy, never cluster_size^2 — the same guard the label
+         blocks use),
+      3. greedy representative election: a vector is a duplicate iff
+         it pairs with a LOWER vec_id (deterministic; chains collapse
+         to the per-neighborhood minimum, the standard keep-one-per-
+         epsilon-ball greedy).
+
+    Returns one row per vector: (vec_id, cluster, is_semantic_dup).
+    Cross-cluster near-dups are missed by design — that recall/cost
+    trade-off is the paper's premise (true near-duplicates co-cluster
+    almost surely; the clustering is what makes the pairing linear).
+    No SQL oracle: k-means centroids have no DuckDB twin (rows-only
+    contract row, like the MLlib forest queries)."""
+    centroids, assigned = ivf_index(
+        emb, k if k is not None else max(4, min(int(emb.count() ** 0.5), IVF_MAX_CELLS))
+    )
+    labeled = assigned.select(
+        "vec_id", F.col("cluster").alias("label"), "vec"
+    )
+    pairs = near_dup_pairs(labeled, threshold, fat_block_limit)
+    # v1 < v2 by construction: every v2 has a lower near-dup — drop it
+    dupes = pairs.select(F.col("v2").alias("vec_id")).distinct()
+    return (
+        assigned.select("vec_id", "cluster")
+        .join(dupes.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce("_dup", F.lit(False)).alias("is_semantic_dup"),
+        )
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (rows-only): semantic dedup over the embeddings table."""
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    return semantic_dedup(emb)
+
+
 def _cos_sql(a: str, b: str) -> str:
     """Cosine in portable SQL mirroring the Spark fold exactly:
     sequential sum over index order, double precision."""
@@ -615,4 +677,9 @@ QUERIES = {
     "q_similarity_topk": similarity_topk,
     "q_embed_near_dup": embed_near_dup,
     "q_ann_lsh_topk": ann_lsh_topk,
+}
+
+# registered after the frozen 50-entry contract (see contract.py)
+QUERIES_TAIL = {
+    "q_semantic_dedup": q_semantic_dedup,  # rows-only: k-means inside
 }

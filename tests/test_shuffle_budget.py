@@ -72,6 +72,8 @@ BUDGET = {
     # window runs post-limit on <= 1000 rows)
     "q_winnowing": 1,
     "q_vocab_topn": 1,
+    # kmeans assignment reuse + per-cluster pair window + dup-flag join
+    "q_semantic_dedup": 4,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,

@@ -251,3 +251,29 @@ def test_ann_search_external_queries(spark, sf_dir):
     # a near-copy query must find its source vector at rank 1
     top1 = {q: min(v)[1] for q, v in by_q.items()}
     assert top1[1000100] == 100 and top1[1000101] == 101
+
+
+def test_semantic_dedup_flags_planted_copies(spark, sf_dir):
+    # SemDeDup composition: cluster -> within-cluster cosine pairs ->
+    # greedy keep-lowest-id. Planted near-copies (cos ~ 1 vs their
+    # original) must co-cluster and flag; originals (mutually
+    # near-orthogonal random unit vectors — cos >= 0.9 is ~7 sigma)
+    # must all survive.
+    from lambda_sample_spark.operators.similarity import semantic_dedup
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    near = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000).withColumn(
+        "vec", F.transform("vec", lambda x, i: x * 1.001 + 0.0005)
+    )
+    out = semantic_dedup(emb.unionByName(near)).collect()
+    n_base = emb.count()
+    assert len(out) == 2 * n_base  # one row per vector
+    orig = [r for r in out if r.vec_id < 1_000_000]
+    copies = [r for r in out if r.vec_id >= 1_000_000]
+    assert not any(r.is_semantic_dup for r in orig), "original flagged"
+    flagged = sum(1 for r in copies if r.is_semantic_dup)
+    # co-clustering of cos~1 pairs is near-certain but k-means gives no
+    # hard guarantee; measured 500/500 on this corpus
+    assert flagged >= 0.9 * n_base, (flagged, n_base)
