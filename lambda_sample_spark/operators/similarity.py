@@ -7,7 +7,10 @@
     threshold (label plays the blocking-key role).
   - ANN via random-hyperplane LSH: the 100 TB path — deterministic
     hyperplanes bucket vectors; search touches only the query's bucket.
-    Recall/latency trades off via n_planes (rows-only contract).
+    Recall/latency trades off via n_planes (value-oracle-checked: the
+    counter-based planes replay in DuckDB).
+  - semantic dedup (SemDeDup): k-means clusters + within-cluster
+    cosine pruning, composed from ivf_index + near_dup_pairs.
 
 All cosine math uses functions/vectors.py (JVM higher-order fns).
 """
