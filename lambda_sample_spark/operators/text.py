@@ -175,45 +175,45 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     whole-doc window for docs shorter than w grams); the distinct
     minima are the sketch.
 
-    Pure DataFrame: k-grams via substring transform (no Python), gram
-    hash = first md5 word (the dedup.py oracle idiom — both engines
-    compute the identical digest, so the whole sketch value-checks
-    against DuckDB; see q_winnowing), per-window minima via one
-    rows-frame over pos — one shuffle keyed by doc_id. Output
+    Pure DataFrame, entirely in the ARRAY domain — zero shuffles: the
+    per-doc gram/hash/window pipeline is one projection (k-grams via
+    substring transform, gram hash = first md5 word — the dedup.py
+    oracle idiom, so the whole sketch value-checks against DuckDB; see
+    q_winnowing — then every w-window's minimum via
+    transform(starts, s -> array_min(slice(packed, s, w))), O(n*w)
+    arithmetic per doc), and only the ~2n/(w+1)-sized
+    deduped sketch explodes into rows. The earlier formulation
+    exploded every gram into a row and ran a doc_id window — one
+    full-corpus shuffle this version doesn't have. Output
     (doc_id, fp) rows: the sketch used for containment / near-dup
     detection by overlap.
     """
     from .dedup import _hex_word_spark
 
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {WINNOW_K - 1}, 1)),"
-                f" i -> substring(text, i, {WINNOW_K}))"
-            )
-        ).alias("pos", "gram"),
+    k, w, pack = WINNOW_K, WINNOW_W, 1 << _WINNOW_POS_BITS
+    # packed_j = h_j * 2^POS_BITS + (j-1): min over a window orders by
+    # (h, pos) with the leftmost-on-tie pick, replayed identically by
+    # the oracle's integer arithmetic
+    packed = (
+        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), i -> "
+        f"{_hex_word_spark(f'md5(substring(text, i, {k}))', 1)} * {pack} + i - 1)"
     )
-    hashed = grams.withColumn(
-        "h", F.expr(_hex_word_spark("md5(gram)", 1))
+    # one start per FULL window (plus the whole-doc window for docs
+    # shorter than w grams: slice clamps at the array end)
+    mins = (
+        f"transform(sequence(1, greatest(size(_packed) - {w - 1}, 1)), s -> "
+        f"array_min(slice(_packed, s, {w})))"
     )
-    fwd = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, WINNOW_W - 1)
-    )
-    packed = F.col("h") * F.lit(1 << _WINNOW_POS_BITS) + F.col("pos")
     return (
-        hashed.withColumn("wmin", F.min(packed).over(fwd))
-        .withColumn("wcnt", F.count("*").over(fwd))
-        # full windows only; pos == 0 (posexplode is 0-based) keeps the
-        # whole-doc window when the doc has fewer than w grams
-        .where((F.col("wcnt") == WINNOW_W) | (F.col("pos") == 0))
+        docs.select("doc_id", F.expr(packed).alias("_packed"))
         .select(
             "doc_id",
-            F.expr(f"wmin div {1 << _WINNOW_POS_BITS}").alias("fp"),
+            F.explode(
+                F.array_distinct(
+                    F.expr(f"transform({mins}, m -> m div {pack})")
+                )
+            ).alias("fp"),
         )
-        .distinct()
     )
 
 

@@ -67,10 +67,12 @@ BUDGET = {
     "q_embed_near_dup": 2,
     "q_ann_lsh_topk": 2,
     "q_multimodal_features": 1,
-    # round 6 promotions: winnowing = one doc_id window + map-side
-    # distinct partial; vocab = one token aggregate (the global top-k
-    # window runs post-limit on <= 1000 rows)
-    "q_winnowing": 1,
+    # round 6 promotions: winnowing is fully array-domain (per-doc
+    # sliding-window minima via transform/slice/array_min — no explode
+    # of raw grams, no doc_id window, ZERO shuffles); vocab = one token
+    # aggregate (the global top-k window runs post-limit on <= 1000
+    # rows)
+    "q_winnowing": 0,
     "q_vocab_topn": 1,
     # kmeans assignment reuse + per-cluster pair window + dup-flag join
     "q_semantic_dedup": 4,
