@@ -84,3 +84,47 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
     nonzero = long.where(F.col("n") > 0)
     assert nonzero.exceptAll(direct).count() == 0
     assert direct.exceptAll(nonzero).count() == 0
+
+
+def test_hll_sketch_rollup_merges_consistently(spark, sf_dir):
+    # COUNT(DISTINCT) is not algebraic: daily distincts don't add to
+    # monthly. The sketch rollup must (a) estimate each level within
+    # HLL error of the exact count computed from raw, and (b) beat the
+    # naive sum-of-daily-counts by construction wherever users repeat
+    # across days.
+    from lambda_sample_spark.operators.common import events
+    from lambda_sample_spark.operators.multidim import hll_sketch_rollup
+
+    ev = events(spark, sf_dir)
+    levels = hll_sketch_rollup(ev)
+
+    exact_day = {
+        (r.day, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in levels["day"].collect():
+        n = exact_day[(r.day, r.event_type)]
+        assert abs(r.n_users - n) <= max(0.05 * n, 1), (r, n)
+
+    exact_month = {
+        (r.month, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_trunc("month", "ts").alias("month"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    naive = {}
+    for (d, et), n in exact_day.items():
+        naive[et] = naive.get(et, 0) + n
+    for r in levels["month"].collect():
+        n = exact_month[(r.month, r.event_type)]
+        assert abs(r.n_users - n) <= max(0.05 * n, 1), (r, n)
+        # the merged estimate must not degenerate to the naive sum
+        # (users repeat across days in this corpus: sum >> true)
+        assert naive[r.event_type] > 2 * n  # corpus property
+        assert r.n_users < 0.5 * naive[r.event_type]
