@@ -293,7 +293,15 @@ def merge_versioned(
     if cur is None:
         os.makedirs(root, exist_ok=True)
         v = 1
-        updates.write.partitionBy("_bkt").parquet(versioned_path(root, v))
+        # mode('overwrite') everywhere a version dir is written: a crash
+        # between the data write and the pointer swap leaves an orphan
+        # v=<n+1> dir, and the retry recomputes the SAME version number —
+        # errorifexists would wedge the table permanently
+        (
+            updates.write.mode("overwrite")
+            .partitionBy("_bkt")
+            .parquet(versioned_path(root, v))
+        )
     else:
         # one aggregate action yields the touched-bucket set AND the
         # update size: the collect is bounded by n_buckets rows (the
@@ -315,7 +323,11 @@ def merge_versioned(
         merged = kept.unionByName(updates)
         v = cur + 1
         new_dir = versioned_path(root, v)
-        merged.write.partitionBy("_bkt").parquet(new_dir)
+        # overwrite (static partition-overwrite truncates the whole dir)
+        # clears any orphan left by a crash before the pointer swap, so
+        # a retried merge cannot fail on 'path already exists' — and the
+        # hardlink carry-forward below re-links into the fresh dir
+        merged.write.mode("overwrite").partitionBy("_bkt").parquet(new_dir)
         # carry untouched buckets forward by reference (hardlink)
         old_dir = versioned_path(root, cur)
         for d in os.listdir(old_dir):
@@ -360,8 +372,12 @@ def compact_versioned_bucketed(spark: SparkSession, root: str) -> tuple[int, int
     cur = current_version(root)
     v = cur + 1
     (
+        # overwrite: heal an orphan v=<n+1> dir from a compaction that
+        # crashed before its pointer swap (same retry contract as
+        # write_versioned / merge_versioned)
         df.repartition(n_buckets, "_bkt")
-        .write.partitionBy("_bkt")
+        .write.mode("overwrite")
+        .partitionBy("_bkt")
         .parquet(versioned_path(root, v))
     )
     _commit_pointer(root, v)

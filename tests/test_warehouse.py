@@ -213,3 +213,47 @@ def test_merge_versioned_rewrites_only_touched_buckets(spark, tmp_path):
     # removing the old version leaves the new one fully readable
     assert vacuum_versions(root, keep=1) == [1]
     assert len(read_versioned(spark, root).collect()) == 103
+
+
+def test_crashed_commit_is_healed_on_retry(spark, tmp_path):
+    """A writer that crashes AFTER writing v=<n+1> but BEFORE the
+    pointer swap leaves an orphan version directory; the retry computes
+    the same version number, so every version-dir writer must use
+    overwrite mode or the table wedges on 'path already exists'.
+    Simulate the orphan for merge_versioned and
+    compact_versioned_bucketed and check both retry clean."""
+    import os
+    import shutil
+
+    from lambda_sample_spark.sources.warehouse import (
+        compact_versioned_bucketed,
+        current_version,
+        merge_versioned,
+        read_versioned,
+        versioned_path,
+    )
+
+    root = str(tmp_path / "crashy")
+    base = spark.createDataFrame(
+        [(k, 1.0) for k in range(50)], "k BIGINT, val DOUBLE"
+    )
+    assert merge_versioned(spark, root, base, keys=["k"]) == 1
+
+    # fake a crashed merge: v=2 exists (stale partial data) but the
+    # pointer still names v=1
+    orphan = versioned_path(root, 2)
+    shutil.copytree(versioned_path(root, 1), orphan)
+    assert current_version(root) == 1 and os.path.isdir(orphan)
+
+    ups = spark.createDataFrame([(3, 2.0), (999, 9.0)], "k BIGINT, val DOUBLE")
+    assert merge_versioned(spark, root, ups, keys=["k"]) == 2
+    got = {r.k: r.val for r in read_versioned(spark, root).collect()}
+    assert got[3] == 2.0 and got[999] == 9.0 and len(got) == 51
+
+    # fake a crashed compaction the same way, then retry it
+    orphan3 = versioned_path(root, 3)
+    shutil.copytree(versioned_path(root, 2), orphan3)
+    assert current_version(root) == 2
+    compact_versioned_bucketed(spark, root)
+    assert current_version(root) == 3
+    assert {r.k: r.val for r in read_versioned(spark, root).collect()} == got
