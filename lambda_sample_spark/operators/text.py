@@ -155,7 +155,14 @@ WINNOW_W = 4  # winnowing window (w consecutive k-gram hashes)
 _WINNOW_POS_BITS = 20
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+# production gram hash: xxhash64 masked to 43 bits so packed = h*2^20+pos
+# tops out at exactly 2^63-1 (signed BIGINT max). ~10x cheaper than md5
+# on the dominant per-gram cost; md5 remains for the oracle-checked
+# contract row (DuckDB computes the identical digest).
+_XXH_MASK_BITS = 63 - _WINNOW_POS_BITS
+
+
+def winnow_fingerprints(docs: DataFrame, gram_hash: str = "xxhash64") -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing (Schleimer,
     Wilkerson, Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
     character k-gram, then keep each w-window's minimum hash. Two
@@ -177,9 +184,7 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
     Pure DataFrame, entirely in the ARRAY domain — zero shuffles: the
     per-doc gram/hash/window pipeline is one projection (k-grams via
-    substring transform, gram hash = first md5 word — the dedup.py
-    oracle idiom, so the whole sketch value-checks against DuckDB; see
-    q_winnowing — then every w-window's minimum via
+    substring transform, then every w-window's minimum via
     transform(starts, s -> array_min(slice(packed, s, w))), O(n*w)
     arithmetic per doc), and only the ~2n/(w+1)-sized
     deduped sketch explodes into rows. The earlier formulation
@@ -187,17 +192,41 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     full-corpus shuffle this version doesn't have. Output
     (doc_id, fp) rows: the sketch used for containment / near-dup
     detection by overlap.
+
+    ``gram_hash`` picks the per-gram hash: ``"xxhash64"`` (default,
+    production — one JVM hash per gram, masked to 43 bits so the pack
+    stays in signed-BIGINT range) or ``"md5"`` (first md5 word, the
+    dedup.py oracle idiom — ~10x dearer but byte-identical in DuckDB,
+    used by the oracle-checked contract rows). Both satisfy the
+    winnowing locality/density guarantees (property-tested in
+    tests/test_winnowing.py): the guarantee depends only on the window
+    minimum, not on which uniform hash supplies the values.
     """
     from .dedup import _hex_word_spark
 
+    if gram_hash not in ("xxhash64", "md5"):
+        raise ValueError(f"gram_hash must be 'xxhash64' or 'md5', got {gram_hash!r}")
     k, w, pack = WINNOW_K, WINNOW_W, 1 << _WINNOW_POS_BITS
+    if gram_hash == "md5":
+        h = _hex_word_spark(f"md5(substring(text, i, {k}))", 1)
+    else:
+        h = f"(xxhash64(substring(text, i, {k})) & {(1 << _XXH_MASK_BITS) - 1})"
+    # the (h, pos) pack caps docs at 2^POS_BITS k-grams; beyond that pos
+    # would spill into hash bits and silently corrupt the lexicographic
+    # order, so overlong docs must fail LOUDLY. assert_true is spliced
+    # into the consumed sequence bound (+ coalesce(null, 0)) so Catalyst
+    # cannot prune it; at 100 TB, shard long docs or widen the pack.
+    n_grams = f"greatest(length(text) - {k - 1}, 1)"
+    guarded_n = (
+        f"({n_grams} + coalesce(CAST(assert_true({n_grams} < {pack}, "
+        f"'winnowing: document exceeds 2^{_WINNOW_POS_BITS} k-grams; "
+        f"the (hash, pos) pack would overflow — shard the document or "
+        f"widen _WINNOW_POS_BITS') AS INT), 0))"
+    )
     # packed_j = h_j * 2^POS_BITS + (j-1): min over a window orders by
     # (h, pos) with the leftmost-on-tie pick, replayed identically by
     # the oracle's integer arithmetic
-    packed = (
-        f"transform(sequence(1, greatest(length(text) - {k - 1}, 1)), i -> "
-        f"{_hex_word_spark(f'md5(substring(text, i, {k}))', 1)} * {pack} + i - 1)"
-    )
+    packed = f"transform(sequence(1, {guarded_n}), i -> {h} * {pack} + i - 1)"
     # one start per FULL window (plus the whole-doc window for docs
     # shorter than w grams: slice clamps at the array end)
     mins = (
@@ -218,7 +247,10 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def winnow_near_dup(
-    docs: DataFrame, min_shared: int = 5, min_overlap: float = 0.5
+    docs: DataFrame,
+    min_shared: int = 5,
+    min_overlap: float = 0.5,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Containment near-dup via winnowing sketches: pairs sharing at
     least ``min_shared`` fingerprints AND whose shared count covers at
@@ -232,7 +264,7 @@ def winnow_near_dup(
     construction — no hot-key blowup like raw-token joins); pair
     output is bounded by real sketch overlap. One sketch pass, one
     equi-join, one count aggregate."""
-    fps = winnow_fingerprints(docs)
+    fps = winnow_fingerprints(docs, gram_hash=gram_hash)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("sk_sz"))
     a = fps.select(F.col("doc_id").alias("d1"), "fp")
     b = fps.select(F.col("doc_id").alias("d2"), "fp")
@@ -307,8 +339,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract: winnowing document fingerprints over the corpus —
     value-checked (md5-word gram hashes + packed integer window-min
-    replay identically in DuckDB)."""
-    return winnow_fingerprints(documents(spark, sf_dir))
+    replay identically in DuckDB). Production callers take the default
+    xxhash64 path instead (same algorithm, ~10x cheaper gram hash)."""
+    return winnow_fingerprints(documents(spark, sf_dir), gram_hash="md5")
 
 
 def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,7 +1,13 @@
 """Winnowing fingerprint properties (text.py winnow_fingerprints):
-determinism, locality under local edits, and sketch density."""
+determinism, locality under local edits, and sketch density — for BOTH
+gram hashes (xxhash64 production default, md5 oracle contract path);
+the guarantees depend only on the window minimum, not on which uniform
+hash supplies the values. Plus the loud-failure guard for docs whose
+k-gram count would overflow the (hash, pos) pack."""
 
 from __future__ import annotations
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -15,37 +21,55 @@ BASE = (
     "watches from the warm windowsill in the afternoon sun light"
 )
 
+HASHES = ["xxhash64", "md5"]
 
-def _fps(spark, rows):
+
+def _fps(spark, rows, gram_hash="xxhash64"):
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
-    out = winnow_fingerprints(df).collect()
+    out = winnow_fingerprints(df, gram_hash=gram_hash).collect()
     by_doc: dict[int, set] = {}
     for r in out:
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
     return by_doc
 
-def test_identical_docs_identical_fingerprints(spark):
-    fps = _fps(spark, [(1, BASE), (2, BASE)])
+
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_identical_docs_identical_fingerprints(spark, gram_hash):
+    fps = _fps(spark, [(1, BASE), (2, BASE)], gram_hash)
     assert fps[1] == fps[2]
     assert len(fps[1]) > 0
 
 
-def test_local_edit_preserves_most_fingerprints(spark):
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_local_edit_preserves_most_fingerprints(spark, gram_hash):
     # winnowing's locality guarantee: an edit only perturbs
     # fingerprints whose k-grams overlap the edited span
     edited = BASE.replace("lazy dog", "bored dog")
-    fps = _fps(spark, [(1, BASE), (2, edited)])
+    fps = _fps(spark, [(1, BASE), (2, edited)], gram_hash)
     overlap = len(fps[1] & fps[2]) / len(fps[1] | fps[2])
     assert overlap >= 0.6, overlap
 
 
-def test_sketch_density(spark):
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_sketch_density(spark, gram_hash):
     # expected density 2/(w+1); allow generous slack both ways
-    fps = _fps(spark, [(1, BASE)])
+    fps = _fps(spark, [(1, BASE)], gram_hash)
     n_grams = len(BASE) - 4
     density = len(fps[1]) / n_grams
     assert density <= 4.0 / (WINNOW_W + 1)
     assert density >= 0.5 / (WINNOW_W + 1)
+
+
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_shared_passage_guarantees_shared_fingerprint(spark, gram_hash):
+    # THE winnowing guarantee (Schleimer et al. thm 1): any shared
+    # substring of length >= w + k - 1 yields >= 1 shared fingerprint,
+    # whatever hash function supplies the gram values
+    passage = "zqvxkjwpfmg bhtrydncsl"  # >= w + k - 1 chars
+    a = "leading filler text before " + passage + " and one tail"
+    b = passage + " with a totally different continuation afterwards"
+    fps = _fps(spark, [(1, a), (2, b)], gram_hash)
+    assert fps[1] & fps[2], gram_hash
 
 
 def test_matches_reference_winnowing_exactly(spark):
@@ -75,16 +99,31 @@ def test_matches_reference_winnowing_exactly(spark):
             expected = {
                 min(hs[i : i + WINNOW_W]) for i in range(len(hs) - WINNOW_W + 1)
             }
-        fps = _fps(spark, [(1, text)])
+        fps = _fps(spark, [(1, text)], gram_hash="md5")
         assert fps[1] == expected, (text[:20], fps[1], expected)
 
 
-def test_disjoint_docs_share_nothing(spark):
-    fps = _fps(spark, [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")])
+def test_hash_variants_agree_on_selected_positions_shape(spark):
+    # the two hashes pick different minima, but both must produce a
+    # non-empty sketch over the same docs with comparable density
+    fx = _fps(spark, [(1, BASE)], "xxhash64")
+    fm = _fps(spark, [(1, BASE)], "md5")
+    assert fx[1] and fm[1]
+    assert abs(len(fx[1]) - len(fm[1])) <= max(len(fx[1]), len(fm[1])) // 2 + 2
+
+
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_disjoint_docs_share_nothing(spark, gram_hash):
+    fps = _fps(
+        spark,
+        [(1, "abcdefghijklmnopqrstuvwxyz"), (2, "0123456789012345678901234")],
+        gram_hash,
+    )
     assert not (fps[1] & fps[2])
 
 
-def test_containment_detects_shared_passage(spark):
+@pytest.mark.parametrize("gram_hash", HASHES)
+def test_containment_detects_shared_passage(spark, gram_hash):
     from lambda_sample_spark.operators.text import winnow_near_dup
 
     passage = (
@@ -97,9 +136,45 @@ def test_containment_detects_shared_passage(spark):
     docs = spark.createDataFrame(
         [(1, a), (2, b), (3, c)], "doc_id BIGINT, text STRING"
     )
-    pairs = winnow_near_dup(docs, min_shared=3, min_overlap=0.3).collect()
+    pairs = winnow_near_dup(
+        docs, min_shared=3, min_overlap=0.3, gram_hash=gram_hash
+    ).collect()
     found = {(r.d1, r.d2) for r in pairs}
     assert (1, 2) in found          # the shared passage is detected
     assert all(3 not in p for p in found)  # the unrelated doc never pairs
     row = next(r for r in pairs if (r.d1, r.d2) == (1, 2))
     assert row.containment >= 0.3 and row.n_shared >= 3
+
+
+def test_overlong_doc_fails_loudly(spark):
+    # a doc with >= 2^20 k-grams would spill pos into hash bits and
+    # silently corrupt the window-min order; the guard must raise
+    # instead of fingerprinting incorrectly. The raise is cheap: the
+    # assert sits in the sequence BOUND, evaluated before any gram is
+    # hashed (no million-substring array is ever built).
+    from lambda_sample_spark.operators.text import WINNOW_K, _WINNOW_POS_BITS
+
+    too_long = "x" * ((1 << _WINNOW_POS_BITS) + WINNOW_K - 1)
+    df_bad = spark.createDataFrame([(1, too_long)], "doc_id BIGINT, text STRING")
+    with pytest.raises(Exception, match="winnowing"):
+        winnow_fingerprints(df_bad).collect()
+
+
+def test_guard_boundary(spark, monkeypatch):
+    # boundary semantics, tested at a shrunk pack width (pack=2^6) so
+    # the pass side stays O(small): exactly pack-1 grams fingerprints
+    # fine, exactly pack grams raises. (Computing the real 2^20-gram
+    # boundary doc is quadratic in Spark's UTF8String.substring — the
+    # cap also protects against that.)
+    import lambda_sample_spark.operators.text as text_mod
+
+    monkeypatch.setattr(text_mod, "_WINNOW_POS_BITS", 6)
+    pack = 1 << 6
+    k = text_mod.WINNOW_K
+    ok = "x" * ((pack - 1) + k - 1)       # pack-1 grams: under the cap
+    bad = "x" * (pack + k - 1)            # pack grams: at the cap
+    df_ok = spark.createDataFrame([(1, ok)], "doc_id BIGINT, text STRING")
+    df_bad = spark.createDataFrame([(1, bad)], "doc_id BIGINT, text STRING")
+    assert text_mod.winnow_fingerprints(df_ok).count() == 1  # all grams equal
+    with pytest.raises(Exception, match="winnowing"):
+        text_mod.winnow_fingerprints(df_bad).collect()
