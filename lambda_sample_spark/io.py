@@ -58,6 +58,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a testdata table from parquet FOOTER metadata
+    — a driver-side file read of a few KB, no Spark job. The cheap way
+    to size parameters (LSH bits, k-means k) that only need N: at
+    100 TB a full-scan count() job whose sole output is an integer is a
+    wasted cluster pass; the footer already stores the answer.
+
+    Handles both a single ``<name>.parquet`` file and a directory of
+    part files. Returns None when the path doesn't exist or isn't
+    parquet (callers fall back to a Spark count)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        if os.path.isfile(path):
+            return pq.ParquetFile(path).metadata.num_rows
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith((".", "_")):
+                        total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            return total
+    except Exception:
+        return None
+    return None
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for t in TABLES:

@@ -371,13 +371,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     of same-bucket vectors — per-query work scales with bucket
     occupancy (held constant by ``lsh_bits_for``), not corpus size;
     exact cosine re-ranks the candidates. The corpus count that sizes
-    the tables is one parquet-metadata action — the same cheap stats
-    pass any ANN index build starts with.
+    the tables comes from the parquet footer (driver-side metadata
+    read, no Spark job — io.parquet_num_rows); the oracle derives the
+    same n_bits in-SQL from count(*).
     """
+    from ..io import parquet_num_rows
+
     emb = embeddings(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    n_bits = lsh_bits_for(emb.count())
+    n = parquet_num_rows(sf_dir, "embeddings")
+    n_bits = lsh_bits_for(n if n is not None else emb.count())
     return ann_lsh_search(emb, None, n_bits)
 
 
@@ -427,15 +431,23 @@ def ivf_index(emb: DataFrame, k: int):
     return centroids, assigned
 
 
-def ivf_candidates(emb: DataFrame, nprobe: int | None = None) -> DataFrame:
+def ivf_candidates(
+    emb: DataFrame, nprobe: int | None = None, n: int | None = None
+) -> DataFrame:
     """(q_id, q_vec, c_id, vec) candidate pairs for the contract probe
     set: each query probes its ``nprobe`` nearest of k ~ sqrt(N) cells.
     Per-query scanned vectors ~ nprobe * N/k = O(log(k) * sqrt(N)) at
     the default probe depth — a sublinear slice of the corpus, which
-    the scale test asserts directly on this frame."""
+    the scale test asserts directly on this frame.
+
+    ``n`` (the corpus size that picks k) should come from cheap
+    metadata — io.parquet_num_rows when the input is a raw scan — so
+    no full-table job runs just to choose an integer; a Spark count is
+    the fallback for arbitrary frames."""
     import math as _math
 
-    n = emb.count()
+    if n is None:
+        n = emb.count()
     # k ~ sqrt(N), capped so the centroid table stays comfortably
     # broadcastable (64k cells x 64-dim doubles ~ 32 MB) even at 1e9+
     # vectors; beyond the cap, nprobe is the (logarithmic) depth knob
@@ -483,10 +495,12 @@ def ivf_topk(
     model itself holds). Recall on uniform-random corpora is capped by
     cell-routing noise; raising nprobe buys it back linearly at the
     cost of scanned fraction — a documented trade-off, not a default."""
+    from ..io import parquet_num_rows
+
     emb = embeddings(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    cands = ivf_candidates(emb, nprobe)
+    cands = ivf_candidates(emb, nprobe, n=parquet_num_rows(sf_dir, "embeddings"))
     scored = cands.select(
         "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
     )
@@ -506,6 +520,7 @@ def semantic_dedup(
     k: int | None = None,
     threshold: float = SEMDEDUP_THRESHOLD,
     fat_block_limit: int = FAT_BLOCK_LIMIT,
+    n: int | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column — the SemDeDup
     recipe (Abbas et al., 2023: cluster the embeddings, prune
@@ -531,10 +546,19 @@ def semantic_dedup(
     trade-off is the paper's premise (true near-duplicates co-cluster
     almost surely; the clustering is what makes the pairing linear).
     No SQL oracle: k-means centroids have no DuckDB twin (rows-only
-    contract row, like the MLlib forest queries)."""
-    centroids, assigned = ivf_index(
-        emb, k if k is not None else max(4, min(int(emb.count() ** 0.5), IVF_MAX_CELLS))
-    )
+    contract row, like the MLlib forest queries).
+
+    Sizing: ``k`` (cluster count) wins when given; else ``n`` (corpus
+    size, ideally from parquet footer metadata — io.parquet_num_rows)
+    derives k ~ sqrt(n); else one Spark count runs as the fallback.
+    The k-means fit itself is eagerly executed by MLlib either way —
+    passing k or n just keeps an EXTRA full-scan job out of the build.
+    """
+    if k is None:
+        if n is None:
+            n = emb.count()
+        k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
+    centroids, assigned = ivf_index(emb, k)
     labeled = assigned.select(
         "vec_id", F.col("cluster").alias("label"), "vec"
     )
@@ -553,11 +577,14 @@ def semantic_dedup(
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): semantic dedup over the embeddings table."""
+    """Contract (rows-only): semantic dedup over the embeddings table.
+    k is sized from the parquet footer row count — no count() job."""
+    from ..io import parquet_num_rows
+
     emb = embeddings(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    return semantic_dedup(emb)
+    return semantic_dedup(emb, n=parquet_num_rows(sf_dir, "embeddings"))
 
 
 def _cos_sql(a: str, b: str) -> str:

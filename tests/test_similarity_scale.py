@@ -277,3 +277,41 @@ def test_semantic_dedup_flags_planted_copies(spark, sf_dir):
     # co-clustering of cos~1 pairs is near-certain but k-means gives no
     # hard guarantee; measured 500/500 on this corpus
     assert flagged >= 0.9 * n_base, (flagged, n_base)
+
+
+def test_parquet_footer_count_matches_spark(spark, sf_dir):
+    from lambda_sample_spark.io import load_table, parquet_num_rows
+
+    for t in ("embeddings", "documents"):
+        meta = parquet_num_rows(sf_dir, t)
+        assert meta == load_table(spark, sf_dir, t).count(), t
+    assert parquet_num_rows(sf_dir, "no_such_table") is None
+
+
+def _job_names(spark) -> list[str]:
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jl = store.jobsList(None)
+    return [jl.apply(i).name() for i in range(jl.size())]
+
+
+def test_param_sizing_runs_no_spark_job(spark, sf_dir):
+    """Sizing LSH bits / k-means k must come from parquet footer
+    metadata, not a full-scan count() job: at 100 TB a cluster pass
+    whose only output is an integer parameter is a wasted scan. Plan
+    CONSTRUCTION for the ANN query therefore launches no jobs beyond
+    Spark's own per-read parquet schema-inference job (a single-task
+    footer read named 'parquet at ...', inherent to spark.read.parquet
+    and independent of table size).
+    (semantic_dedup is excluded: MLlib's KMeans.fit is eagerly executed
+    at build time by design — the fixed part there is that no EXTRA
+    count job runs, covered by the footer-count equality above.)"""
+    import time
+
+    from lambda_sample_spark.operators.similarity import ann_lsh_topk
+
+    before = len(_job_names(spark))
+    df = ann_lsh_topk(spark, sf_dir)  # build only — no action
+    time.sleep(1.0)  # the status store updates asynchronously
+    new = _job_names(spark)[: len(_job_names(spark)) - before]
+    assert all(n.startswith("parquet at") for n in new), new
+    assert df.columns == ["q_id", "c_id", "cos", "rk"]
