@@ -180,6 +180,13 @@ def _contract_models(spark: SparkSession, sf_dir: str) -> dict[str, object]:
     return _MODEL_CACHE[key]
 
 
+_STATS_SCHEMA = (
+    "event_type STRING, n_train_rows BIGINT, n_train_pos BIGINT, "
+    "train_vmin DOUBLE, train_vmax DOUBLE"
+)
+_STATS_CACHE: dict[tuple[str, str], list] = {}
+
+
 def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-key facts about the exact training frame the
     contract models fit on (newest RECENT_TRAIN_N rows per key): row
@@ -187,19 +194,34 @@ def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is plain SQL over the same window, so DuckDB replays it
     exactly — these ride along in the rows-only RF contract rows so
     their structure is checkable even though MLlib posteriors are not
-    (see tests/test_ml.py::test_rf_metadata_matches_duckdb)."""
-    from ..operators.anomaly import recent_per_key
-    from ..operators.common import events
+    (see tests/test_ml.py::test_rf_metadata_matches_duckdb).
 
-    labeled = _labeled_events(
-        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
-    )
-    return labeled.groupBy("event_type").agg(
-        F.count("*").alias("n_train_rows"),
-        F.sum("anomaly").cast("bigint").alias("n_train_pos"),
-        F.round(F.min("value"), 6).alias("train_vmin"),
-        F.round(F.max("value"), 6).alias("train_vmax"),
-    )
+    Memoized like _MODEL_CACHE: q_rf_train and q_rf_predict both need
+    these facts, and the frame they aggregate (full events scan + top-n
+    window) is the one _contract_models already paid for — without the
+    cache each contract query re-ran that pass. The cached value is the
+    COLLECTED rows (one per key — bounded by the key fleet, not data
+    size), rebuilt into a local DataFrame per call, so nothing persists
+    into the shared session's block manager."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _STATS_CACHE:
+        from ..operators.anomaly import recent_per_key
+        from ..operators.common import events
+
+        labeled = _labeled_events(
+            recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
+        )
+        _STATS_CACHE[key] = (
+            labeled.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_train_rows"),
+                F.sum("anomaly").cast("bigint").alias("n_train_pos"),
+                F.round(F.min("value"), 6).alias("train_vmin"),
+                F.round(F.max("value"), 6).alias("train_vmax"),
+            )
+            .collect()
+        )
+    return spark.createDataFrame(_STATS_CACHE[key], _STATS_SCHEMA)
 
 
 def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
