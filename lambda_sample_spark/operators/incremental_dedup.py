@@ -51,9 +51,17 @@ INDEX_KEYS = ["doc_id", "band"]  # one row per doc per band
 # bucket-preserving compaction (each merge rewrites its touched buckets
 # as a fresh shuffle-sized file set, so per-bucket fan-in grows with
 # commit count until coalesced); vacuum runs after every commit and
-# keeps this many newest versions as the reader-retention window
+# keeps this many newest versions as the reader-retention window.
+# VACUUM_KEEP >= COMPACT_EVERY on purpose: compaction commits a version
+# too, so with a smaller retention window the vacuum after a compaction
+# could drop the last pre-compaction version while a long-running
+# reader (single-writer, many-reader is the layout's contract) is
+# still mid-scan on it. With the window at least as wide as the
+# compaction period, any version a reader resolved survives a full
+# compaction cycle — readers must finish within VACUUM_KEEP commits of
+# resolving a version, exactly the Delta/Iceberg VACUUM promise.
 COMPACT_EVERY = 8
-VACUUM_KEEP = 4
+VACUUM_KEEP = 8
 
 
 def minhash_bands_for(docs: DataFrame) -> DataFrame:
@@ -187,7 +195,10 @@ def ingest_batch(
         # per bucket) regardless of how many batches have landed, and
         # vacuum bounds disk growth to the retention window (hardlinked
         # carry-forward files share inodes, so dropping an old version
-        # never touches a newer one's data)
+        # never touches a newer one's data). Retention contract: the
+        # vacuum window (VACUUM_KEEP, >= COMPACT_EVERY — see the
+        # constants' comment) is the bound on how long a concurrent
+        # reader may hold a resolved version.
         if v % COMPACT_EVERY == 0:
             compact_versioned_bucketed(spark, index_root)
         vacuum_versions(index_root, keep=VACUUM_KEEP)
