@@ -206,6 +206,68 @@ def hll_sketch_rollup(ev: DataFrame) -> dict[str, DataFrame]:
     }
 
 
+# q_hll_rollup bound: |estimate - exact| <= max(PCT * exact, ABS).
+# Sized from measured worst-case sketch error with ~2x headroom:
+# DuckDB approx_count_distinct hits 2.4% rel / 13 abs at sf0.1 day
+# (~500-card groups) and 4.65% rel (= 2 abs) on ~45-card sf0.01
+# groups where integer jitter dominates; Spark's merged DataSketches
+# HLL is exact at sf0.01 and <= 1.9% / 12 abs at sf0.1. The relative
+# term governs at scale; the absolute floor only matters for tiny
+# test-SF groups.
+HLL_ROLLUP_PCT = 0.04
+HLL_ROLLUP_ABS = 4
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail): the mergeable-sketch continuous aggregate,
+    value-checked with the within-bound trick that graduated
+    q_approx_distinct_users — raw sketches aren't bit-comparable
+    across engines, so each engine validates its OWN estimate against
+    the exact distinct count at every level and emits a deterministic
+    boolean. The month rows are the real merge-consistency check: the
+    Spark estimate there comes from UNION-MERGED day sketches
+    (hll_union_agg — never re-scanning raw events), and it must still
+    land within the pinned bound of the exact monthly count. Output:
+    (level, bucket_ms, event_type, n_users_exact, within_pct)."""
+    ev = events(spark, sf_dir)
+    levels = hll_sketch_rollup(ev)
+
+    def exact(unit: str) -> DataFrame:
+        return (
+            ev.groupBy(F.date_trunc(unit, "ts").alias("b"), "event_type")
+            .agg(F.count_distinct("user_id").alias("n_users_exact"))
+            .select(
+                F.unix_millis("b").alias("bucket_ms"), "event_type", "n_users_exact"
+            )
+        )
+
+    def check(est: DataFrame, bucket_col: str, level: str) -> DataFrame:
+        e = est.select(
+            F.unix_millis(bucket_col).alias("bucket_ms"), "event_type", "n_users"
+        )
+        return (
+            exact("day" if level == "day" else "month")
+            .join(e, ["bucket_ms", "event_type"])
+            .select(
+                F.lit(level).alias("level"),
+                "bucket_ms",
+                "event_type",
+                "n_users_exact",
+                (
+                    F.abs(F.col("n_users") - F.col("n_users_exact"))
+                    <= F.greatest(
+                        F.lit(HLL_ROLLUP_PCT) * F.col("n_users_exact"),
+                        F.lit(float(HLL_ROLLUP_ABS)),
+                    )
+                ).alias("within_pct"),
+            )
+        )
+
+    return check(levels["day"], "day", "day").unionByName(
+        check(levels["month"], "month", "month")
+    )
+
+
 def quantiles_approx(
     ev: DataFrame, accuracy: int = 10000
 ) -> DataFrame:
@@ -275,6 +337,28 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """,
+    "q_hll_rollup": f"""
+WITH d AS (
+  SELECT 'day' AS level,
+         epoch_ms(date_trunc('day', ts)) AS bucket_ms,
+         event_type,
+         count(DISTINCT user_id) AS n_users_exact,
+         (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+          <= greatest({HLL_ROLLUP_PCT} * count(DISTINCT user_id),
+                      {HLL_ROLLUP_ABS})) AS within_pct
+  FROM events GROUP BY 2, 3
+), m AS (
+  SELECT 'month' AS level,
+         epoch_ms(date_trunc('month', ts)) AS bucket_ms,
+         event_type,
+         count(DISTINCT user_id) AS n_users_exact,
+         (abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+          <= greatest({HLL_ROLLUP_PCT} * count(DISTINCT user_id),
+                      {HLL_ROLLUP_ABS})) AS within_pct
+  FROM events GROUP BY 2, 3
+)
+SELECT * FROM d UNION ALL SELECT * FROM m
+""",
 }
 
 QUERIES = {
@@ -283,4 +367,9 @@ QUERIES = {
     "q_pivot_types": pivot_types,
     "q_distinct_users": distinct_users,
     "q_approx_distinct_users": approx_distinct_users,
+}
+
+# round-7 promotion (appends after the frozen first-50 window)
+QUERIES_TAIL = {
+    "q_hll_rollup": q_hll_rollup,
 }

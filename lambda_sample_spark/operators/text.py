@@ -344,6 +344,21 @@ def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(documents(spark, sf_dir), gram_hash="md5")
 
 
+def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract: containment near-dup pairs from the winnowing sketch —
+    the operator a real user runs over the fingerprints (MOSS-style
+    shared-passage detection). Plain SQL over the already-oracle-checked
+    sketch (fingerprint equi-join + count + overlap filter), so the
+    whole pipeline value-checks in DuckDB. Uses the md5 contract hash;
+    production callers take the xxhash64 default."""
+    return winnow_near_dup(documents(spark, sf_dir), gram_hash="md5").select(
+        "d1",
+        "d2",
+        F.col("n_shared").cast("bigint").alias("n_shared"),
+        "containment",
+    )
+
+
 def q_vocab_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract: top-1000 corpus vocabulary with dense deterministic
     ids ((count desc, token) order) — the tokenizer build step of the
@@ -389,8 +404,35 @@ FROM win WHERE wcnt = {WINNOW_W} OR pos = 0
 """
 
 
+def _winnow_near_dup_oracle(min_shared: int = 5, min_overlap: float = 0.5) -> str:
+    """winnow_near_dup transcription: the sketch CTE (nested WITH —
+    the same text as the q_winnowing oracle) feeding a fingerprint
+    self-join, shared-count filter, and smaller-sketch containment
+    ratio, mirroring the Spark ops column for column."""
+    return f"""
+WITH fps AS ({_winnowing_oracle()}),
+sizes AS (
+  SELECT doc_id, count(*) AS sk_sz FROM fps GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= {min_shared}
+)
+SELECT s.d1, s.d2,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared * 1.0 / least(s1.sk_sz, s2.sk_sz), 6) AS containment
+FROM shared s
+JOIN sizes s1 ON s.d1 = s1.doc_id
+JOIN sizes s2 ON s.d2 = s2.doc_id
+WHERE s.n_shared * 1.0 / least(s1.sk_sz, s2.sk_sz) >= {min_overlap}
+"""
+
+
 ORACLE = {
     "q_winnowing": _winnowing_oracle(),
+    "q_winnow_near_dup": _winnow_near_dup_oracle(),
     "q_vocab_topn": r"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
@@ -490,4 +532,5 @@ QUERIES = {
 QUERIES_TAIL = {
     "q_winnowing": q_winnowing,
     "q_vocab_topn": q_vocab_topn,
+    "q_winnow_near_dup": q_winnow_near_dup,
 }

@@ -74,8 +74,18 @@ BUDGET = {
     # rows)
     "q_winnowing": 0,
     "q_vocab_topn": 1,
+    # round 7 promotion: sketch (0 exchanges) -> fp self-join (one fp
+    # shuffle, second side is a ReusedExchange) + pair aggregate +
+    # sketch-size aggregate; the size joins broadcast
+    "q_winnow_near_dup": 3,
     # kmeans assignment reuse + per-cluster pair window + dup-flag join
     "q_semantic_dedup": 4,
+    # round 7 promotion: VALIDATION row — day sketch agg + month sketch
+    # merge, each joined against an exact count_distinct (two-stage
+    # expand+agg apiece) at two levels. The production read path is the
+    # sketch frames alone (2 exchanges); the exact twins exist only to
+    # compute the in-query error-bound boolean
+    "q_hll_rollup": 7,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
