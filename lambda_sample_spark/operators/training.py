@@ -47,6 +47,13 @@ def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
         F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    # The unpartitioned window LOOKS like the classic single-partition
+    # scale bug (Spark warns "No Partition Defined"), but its input is
+    # the post-limit frame: TakeOrdered has already reduced the corpus
+    # to <= top_n rows before the window assigns dense ids, so the one
+    # partition holds at most top_n (~1000) rows at ANY corpus size.
+    # Asserted in tests/test_plans.py (the window sits above the limit
+    # in the optimized plan, never below it).
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
     return (
         counts.orderBy(F.col("cnt").desc(), "token")

@@ -163,3 +163,25 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_vocab_window_input_is_post_limit(spark, sf_dir):
+    """build_vocab's dense-id window is unpartitioned — Spark warns
+    'WindowExec: No Partition Defined' — but it is provably bounded:
+    in the optimized plan the Window sits ABOVE GlobalLimit(top_n), so
+    its single partition holds <= top_n rows at any corpus size (the
+    corpus-sized work is all in the aggregate + TakeOrdered below the
+    limit). Guards against a refactor sliding the window below the
+    limit, where it would become a real single-partition sort of the
+    whole vocabulary."""
+    from lambda_sample_spark.operators.common import documents
+    from lambda_sample_spark.operators.training import build_vocab
+
+    top_n = 1000
+    df = build_vocab(documents(spark, sf_dir), top_n=top_n)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    w = plan.index("Window ")
+    lim = plan.index(f"GlobalLimit {top_n}")
+    assert w < lim, plan[:1500]  # window consumes the post-limit frame
+    # and the frame really is <= top_n rows
+    assert df.count() <= top_n
