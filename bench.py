@@ -57,11 +57,43 @@ HEADLINE = [
     "q_json_codec",
     "q_winnowing",
     "q_vocab_topn",
+    "q_semantic_dedup",
 ]
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def bench_ingest_batch(spark, sf_dir: str) -> None:
+    """Composite: the X14 steady-state ingest workflow end-to-end —
+    commit half the corpus as the initial minhash index, then ingest
+    the other half against it (match + fixpoint + merge + maintenance).
+    A fresh index root per invocation keeps every repeat identical
+    work; ingest_batch materializes its own outputs (scratch rounds +
+    ingest log + index merge), so no extra force() is needed."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators import incremental_dedup as inc
+
+    root = tempfile.mkdtemp(prefix="bench_mhidx_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        inc.ingest_batch(spark, root, docs.where(F.col("doc_id") % 2 == 0))
+        inc.ingest_batch(spark, root, docs.where(F.col("doc_id") % 2 == 1))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# non-contract composites timed alongside the HEADLINE queries (they
+# drive their own materialization instead of a noop-sink force)
+COMPOSITES = {
+    "x_ingest_batch": bench_ingest_batch,
+}
 
 
 def main() -> None:
@@ -72,11 +104,16 @@ def main() -> None:
 
     spark = get_spark(app_name="lambda-sample-spark-bench")
     queries = entrymod.queries()
+    bench_fns = {
+        **{name: (lambda s, d, _q=queries[name]: force(_q(s, d))) for name in HEADLINE},
+        **COMPOSITES,
+    }
+    names = list(bench_fns)
 
     # full warmup sweep (unmeasured): JIT/codegen compilation and
     # file-listing caches land here instead of inflating sweep 1
-    for name in HEADLINE:
-        force(queries[name](spark, sf_dir))
+    for name in names:
+        bench_fns[name](spark, sf_dir)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     # Interleave: sweep the whole HEADLINE list once per repeat instead of
@@ -88,14 +125,13 @@ def main() -> None:
     # uniformly slower in one invocation — CPU frequency, page cache) is
     # not rejectable by any repeat scheme; sweep_totals/sweep_spread in the
     # output expose it so cross-round comparisons can be read accordingly.
-    runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    runs: dict[str, list[float]] = {name: [] for name in names}
     sweep_totals = []
     for _ in range(repeats):
         t_sweep = time.perf_counter()
-        for name in HEADLINE:
-            fn = queries[name]
+        for name in names:
             t0 = time.perf_counter()
-            force(fn(spark, sf_dir))
+            bench_fns[name](spark, sf_dir)
             runs[name].append(time.perf_counter() - t0)
         sweep_totals.append(round(time.perf_counter() - t_sweep, 4))
     timings = {name: round(min(rs), 4) for name, rs in runs.items()}
