@@ -242,7 +242,9 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = spark.createDataFrame(
         rows, "event_type STRING, num_trees INT, feature_importance DOUBLE"
     )
-    return facts.join(_train_stats(spark, sf_dir), "event_type").select(
+    # both sides are key-fleet-sized local frames; broadcast keeps the
+    # plan exchange-free (plan-time SMJ would shuffle both tiny sides)
+    return facts.join(F.broadcast(_train_stats(spark, sf_dir)), "event_type").select(
         "event_type",
         "num_trees",
         "feature_importance",
@@ -280,7 +282,7 @@ def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = _train_stats(spark, sf_dir).select(
         "event_type", "n_train_rows", "n_train_pos"
     )
-    return scored.join(stats, "event_type").select(
+    return scored.join(F.broadcast(stats), "event_type").select(
         "event_type",
         "value",
         "p_anomaly",

@@ -89,11 +89,13 @@ BUDGET = {
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
-    # raised 0 -> 1 in round 6: the contract rows now join deterministic
-    # training-set metadata (newest-20k window + per-key aggregate — one
-    # exchange, reused by the agg); the training jobs still run inside
-    "q_rf_train": 1,
-    "q_rf_predict": 1,
+    # back to 0 in round 7: the training-set metadata pass (newest-20k
+    # window + per-key aggregate) is memoized at first use (forest.py
+    # _train_stats), so the contract plan is just key-fleet-sized local
+    # frames joined via explicit broadcast — the heavy jobs (fits +
+    # stats fill) run eagerly during construction, outside the plan
+    "q_rf_train": 0,
+    "q_rf_predict": 0,
     "q_histogram_models": 1,
 }
 
