@@ -89,9 +89,23 @@ def bench_ingest_batch(spark, sf_dir: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_winnow_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION winnowing path (vectorized numpy
+    rolling hash, O(n) per doc) — q_winnowing in the HEADLINE is the
+    md5 oracle-contract twin, which pays interpreted-HOF + O(n^2)
+    substring extraction for DuckDB replayability; this trail records
+    what real callers pay."""
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.text import winnow_fingerprints_fast
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    force(winnow_fingerprints_fast(docs))
+
+
 # non-contract composites timed alongside the HEADLINE queries (they
 # drive their own materialization instead of a noop-sink force)
 COMPOSITES = {
+    "x_winnow_prod": bench_winnow_prod,
     "x_ingest_batch": bench_ingest_batch,
 }
 

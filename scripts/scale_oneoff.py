@@ -68,6 +68,25 @@ def main() -> None:
         lambda: dedup.ngram_jaccard(spark, work).count(),
     )
 
+    from lambda_sample_spark.operators.text import (
+        winnow_fingerprints,
+        winnow_fingerprints_fast,
+    )
+
+    measure(
+        spark,
+        f"winnow_fast@{n}",
+        lambda: winnow_fingerprints_fast(docs.select("doc_id", "text")).count(),
+    )
+    for gh in ("xxhash64", "md5"):
+        measure(
+            spark,
+            f"winnow_fingerprints[{gh}]@{n}",
+            lambda gh=gh: winnow_fingerprints(
+                docs.select("doc_id", "text"), gram_hash=gh
+            ).count(),
+        )
+
     idx = os.path.join(work, "mhidx")
     half1 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
     half2 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)

@@ -21,12 +21,17 @@ BASE = (
     "watches from the warm windowsill in the afternoon sun light"
 )
 
-HASHES = ["xxhash64", "md5"]
+HASHES = ["xxhash64", "md5", "fast"]
 
 
 def _fps(spark, rows, gram_hash="xxhash64"):
+    from lambda_sample_spark.operators.text import winnow_fingerprints_fast
+
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
-    out = winnow_fingerprints(df, gram_hash=gram_hash).collect()
+    if gram_hash == "fast":
+        out = winnow_fingerprints_fast(df).collect()
+    else:
+        out = winnow_fingerprints(df, gram_hash=gram_hash).collect()
     by_doc: dict[int, set] = {}
     for r in out:
         by_doc.setdefault(r.doc_id, set()).add(r.fp)
@@ -178,3 +183,56 @@ def test_guard_boundary(spark, monkeypatch):
     assert text_mod.winnow_fingerprints(df_ok).count() == 1  # all grams equal
     with pytest.raises(Exception, match="winnowing"):
         text_mod.winnow_fingerprints(df_bad).collect()
+
+
+def _fast_reference(text, k, w, pos_bits, mask_bits, base):
+    # pure-Python twin of the fast path's hash + winnowing (plain ints
+    # mod 2^64 — independent of numpy vectorization)
+    M = 1 << 64
+    cs = [ord(ch) for ch in text]
+    n = max(len(cs) - k + 1, 1)
+    hs = []
+    for i in range(n):
+        g = 0
+        for ch in cs[i : i + k]:
+            g = (g * base + ch) % M
+        z = (g + 0x9E3779B97F4A7C15) % M
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % M
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % M
+        z = z ^ (z >> 31)
+        hs.append(z & ((1 << mask_bits) - 1))
+    packed = [(h << pos_bits) | i for i, h in enumerate(hs)]
+    if len(packed) < w:
+        mins = {min(packed)}
+    else:
+        mins = {min(packed[i : i + w]) for i in range(len(packed) - w + 1)}
+    return {m >> pos_bits for m in mins}
+
+
+def test_fast_matches_pure_python_reference(spark):
+    from lambda_sample_spark.operators.text import (
+        WINNOW_K,
+        _FAST_B,
+        _WINNOW_POS_BITS,
+        _XXH_MASK_BITS,
+    )
+
+    for text in [BASE, "tiny", "", BASE[: WINNOW_K + WINNOW_W - 2]]:
+        expected = _fast_reference(
+            text, WINNOW_K, WINNOW_W, _WINNOW_POS_BITS, _XXH_MASK_BITS, _FAST_B
+        )
+        got = _fps(spark, [(1, text)], "fast")
+        assert got[1] == expected, (text[:20], got[1], expected)
+
+
+def test_fast_overlong_doc_fails_loudly(spark):
+    from lambda_sample_spark.operators.text import (
+        WINNOW_K,
+        _WINNOW_POS_BITS,
+        winnow_fingerprints_fast,
+    )
+
+    too_long = "x" * ((1 << _WINNOW_POS_BITS) + WINNOW_K - 1)
+    df = spark.createDataFrame([(1, too_long)], "doc_id BIGINT, text STRING")
+    with pytest.raises(Exception, match="winnowing"):
+        winnow_fingerprints_fast(df).collect()
