@@ -58,6 +58,7 @@ HEADLINE = [
     "q_winnowing",
     "q_vocab_topn",
     "q_semantic_dedup",
+    "q_cms_heavy_hitters",
 ]
 
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import EVENT_TYPES, events, r6
+from .common import EVENT_TYPES, documents, events, r6
 
 
 def _with_day(df: DataFrame) -> DataFrame:
@@ -268,6 +268,113 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch heavy hitters — the mergeable FREQUENCY sketch,
+# completing the sketch-aggregate family next to HLL (distinct counts)
+# and GK (quantiles). A CMS is a d x w counter grid: each key increments
+# one bucket per hash row; a point query reads back min over the d
+# cells (always an OVERcount — collisions only add). Cells are plain
+# counters, so sketches MERGE by cell-wise sum: per-source (or per-day)
+# sketches roll up to global ones without rescanning raw data — the
+# same continuous-aggregate shape as hll_sketch_rollup, but for
+# per-key frequencies (heavy hitters / frequency capping in an LLM
+# data pipeline). Hand-rolled on md5-derived bucket hashes so DuckDB
+# replays the sketch bit-for-bit: unlike HLL (whose estimates differ
+# per engine and need the within-bound trick), the CMS contract row is
+# directly hash-green.
+#
+# Sizing: overcount per query <= e/CMS_W * N with failure prob ~e^-d
+# (Cormode & Muthukrishnan 2005); CMS_W=1024, CMS_D=4 keep the whole
+# grid at 4096 counters — constant memory at any corpus size, and the
+# broadcast side of the probe join stays 4096 rows forever.
+
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP_N = 20
+
+
+def _cms_bucket(key_sql: str, hrow: int) -> str:
+    """Bucket of ``key_sql`` under hash row ``hrow``: first md5 word of
+    '<hrow>:<key>' mod CMS_W — same digest text in both engines."""
+    from .dedup import _hex_word_spark
+
+    word = _hex_word_spark(f"md5(concat('{hrow}:', {key_sql}))", 1)
+    return f"({word} % {CMS_W})"
+
+
+def _cms_expand(key_col: str):
+    """(hrow, bucket) generator columns for ``key_col`` — one row per
+    hash row, computed JVM-side (posexplode over a 4-element array)."""
+    buckets = F.array(*[F.expr(_cms_bucket(key_col, i)) for i in range(CMS_D)])
+    return F.posexplode(buckets).alias("hrow", "bucket")
+
+
+def cms_cells(
+    keyed_counts: DataFrame, key_col: str, cnt_col: str, dims: list[str]
+) -> DataFrame:
+    """Build CMS cells (dims..., hrow, bucket, c) from pre-aggregated
+    (dims..., key, cnt) rows. Expanding AFTER the per-key count agg
+    keeps the explode factor d over the (dims x vocab) frame, not the
+    raw token stream; the cell agg itself is over a <= |dims| * d * w
+    domain — tiny, fully map-side-combinable."""
+    expanded = keyed_counts.select(
+        *dims, F.col(cnt_col).alias("_cnt"), _cms_expand(key_col)
+    )
+    return expanded.groupBy(*dims, "hrow", "bucket").agg(
+        F.sum("_cnt").alias("c")
+    )
+
+
+def cms_merge(cells: DataFrame) -> DataFrame:
+    """Merge sketches across their partition dims by cell-wise sum —
+    counters add, so union-of-streams == sum-of-cells. This is the
+    rollup step: per-source/per-day cells in, one global sketch out,
+    raw data never rescanned."""
+    return cells.groupBy("hrow", "bucket").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str) -> DataFrame:
+    """Point-query ``probes`` against a merged (hrow, bucket, c)
+    sketch: est = min over the key's d cells. The sketch side is
+    broadcast — it is <= d*w = 4096 rows by construction at ANY corpus
+    size, so the probe join never shuffles the probe frame."""
+    probe_cells = probes.select("*", _cms_expand(key_col))
+    keep = [c for c in probes.columns]
+    return (
+        probe_cells.join(F.broadcast(cells), ["hrow", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("c").alias("n_est"))
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail): token heavy hitters via a merged Count-Min
+    Sketch. Per-source sketches are built from per-(source, token)
+    counts, MERGED cell-wise into the global sketch in-query, and the
+    exact top-20 tokens are point-estimated against it. Output one row
+    per top token: (token, n_exact, n_est, no_undercount) — n_est is
+    deterministic (md5 buckets), so both engines hash identical values;
+    no_undercount (est >= exact, the CMS guarantee) must be TRUE on
+    every row by construction."""
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    per_source = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    cells = cms_merge(cms_cells(per_source, "tok", "cnt", ["source"]))
+    totals = per_source.groupBy("tok").agg(F.sum("cnt").alias("n_exact"))
+    top = totals.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(
+        CMS_TOP_N
+    )
+    est = cms_estimate(cells, top, "tok")
+    return est.select(
+        F.col("tok").alias("token"),
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("n_est").cast("bigint").alias("n_est"),
+        (F.col("n_est") >= F.col("n_exact")).alias("no_undercount"),
+    )
+
+
 def quantiles_approx(
     ev: DataFrame, accuracy: int = 10000
 ) -> DataFrame:
@@ -359,6 +466,43 @@ WITH d AS (
 )
 SELECT * FROM d UNION ALL SELECT * FROM m
 """,
+    # identical md5 bucket hashes + the same per-source-build ->
+    # cell-wise-merge -> min-probe pipeline; sums cast back to BIGINT
+    # (DuckDB widens integer SUM to HUGEINT)
+    "q_cms_heavy_hitters": rf"""
+WITH toks AS (
+  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  FROM documents
+), per_source AS (
+  SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+), hrows AS (
+  SELECT unnest([{", ".join(str(i) for i in range(CMS_D))}]) AS hrow
+), cells_src AS (
+  SELECT source, hrow,
+         (('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' || tok), 1, 8))::BIGINT
+          % {CMS_W}) AS bucket,
+         sum(cnt) AS c
+  FROM per_source, hrows
+  GROUP BY 1, 2, 3
+), cells AS (
+  SELECT hrow, bucket, sum(c) AS c FROM cells_src GROUP BY 1, 2
+), totals AS (
+  SELECT tok, sum(cnt) AS n_exact FROM per_source GROUP BY 1
+), top AS (
+  SELECT tok, n_exact FROM totals ORDER BY n_exact DESC, tok ASC LIMIT {CMS_TOP_N}
+), probe AS (
+  SELECT t.tok, t.n_exact, h.hrow,
+         (('0x' || substr(md5(CAST(h.hrow AS VARCHAR) || ':' || t.tok), 1, 8))::BIGINT
+          % {CMS_W}) AS bucket
+  FROM top t, hrows h
+)
+SELECT p.tok AS token,
+       CAST(p.n_exact AS BIGINT) AS n_exact,
+       CAST(min(c.c) AS BIGINT) AS n_est,
+       (min(c.c) >= p.n_exact) AS no_undercount
+FROM probe p JOIN cells c ON c.hrow = p.hrow AND c.bucket = p.bucket
+GROUP BY p.tok, p.n_exact
+""",
 }
 
 QUERIES = {
@@ -369,7 +513,8 @@ QUERIES = {
     "q_approx_distinct_users": approx_distinct_users,
 }
 
-# round-7 promotion (appends after the frozen first-50 window)
+# round-7 promotions (append after the frozen first-50 window)
 QUERIES_TAIL = {
     "q_hll_rollup": q_hll_rollup,
+    "q_cms_heavy_hitters": cms_heavy_hitters,
 }

@@ -128,3 +128,57 @@ def test_hll_sketch_rollup_merges_consistently(spark, sf_dir):
         # (users repeat across days in this corpus: sum >> true)
         assert naive[r.event_type] > 2 * n  # corpus property
         assert r.n_users < 0.5 * naive[r.event_type]
+
+
+def test_cms_merge_equals_direct_build(spark, sf_dir):
+    # CMS cells are counters, so the per-source sketches merged
+    # cell-wise must be IDENTICAL to a sketch built from the global
+    # token counts in one pass — the property that makes the rollup
+    # (per-source/per-day -> global) free of raw rescans.
+    from lambda_sample_spark.operators.common import documents
+    from lambda_sample_spark.operators.multidim import (
+        cms_cells,
+        cms_merge,
+    )
+
+    docs = documents(spark, sf_dir)
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    per_source = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    merged = cms_merge(cms_cells(per_source, "tok", "cnt", ["source"]))
+    totals = per_source.groupBy("tok").agg(F.sum("cnt").alias("cnt"))
+    direct = cms_cells(totals, "tok", "cnt", [])
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_cms_never_undercounts_and_overcount_is_bounded(spark, sf_dir):
+    # Estimate EVERY token (not just the contract top-20): min-of-d
+    # cells can only overcount (collisions add), and the classic bound
+    # overcount <= e/w * N holds with failure prob ~e^-d per query —
+    # deterministic here (md5 buckets), so we pin it outright at the
+    # 99th percentile and require the worst case stays under 3x that.
+    import math
+
+    from lambda_sample_spark.operators.common import documents
+    from lambda_sample_spark.operators.multidim import (
+        CMS_W,
+        cms_cells,
+        cms_estimate,
+        cms_merge,
+    )
+
+    docs = documents(spark, sf_dir)
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    totals = toks.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    cells = cms_merge(cms_cells(totals, "tok", "n_exact", []))
+    est = cms_estimate(cells, totals, "tok")
+    rows = est.select("tok", "n_exact", "n_est").collect()
+    n_total = sum(r.n_exact for r in rows)
+    eps_bound = math.e / CMS_W * n_total
+    overcounts = sorted(r.n_est - r.n_exact for r in rows)
+    assert overcounts[0] >= 0  # never undercounts
+    p99 = overcounts[int(0.99 * (len(overcounts) - 1))]
+    assert p99 <= eps_bound, (p99, eps_bound)
+    assert overcounts[-1] <= 3 * eps_bound, (overcounts[-1], eps_bound)

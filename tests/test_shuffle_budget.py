@@ -86,6 +86,11 @@ BUDGET = {
     # sketch frames alone (2 exchanges); the exact twins exist only to
     # compute the in-query error-bound boolean
     "q_hll_rollup": 7,
+    # round 7 promotion: (source, tok) count -> global tok totals ->
+    # per-source cells -> merged cells, each partial-agged before its
+    # exchange; the probe join broadcasts the <=4096-row sketch and the
+    # top-20 side is TakeOrderedAndProject (no range exchange)
+    "q_cms_heavy_hitters": 5,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
