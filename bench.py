@@ -59,6 +59,7 @@ HEADLINE = [
     "q_vocab_topn",
     "q_semantic_dedup",
     "q_cms_heavy_hitters",
+    "q_tpch_q5",
 ]
 
 

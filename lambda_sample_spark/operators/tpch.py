@@ -164,6 +164,58 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 proper: local-supplier revenue per nation within one
+    region-year — the suite's hardest join topology (5-way: two
+    SF-scaling equi-joins on DIFFERENT keys plus the c_nationkey =
+    s_nationkey locality predicate riding the supplier join; the
+    Q5-style q_tpch_join_agg lacks the region and supplier legs).
+
+    Scale shape: region⋈nation collapses to a FIXED 5-row broadcast
+    frame, and because c_nationkey = s_nationkey ∧ s_nationkey ∈
+    region implies c_nationkey ∈ region, the region predicate is
+    pushed onto BOTH scaling dimensions before any fact join —
+    supplier and customer each shed ~4/5 of their rows in a broadcast
+    join at the scan, instead of carrying them through the orderkey
+    shuffle. customer/supplier carry no hints (they scale with SF;
+    AQE broadcasts while small, shuffles at 100 TB)."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asian = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asian), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(asian.select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey", "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(_r2(F.sum(revenue)).alias("revenue"))
+
+
 def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape: minimum-cost supplier per part — the correlated
     scalar subquery (`WHERE cost = (SELECT min(cost) ... WHERE
@@ -306,6 +358,20 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '1997-08-01 00:00:00'
 """
 
+ORACLE["q_tpch_q5"] = """
+SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n.n_name
+"""
+
 QUERIES = {
     "q_tpch_q1": tpch_q1,
     "q_tpch_q3": tpch_q3,
@@ -313,4 +379,9 @@ QUERIES = {
     "q_tpch_q6": tpch_q6,
     "q_tpch_q18": tpch_q18,
     "q_tpch_q14": tpch_q14,
+}
+
+# round-7 promotion (appends after the frozen first-50 window)
+QUERIES_TAIL = {
+    "q_tpch_q5": tpch_q5,
 }

@@ -50,6 +50,11 @@ BUDGET = {
     "q_tpch_q6": 0,
     "q_tpch_q18": 1,
     "q_tpch_q14": 0,
+    # round 7 promotion: full Q5 — orders⋈customer (custkey) and
+    # ⋈lineitem (orderkey) shuffles + the final n_name aggregate; the
+    # region/nation legs and the region-pruned supplier/customer
+    # filters are all broadcast joins at the scans
+    "q_tpch_q5": 3,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
