@@ -315,3 +315,20 @@ def test_param_sizing_runs_no_spark_job(spark, sf_dir):
     new = _job_names(spark)[: len(_job_names(spark)) - before]
     assert all(n.startswith("parquet at") for n in new), new
     assert df.columns == ["q_id", "c_id", "cos", "rk"]
+
+
+def test_ivf_sample_fit_assigns_full_corpus(spark, sf_dir):
+    # fit_fraction < 1 (the 100 TB quantizer-training path) must train
+    # on a sample but still assign EVERY vector exactly once, with
+    # exactly k centroids — assignment is the only full-data step.
+    from lambda_sample_spark.operators.similarity import ivf_index
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = emb.count()
+    cents, assigned = ivf_index(emb, 16, fit_fraction=0.5)
+    assert cents.count() == 16
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    assert assigned.where(F.col("cluster").isNull()).count() == 0
