@@ -531,6 +531,79 @@ def ivf_topk(
     )
 
 
+def ivf_write_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist the IVF index the way the 100 TB probe wants to read
+    it: the assignment frame partitioned BY CLUSTER (each cell its own
+    parquet directory) with the k-row centroid table alongside. A
+    probe then touches only its nprobe cells' files — partition
+    pruning IS the candidate selection (asserted on the probe plan in
+    test_similarity_scale)."""
+    assigned.select("vec_id", "vec", "unit", "cluster").write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(f"{path}/cells")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    nprobe: int | None = None,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Top-k cosine probe against a PERSISTED cluster-partitioned IVF
+    index. Cell selection runs on the broadcast k-row centroid table;
+    the cells scan then carries the probed cluster set as a partition
+    filter, so only nprobe * n_queries cell directories are read —
+    at 100 TB the probe's I/O is the selected cells, not the corpus.
+    The probed-cluster set is collapsed to a static IN-list partition
+    filter (it is <= nprobe * n_queries integers by construction —
+    query-side tiny, never corpus-side).
+
+    ``queries``: (q_id, q_vec) frame; returns (q_id, c_id, cos, rk)."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    k = centroids.count()  # k-row table: this job reads one tiny file
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(k)
+    qnorm = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x))
+    q = queries.select(
+        "q_id", "q_vec", F.transform("q_vec", lambda x: x / qnorm).alias("q_unit")
+    )
+    cell_score = F.aggregate(
+        F.zip_with("q_unit", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cell_dot").desc(), F.col("cluster"))
+    probed = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("cell_dot", cell_score)
+        .withColumn("cell_rk", F.row_number().over(wq))
+        .where(F.col("cell_rk") <= nprobe)
+        .select("q_id", "q_vec", "cluster")
+    )
+    # static partition filter: the probed cluster ids (<= nprobe * |q|)
+    clusters = [r.cluster for r in probed.select("cluster").distinct().collect()]
+    cells = spark.read.parquet(f"{path}/cells").where(
+        F.col("cluster").isin(clusters)
+    )
+    cands = (
+        cells.join(F.broadcast(probed), "cluster")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    scored = cands.select(
+        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 SEMDEDUP_THRESHOLD = 0.9
 
 
