@@ -74,14 +74,19 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
 
 
 def match_plan(
-    spark: SparkSession, index_root: str, new_docs: DataFrame
+    spark: SparkSession,
+    index_root: str,
+    new_docs: DataFrame,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The (lazy) matching core: one row per new doc with the round-0
     representative ``rep_id`` — a corpus doc when any bucket matches,
     else the min batch doc of its buckets. This is the plan to audit:
     the index branch must be a hash-filtered scan feeding the
-    broadcast semi-join, never a shuffle."""
-    new_bands = minhash_bands_for(new_docs)
+    broadcast semi-join, never a shuffle. ``bands``: optionally pass
+    the batch's precomputed (doc_id, band, sig) frame — ingest_batch
+    materializes it once and shares it with the commit leg."""
+    new_bands = bands if bands is not None else minhash_bands_for(new_docs)
     try:
         idx = read_versioned(spark, index_root).select("doc_id", "band", "sig")
     except FileNotFoundError:
@@ -122,7 +127,20 @@ def ingest_batch(
     ``doc_id, rep_id, is_near_dup`` — ``rep_id`` is the KEPT doc it
     duplicates (a corpus doc when one matches, else the surviving
     within-batch representative), or itself when kept."""
-    rep0 = match_plan(spark, index_root, new_docs)
+    from math import ceil, log2
+
+    scratch = os.path.join(index_root, "_ingest_scratch")
+    shutil.rmtree(scratch, ignore_errors=True)
+    os.makedirs(scratch)
+    # minhash the batch ONCE: the match leg and the commit leg both
+    # need the band signatures, and the 64 min-aggregates over the
+    # batch's tokens are the dominant per-batch cost — materialize
+    # them and make the second use a parquet re-read, not a second
+    # minhash pass over the raw text
+    bands_path = os.path.join(scratch, "bands")
+    minhash_bands_for(new_docs).write.parquet(bands_path)
+    bands = spark.read.parquet(bands_path)
+    rep0 = match_plan(spark, index_root, new_docs, bands=bands)
     # pointer-jump to fixpoint: a chain D -> C -> B -> A must resolve
     # every doc to the KEPT root A (min-propagation only strictly
     # decreases rep ids, so chains are acyclic and doubling converges
@@ -143,11 +161,6 @@ def ingest_batch(
     # (Spark 4.1), which is not serializable and breaks every later
     # closure that captures the session (e.g. MLlib training
     # summaries) with "Task not serializable".
-    from math import ceil, log2
-
-    scratch = os.path.join(index_root, "_ingest_scratch")
-    shutil.rmtree(scratch, ignore_errors=True)
-    os.makedirs(scratch)
     rep0.write.parquet(os.path.join(scratch, "r0"))
     cur = spark.read.parquet(os.path.join(scratch, "r0"))
     n_batch = cur.count()  # metadata-only on freshly-written parquet
@@ -184,10 +197,10 @@ def ingest_batch(
     final = os.path.join(log_dir, f"batch={batch_no}")
     flags.write.parquet(final)
     flags = spark.read.parquet(final)
-    shutil.rmtree(scratch, ignore_errors=True)
     if commit:
         survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
-        keep_bands = minhash_bands_for(new_docs).join(survivors, "doc_id")
+        # the materialized bands again — no second minhash pass
+        keep_bands = bands.join(survivors, "doc_id")
         v = merge_versioned(spark, index_root, keep_bands, INDEX_KEYS)
         # steady-state maintenance, in the ingest loop itself so a
         # nightly pipeline gets it without a separate job: periodic
@@ -202,4 +215,7 @@ def ingest_batch(
         if v % COMPACT_EVERY == 0:
             compact_versioned_bucketed(spark, index_root)
         vacuum_versions(index_root, keep=VACUUM_KEEP)
+    # scratch (rounds + bands) outlives the commit: the merge reads
+    # the materialized bands
+    shutil.rmtree(scratch, ignore_errors=True)
     return flags
