@@ -651,6 +651,16 @@ def semantic_dedup(
             n = emb.count()
         k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
     centroids, assigned = ivf_index(emb, k)
+    # NOTE (plan shape): the downstream branches (block census, both
+    # self-join sides, the election join) each re-derive this subtree,
+    # and Catalyst's column pruning + pushed filters make the branches'
+    # exchange subtrees non-identical, so ReuseExchange cannot merge
+    # them — the in-memory contract plan applies the assignment UDF
+    # once per branch. Fine at contract SF; at corpus scale use
+    # ``semantic_dedup_indexed`` over a PERSISTED assignment
+    # (ivf_write_index), where each branch re-reads narrow pruned
+    # parquet instead of re-running scan+k-means — the pruning then
+    # works FOR the query instead of against reuse.
     labeled = assigned.select(
         "vec_id", F.col("cluster").alias("label"), "vec"
     )
@@ -659,6 +669,39 @@ def semantic_dedup(
     dupes = pairs.select(F.col("v2").alias("vec_id")).distinct()
     return (
         assigned.select("vec_id", "cluster")
+        .join(dupes.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("bigint").alias("cluster"),
+            F.coalesce("_dup", F.lit(False)).alias("is_semantic_dup"),
+        )
+    )
+
+
+def semantic_dedup_indexed(
+    spark: SparkSession,
+    index_path: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    fat_block_limit: int = FAT_BLOCK_LIMIT,
+) -> DataFrame:
+    """SemDeDup over a PERSISTED IVF assignment (ivf_write_index) —
+    the corpus-scale path. ``semantic_dedup`` re-derives the
+    scan+k-means subtree once per plan branch (census, self-join
+    sides, election join: pruning/pushdown make the subtrees
+    non-identical, so ReuseExchange can't merge them); here every
+    branch instead re-reads the already-materialized cells parquet,
+    column-pruned to exactly what it needs, and the cluster partition
+    layout means the within-cluster self-join reads co-located files.
+    The k-means model is applied exactly once — when the index was
+    written. Same output contract as semantic_dedup."""
+    cells = spark.read.parquet(f"{index_path}/cells")
+    labeled = cells.select(
+        "vec_id", F.col("cluster").alias("label"), "vec"
+    )
+    pairs = near_dup_pairs(labeled, threshold, fat_block_limit)
+    dupes = pairs.select(F.col("v2").alias("vec_id")).distinct()
+    return (
+        cells.select("vec_id", "cluster")
         .join(dupes.withColumn("_dup", F.lit(True)), "vec_id", "left")
         .select(
             "vec_id",

@@ -390,3 +390,40 @@ def test_persisted_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     na = math.sqrt(sum(a * a for a in qv))
     nb = math.sqrt(sum(b * b for b in cv))
     assert abs(r0.cos - round(dot / (na * nb), 6)) < 1e-6
+
+
+def test_semantic_dedup_indexed_matches_inmemory(spark, sf_dir, tmp_path):
+    # The corpus-scale variant (read the persisted assignment) must
+    # produce exactly the in-memory result — same k-means seed, same
+    # pairing, same election — and its plan must apply NO model UDF:
+    # the assignment was paid once, at index-write time.
+    import math
+
+    from lambda_sample_spark.io import parquet_num_rows
+    from lambda_sample_spark.operators.similarity import (
+        IVF_MAX_CELLS,
+        ivf_index,
+        ivf_write_index,
+        semantic_dedup,
+        semantic_dedup_indexed,
+    )
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = parquet_num_rows(sf_dir, "embeddings")
+    k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
+    inmem = {
+        (r.vec_id, r.cluster, r.is_semantic_dup)
+        for r in semantic_dedup(emb, k=k).collect()
+    }
+    cents, assigned = ivf_index(emb, k)
+    path = str(tmp_path / "ivf")
+    ivf_write_index(assigned, cents, path)
+    indexed_df = semantic_dedup_indexed(spark, path)
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "UDF" not in plan, "indexed path must not re-apply the model"
+    indexed = {
+        (r.vec_id, r.cluster, r.is_semantic_dup) for r in indexed_df.collect()
+    }
+    assert indexed == inmem
