@@ -152,3 +152,52 @@ def start_windowed_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_user_sketches(
+    events_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Speed-layer continuous aggregate for COUNT(DISTINCT): per
+    (window, event_type) HLL sketches of distinct users
+    (``hll_sketch_agg`` — DataSketches binary, constant state per
+    group), appended exactly once after the watermark closes the
+    window. The sink rows carry the SKETCH alongside the estimate:
+    that is the point — the batch layer can union-merge persisted
+    sketches upward (day -> month, any ad-hoc date range) without
+    ever touching raw events again, making this the streaming half of
+    the X9 mergeable-sketch continuous-aggregate pattern
+    (operators/multidim.py hll_sketch_rollup). Late rows below the
+    watermark are dropped, never merged into finalized sketches."""
+    return (
+        events_stream.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "sk",
+            F.hll_sketch_estimate("sk").alias("n_users"),
+        )
+    )
+
+
+def start_user_sketches(
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+):
+    """Run the sketch aggregate to a parquet sink in append mode."""
+    return (
+        windowed_user_sketches(events_stream, window, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -72,3 +72,77 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     # [20,30) closed by the +35 row with exactly its one original row
     w2 = max(got)
     assert got[w2] == (1, 99.0)
+
+
+def test_streamed_sketches_merge_to_exact_distincts(spark, tmp_path):
+    # The speed layer appends per-window HLL SKETCHES (not just
+    # estimates); the batch layer must be able to union-merge them to
+    # any coarser range without raw data. Small cardinalities here, so
+    # the sketch estimates are exact — the assertion is equality, not
+    # a bound.
+    from lambda_sample_spark.streaming.watermark import start_user_sketches
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        (
+            spark.createDataFrame(
+                rows, "user_id long, event_type string, offset_min double"
+            )
+            .select(
+                "user_id",
+                "event_type",
+                F.timestamp_millis(
+                    F.lit(BASE) + (F.col("offset_min") * 60000).cast("long")
+                ).alias("ts"),
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    # window [0,10): users {1,2,3} click (3 distinct, user 1 twice);
+    # window [10,20): users {2,4} click; the +40 row pushes the
+    # watermark past both; a late row for [0,10) must not resurface
+    write(
+        [
+            (1, "click", 1.0),
+            (1, "click", 2.0),
+            (2, "click", 3.0),
+            (3, "click", 9.0),
+            (2, "click", 11.0),
+            (4, "click", 15.0),
+            (9, "click", 40.0),
+        ]
+    )
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    start_user_sketches(stream, out, ckpt).awaitTermination(120)
+    write([(99, "click", 5.0), (9, "click", 55.0)])  # late + closer
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp"
+    ).parquet(src)
+    start_user_sketches(stream, out, ckpt).awaitTermination(120)
+
+    sink = spark.read.parquet(out)
+    per_window = {
+        r.window_start.isoformat(): r.n_users
+        for r in sink.where(F.col("event_type") == "click").collect()
+    }
+    finalized = sorted(per_window.items())
+    # [0,10) -> 3 distinct (late user 99 dropped), [10,20) -> 2,
+    # [40,50) -> 1
+    assert [n for _, n in finalized] == [3, 2, 1], finalized
+
+    # batch-layer merge: union the persisted sketches — 1,2,3,2,4,9
+    # -> 5 distinct users, no raw events involved
+    merged = (
+        sink.groupBy("event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"))
+        .select(F.hll_sketch_estimate("sk").alias("n"))
+        .head()
+        .n
+    )
+    assert merged == 5, merged
