@@ -201,3 +201,57 @@ def start_user_sketches(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_key_cms(
+    keyed_stream: DataFrame,
+    key_col: str,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Speed-layer Count-Min cells per window — the FREQUENCY-sketch
+    twin of ``windowed_user_sketches``. Each finalized window appends
+    its d x w counter grid (operators/multidim.py CMS: md5 buckets,
+    so the persisted cells are engine-replayable); state per window is
+    bounded by the constant grid size, not by key cardinality — the
+    reason a sketch belongs on an unbounded key stream at all. Cells
+    are plain counters, so the batch layer merges any range of sink
+    rows by cell-wise SUM (cms_merge) and point-estimates heavy
+    hitters without raw data. Expansion (d rows per input row)
+    happens before the shuffle; partial aggregation collapses it
+    map-side."""
+    from ..operators.multidim import _cms_expand
+
+    return (
+        keyed_stream.withWatermark("ts", watermark_delay)
+        .select("ts", _cms_expand(key_col))
+        .groupBy(F.window("ts", window), "hrow", "bucket")
+        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "hrow",
+            "bucket",
+            "c",
+        )
+    )
+
+
+def start_key_cms(
+    keyed_stream: DataFrame,
+    key_col: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark_delay: str = "5 minutes",
+):
+    """Run the CMS cell aggregate to a parquet sink in append mode."""
+    return (
+        windowed_key_cms(keyed_stream, key_col, window, watermark_delay)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

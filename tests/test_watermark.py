@@ -146,3 +146,55 @@ def test_streamed_sketches_merge_to_exact_distincts(spark, tmp_path):
         .n
     )
     assert merged == 5, merged
+
+
+def test_streamed_cms_cells_merge_to_exact_counts(spark, tmp_path):
+    # The frequency twin: persisted per-window CMS cells must merge by
+    # cell-wise sum into a sketch whose point estimates reproduce the
+    # exact per-token counts (tiny vocab -> no bucket collisions, and
+    # the md5 buckets are deterministic, so equality is stable).
+    from lambda_sample_spark.operators.multidim import cms_estimate, cms_merge
+    from lambda_sample_spark.streaming.watermark import start_key_cms
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = (
+        [("spark", 1.0)] * 3
+        + [("duck", 2.0)] * 2
+        + [("spark", 12.0)] * 4
+        + [("goose", 15.0)]
+        + [("spark", 40.0)]  # watermark pusher, lands in its own window
+    )
+    (
+        spark.createDataFrame(rows, "tok string, offset_min double")
+        .select(
+            "tok",
+            F.timestamp_millis(
+                F.lit(BASE) + (F.col("offset_min") * 60000).cast("long")
+            ).alias("ts"),
+        )
+        .write.mode("append")
+        .parquet(src)
+    )
+    stream = spark.readStream.schema("tok string, ts timestamp").parquet(src)
+    start_key_cms(stream, "tok", out, ckpt).awaitTermination(120)
+
+    sink = spark.read.parquet(out)
+    # two finalized windows x 4 hash rows of cells at most (the [40,50)
+    # window is still open)
+    assert sink.select("window_start").distinct().count() == 2
+    merged = cms_merge(sink)
+    probes = spark.createDataFrame(
+        [("spark", 7), ("duck", 2), ("goose", 1)], "tok string, n_exact long"
+    )
+    got = {
+        r.tok: (r.n_exact, r.n_est)
+        for r in cms_estimate(merged, probes, "tok").collect()
+    }
+    assert got == {
+        "spark": (7, 7),
+        "duck": (2, 2),
+        "goose": (1, 1),
+    }, got
