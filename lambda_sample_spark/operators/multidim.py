@@ -337,11 +337,16 @@ def cms_estimate(cells: DataFrame, probes: DataFrame, key_col: str) -> DataFrame
     """Point-query ``probes`` against a merged (hrow, bucket, c)
     sketch: est = min over the key's d cells. The sketch side is
     broadcast — it is <= d*w = 4096 rows by construction at ANY corpus
-    size, so the probe join never shuffles the probe frame."""
+    size, so the probe join never shuffles the probe frame. Cells no
+    key ever incremented are absent from the cell frame but are ZERO
+    in the sketch, so the join is LEFT with a 0 fill — a key the
+    sketch can prove absent estimates 0 (an inner join would silently
+    drop empty cells from the min and inflate absent keys)."""
     probe_cells = probes.select("*", _cms_expand(key_col))
     keep = [c for c in probes.columns]
     return (
-        probe_cells.join(F.broadcast(cells), ["hrow", "bucket"])
+        probe_cells.join(F.broadcast(cells), ["hrow", "bucket"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
         .groupBy(*keep)
         .agg(F.min("c").alias("n_est"))
     )

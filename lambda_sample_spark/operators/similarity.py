@@ -343,14 +343,12 @@ def ann_candidates(
     )
 
 
-def ann_lsh_search(
-    emb: DataFrame, queries: DataFrame | None, n_bits: int, k: int = TOP_K
-) -> DataFrame:
-    """Generic ANN search: top-k cosine neighbors from the multi-probe
-    LSH candidates for an arbitrary (q_id, q_vec) query frame (or the
-    contract probe set when None). The reusable surface behind
-    q_ann_lsh_topk."""
-    cands = ann_candidates(emb, n_bits, queries)
+def _rerank_topk(cands: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Exact cosine re-rank of a (q_id, q_vec, c_id, vec) candidate
+    frame to (q_id, c_id, cos, rk) — the shared tail of every ANN
+    path (LSH, IVF in-memory, IVF persisted-index probe); one place
+    owns the rounding and the (cos DESC, c_id ASC) tie-break so the
+    paths cannot drift apart."""
     scored = cands.select(
         "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
     )
@@ -360,6 +358,16 @@ def ann_lsh_search(
         .where(F.col("rk") <= k)
         .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def ann_lsh_search(
+    emb: DataFrame, queries: DataFrame | None, n_bits: int, k: int = TOP_K
+) -> DataFrame:
+    """Generic ANN search: top-k cosine neighbors from the multi-probe
+    LSH candidates for an arbitrary (q_id, q_vec) query frame (or the
+    contract probe set when None). The reusable surface behind
+    q_ann_lsh_topk."""
+    return _rerank_topk(ann_candidates(emb, n_bits, queries), k)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -520,15 +528,7 @@ def ivf_topk(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
     cands = ivf_candidates(emb, nprobe, n=parquet_num_rows(sf_dir, "embeddings"))
-    scored = cands.select(
-        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
-    )
+    return _rerank_topk(cands, TOP_K)
 
 
 def ivf_write_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
@@ -537,8 +537,12 @@ def ivf_write_index(assigned: DataFrame, centroids: DataFrame, path: str) -> Non
     parquet directory) with the k-row centroid table alongside. A
     probe then touches only its nprobe cells' files — partition
     pruning IS the candidate selection (asserted on the probe plan in
-    test_similarity_scale)."""
-    assigned.select("vec_id", "vec", "unit", "cluster").write.mode(
+    test_similarity_scale). ``unit`` is deliberately NOT persisted:
+    no index reader uses it (the probe reranks on raw ``vec`` and
+    normalizes its own queries; semantic_dedup_indexed pairs on
+    ``vec``), and a second 64-dim double array per row would double
+    the index payload for nothing."""
+    assigned.select("vec_id", "vec", "cluster").write.mode(
         "overwrite"
     ).partitionBy("cluster").parquet(f"{path}/cells")
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
@@ -550,15 +554,25 @@ def ivf_probe_index(
     queries: DataFrame,
     nprobe: int | None = None,
     top_k: int = TOP_K,
+    exclude_query_ids: bool = True,
 ) -> DataFrame:
     """Top-k cosine probe against a PERSISTED cluster-partitioned IVF
     index. Cell selection runs on the broadcast k-row centroid table;
     the cells scan then carries the probed cluster set as a partition
     filter, so only nprobe * n_queries cell directories are read —
     at 100 TB the probe's I/O is the selected cells, not the corpus.
-    The probed-cluster set is collapsed to a static IN-list partition
-    filter (it is <= nprobe * n_queries integers by construction —
-    query-side tiny, never corpus-side).
+
+    The (q_id, cluster) probe choice is <= nprobe * n_queries rows by
+    construction (query-side tiny, never corpus-side), so it is
+    collected ONCE and reused for both the static IN-list partition
+    filter and the candidate join — cell selection executes a single
+    time, not once per consumer. Zero-norm query vectors have no
+    cosine direction and are dropped up front (documented; they would
+    otherwise propagate NULL scores). ``exclude_query_ids`` (default
+    True) drops candidates whose vec_id equals the probing q_id —
+    correct when queries come from the corpus itself; pass False when
+    query ids live in a DIFFERENT id namespace, where an accidental
+    id collision must not suppress a legitimate neighbor.
 
     ``queries``: (q_id, q_vec) frame; returns (q_id, c_id, cos, rk)."""
     centroids = spark.read.parquet(f"{path}/centroids")
@@ -566,7 +580,7 @@ def ivf_probe_index(
     if nprobe is None:
         nprobe = ivf_nprobe_for(k)
     qnorm = F.sqrt(F.aggregate("q_vec", F.lit(0.0), lambda a, x: a + x * x))
-    q = queries.select(
+    q = queries.where(qnorm > 0).select(
         "q_id", "q_vec", F.transform("q_vec", lambda x: x / qnorm).alias("q_unit")
     )
     cell_score = F.aggregate(
@@ -575,33 +589,36 @@ def ivf_probe_index(
         lambda a, x: a + x,
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("cell_dot").desc(), F.col("cluster"))
-    probed = (
+    probe_rows = (
         q.crossJoin(F.broadcast(centroids))
         .withColumn("cell_dot", cell_score)
         .withColumn("cell_rk", F.row_number().over(wq))
         .where(F.col("cell_rk") <= nprobe)
-        .select("q_id", "q_vec", "cluster")
+        .select("q_id", "cluster")
+        .collect()
     )
-    # static partition filter: the probed cluster ids (<= nprobe * |q|)
-    clusters = [r.cluster for r in probed.select("cluster").distinct().collect()]
+    from pyspark.sql import types as T
+
+    clusters = sorted({r.cluster for r in probe_rows})
+    # schema follows the caller's q_id type (external namespaces may
+    # use string ids); empty probe sets (all queries zero-norm) are
+    # fine with the explicit schema
+    pair_schema = T.StructType(
+        [queries.schema["q_id"], T.StructField("cluster", T.IntegerType())]
+    )
+    probed = spark.createDataFrame(
+        [(r.q_id, r.cluster) for r in probe_rows], pair_schema
+    ).join(queries.select("q_id", "q_vec"), "q_id")
     cells = spark.read.parquet(f"{path}/cells").where(
         F.col("cluster").isin(clusters)
     )
-    cands = (
-        cells.join(F.broadcast(probed), "cluster")
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
-        .dropDuplicates(["q_id", "c_id"])
-    )
-    scored = cands.select(
-        "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
-        .select("q_id", "c_id", "cos", F.col("rk").cast("bigint").alias("rk"))
-    )
+    cands = cells.join(F.broadcast(probed), "cluster")
+    if exclude_query_ids:
+        cands = cands.where(F.col("vec_id") != F.col("q_id"))
+    cands = cands.select(
+        "q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec"
+    ).dropDuplicates(["q_id", "c_id"])
+    return _rerank_topk(cands, top_k)
 
 
 SEMDEDUP_THRESHOLD = 0.9

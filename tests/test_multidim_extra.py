@@ -182,3 +182,27 @@ def test_cms_never_undercounts_and_overcount_is_bounded(spark, sf_dir):
     p99 = overcounts[int(0.99 * (len(overcounts) - 1))]
     assert p99 <= eps_bound, (p99, eps_bound)
     assert overcounts[-1] <= 3 * eps_bound, (overcounts[-1], eps_bound)
+
+
+def test_cms_absent_key_estimates_zero(spark, sf_dir):
+    # A key the corpus never saw hits d cells that are either empty
+    # (no row in the cell frame -> counts as 0) or collided; min-of-d
+    # must be 0 whenever ANY of its cells is empty — the sketch can
+    # prove absence. An inner probe join would silently drop empty
+    # cells and inflate (or vanish) absent keys.
+    from lambda_sample_spark.operators.multidim import (
+        cms_cells,
+        cms_estimate,
+        cms_merge,
+    )
+
+    totals = spark.createDataFrame(
+        [("alpha", 3), ("beta", 2)], "tok string, cnt long"
+    )
+    cells = cms_merge(cms_cells(totals, "tok", "cnt", []))
+    probes = spark.createDataFrame(
+        [("alpha", 3), ("never-seen-key-xyz", 0)], "tok string, n_exact long"
+    )
+    got = {r.tok: r.n_est for r in cms_estimate(cells, probes, "tok").collect()}
+    assert got["alpha"] == 3
+    assert got["never-seen-key-xyz"] == 0, got

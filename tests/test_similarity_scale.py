@@ -427,3 +427,50 @@ def test_semantic_dedup_indexed_matches_inmemory(spark, sf_dir, tmp_path):
         (r.vec_id, r.cluster, r.is_semantic_dup) for r in indexed_df.collect()
     }
     assert indexed == inmem
+
+
+def test_probe_index_external_ids_and_zero_norm(spark, sf_dir, tmp_path):
+    # External query namespace: an id collision with a corpus vec_id
+    # must NOT suppress that vector (exclude_query_ids=False), and a
+    # zero-norm query (no cosine direction) is dropped up front rather
+    # than returning NULL-scored garbage.
+    import math
+
+    from lambda_sample_spark.operators.similarity import (
+        ivf_index,
+        ivf_probe_index,
+        ivf_write_index,
+    )
+
+    emb = embeddings(spark, sf_dir).select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    n = emb.count()
+    cents, assigned = ivf_index(emb, max(4, int(math.isqrt(n))))
+    path = str(tmp_path / "ivf")
+    ivf_write_index(assigned, cents, path)
+
+    # external queries: the vector OF corpus doc 3, but carrying q_id=3
+    # in a foreign namespace, plus a zero-norm query
+    v3 = emb.where(F.col("vec_id") == 3).head().vec
+    queries = spark.createDataFrame(
+        [(3, list(v3)), (99, [0.0] * len(v3))],
+        "q_id BIGINT, q_vec ARRAY<DOUBLE>",
+    )
+    out = ivf_probe_index(
+        spark, path, queries, nprobe=3, exclude_query_ids=False
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    # the colliding corpus vector itself is the exact match: cos 1.0 at
+    # rank 1, NOT suppressed
+    top = min(by_q[3], key=lambda r: r.rk)
+    assert top.c_id == 3 and abs(top.cos - 1.0) < 1e-9, top
+    # the zero-norm query produced no rows (and no NULL scores anywhere)
+    assert 99 not in by_q
+    assert all(r.cos is not None for r in out)
+
+    # corpus-self probing keeps excluding the query row itself
+    self_out = ivf_probe_index(spark, path, queries.where("q_id = 3"), nprobe=3)
+    assert all(r.c_id != 3 for r in self_out.where("q_id = 3").collect())
