@@ -48,11 +48,24 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type — the batch expression of
-    the streaming windowed aggregate (identical ``F.window`` operator)."""
+    the streaming windowed aggregate (identical ``F.window`` operator).
+
+    The average is computed as an exact DECIMAL sum divided by the
+    count, not float ``avg``: double summation is order-dependent, and
+    at sf0.1 one group's mean lands exactly on a round-half digit
+    where Spark's and DuckDB's accumulation orders differ by 1 ULP —
+    43.4728125 rounding to .472812 vs .472813. Decimal sums are
+    associative and engine-identical, so round(sum/n, 6) matches at
+    every SF. (The other avg-based contract rows never hit a knife
+    edge on this corpus; this one is hardened because it did.)"""
     ev = events(spark, sf_dir)
+    exact_sum = F.sum(F.col("value").cast("decimal(28,10)"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), r6(F.avg("value")).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n"),
+            r6(exact_sum.cast("double") / F.count("*")).alias("avg_value"),
+        )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
             "event_type",
@@ -137,7 +150,8 @@ GROUP BY user_id, session_id
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        event_type,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*),
+             6) AS avg_value
 FROM events
 GROUP BY 1, 2
 """,
