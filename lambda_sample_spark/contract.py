@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     aggregates,
     anomaly,
+    curation,
     dedup,
     joins,
     joins_ext,
@@ -46,6 +47,9 @@ _MODULES = [
     generator,
     json_codec,
     forest,
+    # curation registers tail queries only (its QUERIES is empty, so
+    # appending it cannot move the frozen first-50 window)
+    curation,
 ]
 
 

@@ -165,3 +165,130 @@ def deterministic_shuffle(
             "shard", F.xxhash64(F.col(key_col), F.lit(seed + 1))
         )
     )
+
+
+# --- per-source frequency capping -------------------------------------
+
+SOURCE_CAP = 15
+
+
+def cap_per_source(
+    docs: DataFrame, cap: int = SOURCE_CAP, order_salt: str = "cap"
+) -> DataFrame:
+    """Per-source frequency capping: keep at most ``cap`` documents
+    per source, chosen in DETERMINISTIC hash order (md5-salted doc_id,
+    doc_id tiebreak) — the curation step that stops one crawl domain
+    from dominating the training mix. Hash order rather than 'first N
+    by id' removes the correlation between doc_id assignment order and
+    crawl order; no RNG state, so the kept subset is reproducible on
+    any cluster. One window shuffle on ``source``; at 100 TB a skewed
+    mega-source is exactly the hot key the cap exists to bound, and
+    its window input can be pre-pruned with a per-source count +
+    cheap filter when needed."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit(order_salt + ":"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return docs.withColumn("rk", F.row_number().over(w)).where(
+        F.col("rk") <= cap
+    )
+
+
+def q_source_cap(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail): cap the documents table at SOURCE_CAP docs per
+    source; emit the kept (doc_id, source, rk)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_source(docs).select(
+        "doc_id", "source", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+# --- cross-document paragraph dedup -----------------------------------
+
+
+def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
+    """Exact SUB-document dedup (the Dolma/Gopher 'remove duplicated
+    paragraphs' pass): split each text on ``sep``, keep only the
+    globally FIRST occurrence of every distinct paragraph (min
+    (doc_id, idx) wins — deterministic), and reassemble each doc from
+    its surviving paragraphs in original order. Whole-doc dedup
+    misses boilerplate shared across different pages (headers, nav
+    text, license blocks); this removes it at paragraph granularity.
+
+    Scale shape: explode -> one window over md5(paragraph) -> group
+    back by doc. Shuffle keys are 16-byte hashes, never paragraph
+    bodies twice (the window ships (hash, doc_id, idx) plus the body
+    once); a boilerplate paragraph repeated millions of times is ONE
+    hot hash whose window input is (doc_id, idx) pairs only — skew
+    bounded by the duplicate count itself, the thing being removed.
+
+    Returns (doc_id, text, n_paras, n_kept) — text rebuilt, possibly
+    empty when every paragraph was seen earlier."""
+    from pyspark.sql.window import Window
+
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), F.lit(sep))).alias("idx", "para"),
+    )
+    w = Window.partitionBy(F.md5("para"))
+    firsts = paras.withColumn(
+        "first", F.min(F.struct("doc_id", "idx")).over(w)
+    )
+    kept = firsts.where(
+        (F.col("first.doc_id") == F.col("doc_id"))
+        & (F.col("first.idx") == F.col("idx"))
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "para"))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform("ordered", lambda s: s.para), sep
+            ).alias("text"),
+            F.size("ordered").cast("bigint").alias("n_kept"),
+        )
+    )
+    totals = paras.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras")
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+ORACLE = {
+    "q_source_cap": f"""
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) t
+WHERE rk <= {SOURCE_CAP}
+""",
+}
+
+QUERIES: dict = {}
+
+# round-7 promotion (appends after the frozen first-50 window)
+QUERIES_TAIL = {
+    "q_source_cap": q_source_cap,
+}

@@ -207,3 +207,92 @@ def test_deterministic_shuffle_properties(spark, sf_dir):
     sharded = deterministic_shuffle(docs, seed=7, n_shards=4)
     assert sharded.select("shard").distinct().count() == 4
     assert sorted(r.doc_id for r in sharded.collect()) == sorted(a)
+
+
+def test_cap_per_source_caps_and_is_deterministic(spark, sf_dir):
+    from lambda_sample_spark.operators.curation import SOURCE_CAP, cap_per_source
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    capped = cap_per_source(docs)
+    per_src = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in per_src.items():
+        assert n == min(SOURCE_CAP, totals[src]), (src, n)
+    # deterministic: same kept set on re-run, different under a new salt
+    a = sorted(r.doc_id for r in capped.collect())
+    b = sorted(r.doc_id for r in cap_per_source(docs).collect())
+    c = sorted(r.doc_id for r in cap_per_source(docs, order_salt="x").collect())
+    assert a == b
+    assert a != c  # the salt re-draws the kept subset
+    assert len(a) == len(c)  # but the cap arithmetic is identical
+
+
+def test_dedup_paragraphs_keeps_first_occurrence(spark):
+    # Cross-document boilerplate: para "NAV" appears in all three docs
+    # (kept only at its first occurrence: doc 1 idx 0); doc-internal
+    # repeat "B" in doc 2 collapses to one; doc 3 becomes empty.
+    from lambda_sample_spark.operators.curation import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\n\nA\n\nB"),
+            (2, "NAV\n\nB\n\nB\n\nC"),
+            (3, "NAV"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_paras, r.n_kept)
+           for r in dedup_paragraphs(docs).collect()}
+    assert got[1] == ("NAV\n\nA\n\nB", 3, 3)
+    assert got[2] == ("C", 4, 1)
+    assert got[3] == ("", 1, 0)
+
+    # DuckDB twin over the same frame (min-(doc,idx)-wins + rebuild)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE d AS SELECT * FROM (VALUES "
+        "(1, 'NAV' || chr(10) || chr(10) || 'A' || chr(10) || chr(10) || 'B'),"
+        "(2, 'NAV' || chr(10) || chr(10) || 'B' || chr(10) || chr(10) || 'B' || chr(10) || chr(10) || 'C'),"
+        "(3, 'NAV')) t(doc_id, text)"
+    )
+    oracle = con.execute(
+        """
+        WITH s AS (
+          SELECT doc_id, string_split(text, chr(10) || chr(10)) AS arr FROM d
+        ), p AS (
+          SELECT doc_id, arr[g.i] AS para, g.i - 1 AS idx
+          FROM s, LATERAL unnest(generate_series(1, len(arr))) AS g(i)
+        ), firsts AS (
+          SELECT *, min(struct_pack(doc_id := doc_id, idx := idx))
+                      OVER (PARTITION BY md5(para)) AS f
+          FROM p
+        ), kept AS (
+          SELECT doc_id, idx, para FROM firsts
+          WHERE (f).doc_id = doc_id AND (f).idx = idx
+        )
+        SELECT p.doc_id,
+               coalesce(k.text, '') AS text,
+               p.n_paras,
+               coalesce(k.n_kept, 0) AS n_kept
+        FROM (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1) p
+        LEFT JOIN (
+          SELECT doc_id,
+                 string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ) k USING (doc_id)
+        """
+    ).fetchdf()
+    odict = {
+        int(r.doc_id): (r.text, int(r.n_paras), int(r.n_kept))
+        for r in oracle.itertuples()
+    }
+    assert odict == got

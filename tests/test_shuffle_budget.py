@@ -96,6 +96,8 @@ BUDGET = {
     # exchange; the probe join broadcasts the <=4096-row sketch and the
     # top-20 side is TakeOrderedAndProject (no range exchange)
     "q_cms_heavy_hitters": 5,
+    # round 7 promotion: one window shuffle on source
+    "q_source_cap": 1,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
