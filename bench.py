@@ -60,6 +60,7 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_cms_heavy_hitters",
     "q_tpch_q5",
+    "q_source_cap",
 ]
 
 

@@ -1,8 +1,11 @@
 """Corpus curation ops (north star §2.8 adjuncts): benchmark
 decontamination, PII redaction, and deterministic training-order
 shuffle — the steps a 100 TB pretraining pipeline runs between dedup
-and packing. Not contract queries (the driver gate is frozen at 50);
-each is DuckDB-oracle-checked in tests/test_curation.py instead.
+and packing. Most are library ops DuckDB-oracle-checked in
+tests/test_curation.py; per-source frequency capping additionally
+registers as the oracle-checked contract TAIL query ``q_source_cap``
+(QUERIES_TAIL below — appended after the frozen first-50 driver
+window, which edits here can therefore never move).
 
 Scale notes: decontamination is an n-gram-hash equi-join — corpus-side
 work is one pass + one shuffle on the hash (or zero shuffles when the
@@ -187,9 +190,14 @@ def cap_per_source(
     cheap filter when needed."""
     from pyspark.sql.window import Window
 
+    # NULLS LAST explicitly: Spark's ascending default is NULLS FIRST,
+    # DuckDB's is NULLS LAST — a NULL doc_id would silently diverge
+    # the two engines' ranks without this pin
     w = Window.partitionBy("source").orderBy(
-        F.md5(F.concat(F.lit(order_salt + ":"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"),
+        F.md5(
+            F.concat(F.lit(order_salt + ":"), F.col("doc_id").cast("string"))
+        ).asc_nulls_last(),
+        F.col("doc_id").asc_nulls_last(),
     )
     return docs.withColumn("rk", F.row_number().over(w)).where(
         F.col("rk") <= cap
@@ -212,27 +220,37 @@ def q_source_cap(spark, sf_dir: str) -> DataFrame:
 
 def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
     """Exact SUB-document dedup (the Dolma/Gopher 'remove duplicated
-    paragraphs' pass): split each text on ``sep``, keep only the
-    globally FIRST occurrence of every distinct paragraph (min
-    (doc_id, idx) wins — deterministic), and reassemble each doc from
-    its surviving paragraphs in original order. Whole-doc dedup
-    misses boilerplate shared across different pages (headers, nav
-    text, license blocks); this removes it at paragraph granularity.
+    paragraphs' pass): split each text on the LITERAL separator
+    ``sep``, keep only the globally FIRST occurrence of every distinct
+    paragraph (min (doc_id, idx) wins — deterministic), and reassemble
+    each doc from its surviving paragraphs in original order.
+    Whole-doc dedup misses boilerplate shared across different pages
+    (headers, nav text, license blocks); this removes it at paragraph
+    granularity. NULL text is treated as "" (one empty paragraph), so
+    every input doc appears in the output.
 
     Scale shape: explode -> one window over md5(paragraph) -> group
-    back by doc. Shuffle keys are 16-byte hashes, never paragraph
-    bodies twice (the window ships (hash, doc_id, idx) plus the body
-    once); a boilerplate paragraph repeated millions of times is ONE
-    hot hash whose window input is (doc_id, idx) pairs only — skew
-    bounded by the duplicate count itself, the thing being removed.
+    back by doc; n_paras comes straight from the doc row (array size),
+    not a second corpus explode. Surviving paragraph bodies cross two
+    exchanges (the md5 window, then the per-doc rebuild) — dropped
+    duplicates cross only the first. A boilerplate paragraph repeated
+    millions of times is ONE hot hash whose window rows carry (doc_id,
+    idx) plus one body each; skew is bounded by the duplicate count
+    itself, the thing being removed.
 
     Returns (doc_id, text, n_paras, n_kept) — text rebuilt, possibly
     empty when every paragraph was seen earlier."""
     from pyspark.sql.window import Window
 
-    paras = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), F.lit(sep))).alias("idx", "para"),
+    # \Q...\E quotes the separator: F.split takes a Java regex, and an
+    # unescaped sep like "|" or ". " would split on the REGEX reading
+    # while array_join rejoins with the literal — shredding the text
+    split_paras = F.split(
+        F.coalesce(F.col("text"), F.lit("")), F.lit("\\Q" + sep + "\\E")
+    )
+    base = docs.select("doc_id", split_paras.alias("paras"))
+    paras = base.select(
+        "doc_id", F.posexplode("paras").alias("idx", "para")
     )
     w = Window.partitionBy(F.md5("para"))
     firsts = paras.withColumn(
@@ -257,8 +275,8 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
             F.size("ordered").cast("bigint").alias("n_kept"),
         )
     )
-    totals = paras.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_paras")
+    totals = base.select(
+        "doc_id", F.size("paras").cast("bigint").alias("n_paras")
     )
     return (
         totals.join(rebuilt, "doc_id", "left")
@@ -278,7 +296,8 @@ FROM (
   SELECT doc_id, source,
          row_number() OVER (
            PARTITION BY source
-           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id
+           ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)) NULLS LAST,
+                    doc_id NULLS LAST
          ) AS rk
   FROM documents
 ) t

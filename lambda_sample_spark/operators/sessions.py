@@ -64,7 +64,9 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            r6(exact_sum.cast("double") / F.count("*")).alias("avg_value"),
+            # divide by count(value), not count(*): decimal sum skips
+            # NULLs, so avg semantics must skip them in the divisor too
+            r6(exact_sum.cast("double") / F.count("value")).alias("avg_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -150,7 +152,7 @@ GROUP BY user_id, session_id
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*),
+       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value),
              6) AS avg_value
 FROM events
 GROUP BY 1, 2

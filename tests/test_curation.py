@@ -296,3 +296,22 @@ def test_dedup_paragraphs_keeps_first_occurrence(spark):
         for r in oracle.itertuples()
     }
     assert odict == got
+
+
+def test_dedup_paragraphs_literal_sep_and_null_text(spark):
+    # A regex-metacharacter separator must split LITERALLY (an
+    # unescaped "|" is empty-alternation and would shred the text into
+    # characters), and NULL text must come back as an empty doc row,
+    # not vanish.
+    from lambda_sample_spark.operators.curation import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "aa|bb|aa"), (2, "bb|cc"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.text, r.n_paras, r.n_kept)
+           for r in dedup_paragraphs(docs, sep="|").collect()}
+    assert got[1] == ("aa|bb", 3, 2)   # in-doc repeat of "aa" dropped
+    assert got[2] == ("cc", 2, 1)      # cross-doc "bb" dropped
+    # NULL text -> one empty paragraph, doc present in output
+    assert got[3][1] == 1
