@@ -1,0 +1,147 @@
+"""End-to-end pretraining-data pipeline: the operator surface of this
+repo composed the way a real corpus run composes it. This is the
+"switching user" artifact — every stage is a library operator from
+``lambda_sample_spark``, chained over an arbitrary (doc_id, text,
+lang, source, n_chars) frame:
+
+  1. quality gate        (training.quality_gate — filter + telemetry)
+  2. exact dedup         (md5(text) first-occurrence wins)
+  3. near-dup dedup      (incremental_dedup.ingest_batch, day-one
+                          commit — leaves a reusable minhash index for
+                          tomorrow's batch)
+  4. decontamination     (curation.decontaminate vs a benchmark set)
+  5. per-source capping  (curation.cap_per_source)
+  6. stratified sampling (training.stratified_sample by lang)
+  7. training order      (curation.deterministic_shuffle, sharded)
+  8. sequence packing    (training.pack_documents into token bins)
+
+Run: python examples/pretrain_pipeline.py [sf_dir] [out_dir]
+(defaults: /root/testdata/sf0.001, a temp dir). Prints per-stage
+survivor counts and writes the packed assignment as parquet. Every
+stage is deterministic — two runs produce byte-identical output.
+Driven by tests/test_pipeline_example.py.
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+from pyspark.sql.window import Window  # noqa: E402
+
+
+def exact_dedup_first(docs: DataFrame) -> DataFrame:
+    """Keep the lowest-doc_id copy of each distinct text (16-byte
+    md5 shuffle keys, never the bodies)."""
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    bench: DataFrame,
+    index_root: str,
+    out_dir: str,
+    source_cap: int = 20,
+    sample_fractions: dict[str, float] | None = None,
+    token_budget: int = 512,
+    seed: int = 7,
+) -> dict[str, int]:
+    """Run all eight stages; return per-stage survivor counts."""
+    from lambda_sample_spark.operators import incremental_dedup as inc
+    from lambda_sample_spark.operators.curation import (
+        cap_per_source,
+        decontaminate,
+        deterministic_shuffle,
+    )
+    from lambda_sample_spark.operators.training import (
+        pack_documents,
+        quality_gate,
+        stratified_sample,
+    )
+
+    counts: dict[str, int] = {"input": docs.count()}
+
+    # 1. quality gate (filter + scan-time telemetry via observe();
+    # the count() action below is what populates obs.get)
+    gated, obs = quality_gate(docs)
+    counts["quality_gate"] = gated.count()
+    telemetry = obs.get
+
+    # 2. exact dedup
+    exact = exact_dedup_first(gated)
+    counts["exact_dedup"] = exact.count()
+
+    # 3. near-dup dedup — day-one ingest against an empty index; the
+    # committed index is tomorrow's broadcast-semi-join target
+    flags = inc.ingest_batch(spark, index_root, exact.select("doc_id", "text"))
+    survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
+    near = exact.join(survivors, "doc_id")
+    counts["near_dedup"] = near.count()
+
+    # 4. decontamination against the benchmark set
+    clean = decontaminate(near, bench)
+    counts["decontaminate"] = clean.count()
+
+    # 5. per-source frequency capping
+    capped = cap_per_source(clean, cap=source_cap).drop("rk")
+    counts["source_cap"] = capped.count()
+
+    # 6. stratified sampling by language
+    fractions = sample_fractions or {
+        r.lang: 1.0 for r in capped.select("lang").distinct().collect()
+    }
+    sampled = stratified_sample(capped, fractions)
+    counts["stratified_sample"] = sampled.count()
+
+    # 7. deterministic sharded training order
+    ordered = deterministic_shuffle(sampled, seed=seed, n_shards=8)
+
+    # 8. sequence packing into token-budget bins
+    packed = pack_documents(ordered, token_budget=token_budget)
+    counts["packed_docs"] = packed.count()
+
+    packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    counts.update({f"telemetry_{k}": int(v) for k, v in telemetry.items()})
+    return counts
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(
+        prefix="pipeline_out_"
+    )
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.session import get_spark
+
+    spark = get_spark(app_name="pretrain-pipeline-example")
+    docs = load_table(spark, sf_dir, "documents")
+    # benchmark set: a handful of corpus docs standing in for an eval
+    # suite (so decontamination provably fires)
+    bench = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(F.concat(F.lit("b-"), F.col("doc_id")).alias("bench_id"), "text")
+    )
+    with tempfile.TemporaryDirectory(prefix="pipeline_idx_") as idx:
+        counts = run_pipeline(spark, docs, bench, idx, out_dir)
+    for stage, n in counts.items():
+        print(f"{stage:20s} {n}")
+    print(f"packed parquet at {out_dir}/packed")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
