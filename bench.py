@@ -61,6 +61,7 @@ HEADLINE = [
     "q_cms_heavy_hitters",
     "q_tpch_q5",
     "q_source_cap",
+    "q_sampled_quantiles",
 ]
 
 

@@ -380,6 +380,129 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bottom-k hash sampling — the mergeable SAMPLE/QUANTILE sketch,
+# completing the family: HLL answers distinct counts, CMS answers
+# per-key frequencies, bottom-k answers "give me a uniform sample /
+# a quantile" over any merge of stored sketches. Keep the K rows with
+# the smallest md5(event_id) per group: a uniform sample (the hash is
+# a random permutation of rows), MERGEABLE by construction — the K
+# smallest hashes of a union are a subset of the union of each part's
+# K smallest — and fully deterministic, so unlike engine-native
+# percentile sketches both engines materialize the IDENTICAL sample
+# and the identical quantile estimate (hash-green, no error-bound
+# trick needed for the values; only the rank-accuracy claim is
+# validated in-query).
+
+BOTTOMK_K = 64
+# empirical-median rank stderr from a k-sample is sqrt(.25/k) ~ 0.0625
+# at k=64. Measured worst-case |rank - 0.5| across every (level,
+# group) at sf0.001/0.01/0.1: 0.2184 (one sf0.1 day group, a ~3.5
+# sigma sampling tail across 155 groups; tiny sf0.001 day groups also
+# contribute pure small-n discreteness, e.g. median-of-3 = rank 2/3).
+# The bound is 0.3 — ~1.4x headroom over the observed max, still a
+# meaningful claim (estimate inside the middle 60% band) — and
+# everything is deterministic, so this is a pin, not a flake guard.
+BOTTOMK_RANK_TOL = 0.3
+
+
+def _bottomk(df: DataFrame, bucket_col, k: int = BOTTOMK_K) -> DataFrame:
+    """K smallest-md5(event_id) rows per (bucket, event_type):
+    (bucket, event_type, event_id, value, h)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("bucket", "event_type").orderBy("h", "event_id")
+    return (
+        df.select(
+            bucket_col.alias("bucket"), "event_type", "event_id", "value",
+            h.alias("h"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bottomk_day_samples(ev: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Per-(day, event_type) bottom-k sample — the stored sketch rows;
+    a few KB per group at any corpus size."""
+    return _bottomk(ev, F.date_trunc("day", "ts"), k)
+
+
+def bottomk_merge(samples: DataFrame, unit: str, k: int = BOTTOMK_K) -> DataFrame:
+    """Merge stored samples to a coarser bucket by re-ranking the SAME
+    hashes: the k smallest of the union are guaranteed to be among the
+    union of per-part k smallest, so merging never touches raw data."""
+    return _bottomk(
+        samples.select(
+            F.date_trunc(unit, "bucket").alias("ts"),
+            "event_type", "event_id", "value",
+        ),
+        F.col("ts"),
+        k,
+    )
+
+
+def _sample_median(grouped: DataFrame) -> DataFrame:
+    """Empirical median from each group's sample rows: the element at
+    floor((n-1)/2) of the sorted sample — explicit indexing, not an
+    interpolating percentile, so both engines select the same value."""
+    arr = F.array_sort(F.collect_list("value"))
+    idx = (F.floor((F.size(arr) - F.lit(1)) * F.lit(0.5)) + 1).cast("int")
+    return grouped.groupBy("bucket", "event_type").agg(
+        F.element_at(arr, idx).alias("q50_est"),
+        F.count("*").cast("bigint").alias("sample_n"),
+    )
+
+
+def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail): the bottom-k continuous aggregate. Day sketches
+    built once from raw; the month estimate comes from MERGED day
+    sketches (never re-scanning events). Each level's median estimate
+    is validated in-query against the exact data: rank_ok asserts the
+    estimate's true rank sits within BOTTOMK_RANK_TOL of 0.5. The
+    estimate values themselves are hash-compared — deterministic
+    sampling makes them identical across engines."""
+    ev = events(spark, sf_dir)
+    day_s = bottomk_day_samples(ev)
+    month_s = bottomk_merge(day_s, "month")
+
+    def level(est: DataFrame, unit: str, name: str) -> DataFrame:
+        exact = ev.select(
+            F.date_trunc(unit, "ts").alias("bucket"), "event_type", "value"
+        )
+        joined = exact.join(
+            F.broadcast(est), ["bucket", "event_type"]
+        )
+        return (
+            joined.groupBy("bucket", "event_type")
+            .agg(
+                F.first("q50_est").alias("q50_est"),
+                F.first("sample_n").alias("sample_n"),
+                (
+                    F.sum((F.col("value") <= F.col("q50_est")).cast("long"))
+                    / F.count("*")
+                ).alias("rank_est"),
+            )
+            .select(
+                F.lit(name).alias("level"),
+                F.unix_millis("bucket").alias("bucket_ms"),
+                "event_type",
+                "q50_est",
+                "sample_n",
+                (
+                    F.abs(F.col("rank_est") - F.lit(0.5))
+                    <= F.lit(BOTTOMK_RANK_TOL)
+                ).alias("rank_ok"),
+            )
+        )
+
+    return level(_sample_median(day_s), "day", "day").unionByName(
+        level(_sample_median(month_s), "month", "month")
+    )
+
+
 def quantiles_approx(
     ev: DataFrame, accuracy: int = 10000
 ) -> DataFrame:
@@ -508,6 +631,56 @@ SELECT p.tok AS token,
 FROM probe p JOIN cells c ON c.hrow = p.hrow AND c.bucket = p.bucket
 GROUP BY p.tok, p.n_exact
 """,
+    # identical md5 ranks -> identical samples -> identical estimates
+    # in both engines; only rank_ok folds the exact data in
+    "q_sampled_quantiles": f"""
+WITH day_s AS (
+  SELECT bucket, event_type, event_id, value, h FROM (
+    SELECT date_trunc('day', ts) AS bucket, event_type, event_id, value,
+           md5(CAST(event_id AS VARCHAR)) AS h,
+           row_number() OVER (
+             PARTITION BY date_trunc('day', ts), event_type
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+    FROM events) t WHERE rn <= {BOTTOMK_K}
+), month_s AS (
+  SELECT bucket, event_type, event_id, value, h FROM (
+    SELECT date_trunc('month', bucket) AS bucket, event_type, event_id,
+           value, h,
+           row_number() OVER (
+             PARTITION BY date_trunc('month', bucket), event_type
+             ORDER BY h, event_id) AS rn
+    FROM day_s) t WHERE rn <= {BOTTOMK_K}
+), day_est AS (
+  SELECT bucket, event_type,
+         (list_sort(list(value)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
+             AS q50_est,
+         CAST(count(*) AS BIGINT) AS sample_n
+  FROM day_s GROUP BY 1, 2
+), month_est AS (
+  SELECT bucket, event_type,
+         (list_sort(list(value)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
+             AS q50_est,
+         CAST(count(*) AS BIGINT) AS sample_n
+  FROM month_s GROUP BY 1, 2
+), d AS (
+  SELECT 'day' AS level, epoch_ms(x.bucket) AS bucket_ms, x.event_type,
+         x.q50_est, x.sample_n,
+         (abs(sum(CASE WHEN e.value <= x.q50_est THEN 1 ELSE 0 END)::DOUBLE
+              / count(*) - 0.5) <= {BOTTOMK_RANK_TOL}) AS rank_ok
+  FROM events e JOIN day_est x
+    ON date_trunc('day', e.ts) = x.bucket AND e.event_type = x.event_type
+  GROUP BY x.bucket, x.event_type, x.q50_est, x.sample_n
+), m AS (
+  SELECT 'month' AS level, epoch_ms(x.bucket) AS bucket_ms, x.event_type,
+         x.q50_est, x.sample_n,
+         (abs(sum(CASE WHEN e.value <= x.q50_est THEN 1 ELSE 0 END)::DOUBLE
+              / count(*) - 0.5) <= {BOTTOMK_RANK_TOL}) AS rank_ok
+  FROM events e JOIN month_est x
+    ON date_trunc('month', e.ts) = x.bucket AND e.event_type = x.event_type
+  GROUP BY x.bucket, x.event_type, x.q50_est, x.sample_n
+)
+SELECT * FROM d UNION ALL SELECT * FROM m
+""",
 }
 
 QUERIES = {
@@ -522,4 +695,5 @@ QUERIES = {
 QUERIES_TAIL = {
     "q_hll_rollup": q_hll_rollup,
     "q_cms_heavy_hitters": cms_heavy_hitters,
+    "q_sampled_quantiles": sampled_quantiles,
 }

@@ -206,3 +206,41 @@ def test_cms_absent_key_estimates_zero(spark, sf_dir):
     got = {r.tok: r.n_est for r in cms_estimate(cells, probes, "tok").collect()}
     assert got["alpha"] == 3
     assert got["never-seen-key-xyz"] == 0, got
+
+
+def test_bottomk_merge_is_subset_of_union_and_uniform(spark, sf_dir):
+    # The mergeability invariant: the month sample re-ranked from day
+    # samples must equal the bottom-k computed directly from raw
+    # events — the k smallest hashes of the union are guaranteed to be
+    # among the union of per-part k smallest.
+    from lambda_sample_spark.operators.common import events
+    from lambda_sample_spark.operators.multidim import (
+        _bottomk,
+        bottomk_day_samples,
+        bottomk_merge,
+    )
+
+    ev = events(spark, sf_dir)
+    day_s = bottomk_day_samples(ev)
+    merged = bottomk_merge(day_s, "month").select(
+        "bucket", "event_type", "event_id"
+    )
+    direct = _bottomk(ev, F.date_trunc("month", "ts")).select(
+        "bucket", "event_type", "event_id"
+    )
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+    # sample sizes: min(K, group size)
+    from lambda_sample_spark.operators.multidim import BOTTOMK_K
+
+    sizes = day_s.groupBy("bucket", "event_type").count()
+    totals = ev.groupBy(
+        F.date_trunc("day", "ts").alias("bucket"), "event_type"
+    ).count().withColumnRenamed("count", "n")
+    joined = sizes.join(totals, ["bucket", "event_type"])
+    assert (
+        joined.where(
+            F.col("count") != F.least(F.lit(BOTTOMK_K), F.col("n"))
+        ).count()
+        == 0
+    )

@@ -98,6 +98,11 @@ BUDGET = {
     "q_cms_heavy_hitters": 5,
     # round 7 promotion: one window shuffle on source
     "q_source_cap": 1,
+    # round 7 promotion: day bottom-k window + month re-rank window +
+    # the two levels' exact-rank validation aggregates (each joined
+    # via a broadcast of the tiny estimate frame); the production read
+    # path is the day/month sample frames alone (2 exchanges)
+    "q_sampled_quantiles": 5,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
