@@ -255,3 +255,25 @@ def start_key_cms(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hash_sampled_stream(
+    keyed_stream: DataFrame, rate: float, key_col: str = "event_id"
+) -> DataFrame:
+    """Deterministic uniform sampling on an unbounded stream — the
+    speed-layer counterpart of the batch bottom-k sketch
+    (operators/multidim.py). Streams can't keep a FIXED-SIZE bottom-k
+    per window without per-window list state, so the streaming form
+    fixes the RATE instead: a row passes iff its md5(key) falls under
+    ``rate`` — a pure STATELESS filter (no aggregation state at all),
+    append-mode friendly, reproducible on replay, and mergeable
+    trivially (the union of two hash samples at the same rate IS the
+    hash sample of the union). Downstream, the persisted sample rows
+    answer quantile/distribution questions the same way the batch
+    sketch does; expected sample size per window is rate * volume.
+    """
+    # first 8 md5 hex chars as a uniform 32-bit draw
+    draw = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return keyed_stream.where(draw < F.lit(int(rate * (1 << 32))))

@@ -198,3 +198,38 @@ def test_streamed_cms_cells_merge_to_exact_counts(spark, tmp_path):
         "duck": (2, 2),
         "goose": (1, 1),
     }, got
+
+
+def test_hash_sampled_stream_is_deterministic_and_unbiased(spark, tmp_path):
+    # Stateless streaming sampling: the sink must hold exactly the
+    # deterministic hash-subset (identical to the batch filter over
+    # the same data — replay-stable), at roughly the requested rate.
+    from lambda_sample_spark.streaming.watermark import hash_sampled_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [(i, float(i % 97)) for i in range(4000)]
+    spark.createDataFrame(rows, "event_id long, value double").write.parquet(src)
+
+    stream = spark.readStream.schema("event_id long, value double").parquet(src)
+    q = (
+        hash_sampled_stream(stream, rate=0.25)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {r.event_id for r in spark.read.parquet(out).collect()}
+    batch = {
+        r.event_id
+        for r in hash_sampled_stream(
+            spark.read.parquet(src), rate=0.25
+        ).collect()
+    }
+    assert got == batch  # replay-identical to the batch filter
+    assert 0.2 < len(got) / 4000 < 0.3  # near the requested rate
