@@ -5,21 +5,26 @@ repo composed the way a real corpus run composes it. This is the
 lang, source, n_chars) frame:
 
   1. quality gate        (training.quality_gate — filter + telemetry)
-  2. exact dedup         (md5(text) first-occurrence wins)
+  2. exact dedup         (dedup.dedup_exact_keep_first)
   3. near-dup dedup      (incremental_dedup.ingest_batch, day-one
                           commit — leaves a reusable minhash index for
                           tomorrow's batch)
   4. decontamination     (curation.decontaminate vs a benchmark set)
   5. per-source capping  (curation.cap_per_source)
   6. stratified sampling (training.stratified_sample by lang)
-  7. training order      (curation.deterministic_shuffle, sharded)
-  8. sequence packing    (training.pack_documents into token bins)
+  7. sequence packing    (training.pack_documents into token bins)
+  8. training order      (curation.deterministic_shuffle keyed on
+                          bin_id: BINS are the unit a training loader
+                          reads, so the order shuffle runs after
+                          packing — shuffling docs before packing
+                          would be discarded by the packer's own
+                          shard/bin assignment)
 
 Run: python examples/pretrain_pipeline.py [sf_dir] [out_dir]
 (defaults: /root/testdata/sf0.001, a temp dir). Prints per-stage
-survivor counts and writes the packed assignment as parquet. Every
-stage is deterministic — two runs produce byte-identical output.
-Driven by tests/test_pipeline_example.py.
+survivor counts and writes the shard-ordered packed assignment as
+parquet. Every stage is deterministic — two runs produce
+byte-identical output. Driven by tests/test_pipeline_example.py.
 """
 
 from __future__ import annotations
@@ -34,18 +39,6 @@ if REPO not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
-from pyspark.sql.window import Window  # noqa: E402
-
-
-def exact_dedup_first(docs: DataFrame) -> DataFrame:
-    """Keep the lowest-doc_id copy of each distinct text (16-byte
-    md5 shuffle keys, never the bodies)."""
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    return (
-        docs.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
 
 
 def run_pipeline(
@@ -66,6 +59,7 @@ def run_pipeline(
         decontaminate,
         deterministic_shuffle,
     )
+    from lambda_sample_spark.operators.dedup import dedup_exact_keep_first
     from lambda_sample_spark.operators.training import (
         pack_documents,
         quality_gate,
@@ -80,12 +74,17 @@ def run_pipeline(
     counts["quality_gate"] = gated.count()
     telemetry = obs.get
 
-    # 2. exact dedup
-    exact = exact_dedup_first(gated)
+    # 2. exact dedup (persist: three later stages and their count()
+    # telemetry would otherwise recompute the gate + dedup window —
+    # per-stage counts are a funnel report, not free, and the cache
+    # turns the funnel's quadratic re-scan into one pass per stage)
+    exact = dedup_exact_keep_first(gated).persist()
     counts["exact_dedup"] = exact.count()
 
     # 3. near-dup dedup — day-one ingest against an empty index; the
-    # committed index is tomorrow's broadcast-semi-join target
+    # committed index is tomorrow's broadcast-semi-join target.
+    # ingest_batch materializes its flags to the ingest_log, so this
+    # cuts lineage on its own.
     flags = inc.ingest_batch(spark, index_root, exact.select("doc_id", "text"))
     survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
     near = exact.join(survivors, "doc_id")
@@ -96,24 +95,31 @@ def run_pipeline(
     counts["decontaminate"] = clean.count()
 
     # 5. per-source frequency capping
-    capped = cap_per_source(clean, cap=source_cap).drop("rk")
+    capped = cap_per_source(clean, cap=source_cap).drop("rk").persist()
     counts["source_cap"] = capped.count()
 
     # 6. stratified sampling by language
     fractions = sample_fractions or {
         r.lang: 1.0 for r in capped.select("lang").distinct().collect()
     }
-    sampled = stratified_sample(capped, fractions)
+    sampled = stratified_sample(capped, fractions).persist()
     counts["stratified_sample"] = sampled.count()
 
-    # 7. deterministic sharded training order
-    ordered = deterministic_shuffle(sampled, seed=seed, n_shards=8)
-
-    # 8. sequence packing into token-budget bins
-    packed = pack_documents(ordered, token_budget=token_budget)
+    # 7. sequence packing into token-budget bins
+    packed = pack_documents(sampled, token_budget=token_budget)
     counts["packed_docs"] = packed.count()
 
-    packed.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    # 8. deterministic training order over the BINS (the unit a
+    # loader reads): same bin -> same shard, shards contiguous,
+    # reproducible per seed. Ordering docs before packing would be
+    # discarded by the packer's own shard/bin assignment — order what
+    # the consumer actually iterates.
+    ordered = deterministic_shuffle(
+        packed, seed=seed, key_col="bin_id", n_shards=8
+    )
+    ordered.write.mode("overwrite").parquet(f"{out_dir}/packed")
+    for df in (exact, capped, sampled):
+        df.unpersist()
     counts.update({f"telemetry_{k}": int(v) for k, v in telemetry.items()})
     return counts
 

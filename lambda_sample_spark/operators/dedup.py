@@ -39,6 +39,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """Row-preserving exact dedup over an arbitrary (doc_id, text, ...)
+    frame: keep the lowest-doc_id copy of each distinct text WITH all
+    its other columns (16-byte md5 shuffle keys, never the bodies
+    twice). The contract query ``dedup_exact`` returns the aggregated
+    (text_hash, doc_id, n_dups) shape; pipelines that need the
+    surviving ROWS (examples/pretrain_pipeline.py stage 2) use this."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _distinct_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",

@@ -406,13 +406,23 @@ BOTTOMK_K = 64
 BOTTOMK_RANK_TOL = 0.3
 
 
-def _bottomk(df: DataFrame, bucket_col, k: int = BOTTOMK_K) -> DataFrame:
+def _bottomk(
+    df: DataFrame, bucket_col, k: int = BOTTOMK_K, h_col: str | None = None
+) -> DataFrame:
     """K smallest-md5(event_id) rows per (bucket, event_type):
-    (bucket, event_type, event_id, value, h)."""
+    (bucket, event_type, event_id, value, h). ``h_col`` reuses an
+    already-stored hash column (the merge path — never recompute what
+    the sketch persisted). NULLS LAST pinned on both sort keys: Spark
+    defaults ascending NULLS FIRST while DuckDB defaults NULLS LAST,
+    so an unpinned NULL event_id would enter Spark's sample but not
+    the oracle's — NULL-keyed rows are deliberately excluded from
+    samples (they sort behind every real hash)."""
     from pyspark.sql.window import Window
 
-    h = F.md5(F.col("event_id").cast("string"))
-    w = Window.partitionBy("bucket", "event_type").orderBy("h", "event_id")
+    h = F.col(h_col) if h_col else F.md5(F.col("event_id").cast("string"))
+    w = Window.partitionBy("bucket", "event_type").orderBy(
+        F.col("h").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     return (
         df.select(
             bucket_col.alias("bucket"), "event_type", "event_id", "value",
@@ -437,22 +447,26 @@ def bottomk_merge(samples: DataFrame, unit: str, k: int = BOTTOMK_K) -> DataFram
     return _bottomk(
         samples.select(
             F.date_trunc(unit, "bucket").alias("ts"),
-            "event_type", "event_id", "value",
+            "event_type", "event_id", "value", "h",
         ),
         F.col("ts"),
         k,
+        h_col="h",
     )
 
 
 def _sample_median(grouped: DataFrame) -> DataFrame:
     """Empirical median from each group's sample rows: the element at
     floor((n-1)/2) of the sorted sample — explicit indexing, not an
-    interpolating percentile, so both engines select the same value."""
+    interpolating percentile, so both engines select the same value.
+    NULL values are excluded from both the list and sample_n (Spark's
+    collect_list skips them implicitly; the oracle filters explicitly
+    and counts count(value)) so the two engines index the same list."""
     arr = F.array_sort(F.collect_list("value"))
     idx = (F.floor((F.size(arr) - F.lit(1)) * F.lit(0.5)) + 1).cast("int")
     return grouped.groupBy("bucket", "event_type").agg(
         F.element_at(arr, idx).alias("q50_est"),
-        F.count("*").cast("bigint").alias("sample_n"),
+        F.count("value").cast("bigint").alias("sample_n"),
     )
 
 
@@ -640,7 +654,8 @@ WITH day_s AS (
            md5(CAST(event_id AS VARCHAR)) AS h,
            row_number() OVER (
              PARTITION BY date_trunc('day', ts), event_type
-             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+             ORDER BY md5(CAST(event_id AS VARCHAR)) NULLS LAST,
+                      event_id NULLS LAST) AS rn
     FROM events) t WHERE rn <= {BOTTOMK_K}
 ), month_s AS (
   SELECT bucket, event_type, event_id, value, h FROM (
@@ -648,19 +663,19 @@ WITH day_s AS (
            value, h,
            row_number() OVER (
              PARTITION BY date_trunc('month', bucket), event_type
-             ORDER BY h, event_id) AS rn
+             ORDER BY h NULLS LAST, event_id NULLS LAST) AS rn
     FROM day_s) t WHERE rn <= {BOTTOMK_K}
 ), day_est AS (
   SELECT bucket, event_type,
-         (list_sort(list(value)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
-             AS q50_est,
-         CAST(count(*) AS BIGINT) AS sample_n
+         (list_sort(list(value) FILTER (value IS NOT NULL)))
+             [CAST(floor((count(value) - 1) * 0.5) AS INT) + 1] AS q50_est,
+         CAST(count(value) AS BIGINT) AS sample_n
   FROM day_s GROUP BY 1, 2
 ), month_est AS (
   SELECT bucket, event_type,
-         (list_sort(list(value)))[CAST(floor((count(*) - 1) * 0.5) AS INT) + 1]
-             AS q50_est,
-         CAST(count(*) AS BIGINT) AS sample_n
+         (list_sort(list(value) FILTER (value IS NOT NULL)))
+             [CAST(floor((count(value) - 1) * 0.5) AS INT) + 1] AS q50_est,
+         CAST(count(value) AS BIGINT) AS sample_n
   FROM month_s GROUP BY 1, 2
 ), d AS (
   SELECT 'day' AS level, epoch_ms(x.bucket) AS bucket_ms, x.event_type,

@@ -271,6 +271,12 @@ def hash_sampled_stream(
     hash sample of the union). Downstream, the persisted sample rows
     answer quantile/distribution questions the same way the batch
     sketch does; expected sample size per window is rate * volume.
+
+    NULL keys are EXCLUDED from the sample (md5(NULL) fails the
+    threshold predicate) — deliberately matching the batch bottom-k,
+    whose NULLS LAST pin keeps NULL-hash rows out of every sample; a
+    caller who wants NULL-keyed rows sampled must coalesce the key
+    to a sentinel first, in both layers.
     """
     # first 8 md5 hex chars as a uniform 32-bit draw
     draw = F.conv(

@@ -56,10 +56,22 @@ def test_pipeline_stages_compose_and_are_deterministic(spark, tmp_path):
     # telemetry consistency: the observe() pass saw every input row
     assert counts["telemetry_n_input"] == counts["input"]
 
-    # every surviving doc is packed exactly once, with sane bins
+    # every surviving doc is packed exactly once, with sane bins, and
+    # the training-order stage actually materialized its shard column
     assert packed.count() == counts["packed_docs"]
     assert packed.select("doc_id").distinct().count() == counts["packed_docs"]
     assert packed.where(F.col("bin_id").isNull()).count() == 0
+    assert "shard" in packed.columns
+    assert packed.select("shard").distinct().count() > 1
+    # a bin is never split across training shards (bins are the unit
+    # the loader reads)
+    assert (
+        packed.groupBy("bin_id")
+        .agg(F.count_distinct("shard").alias("ns"))
+        .where(F.col("ns") > 1)
+        .count()
+        == 0
+    )
 
     # determinism: an independent second run produces the identical
     # packed assignment (fresh index root, fresh output dir)
