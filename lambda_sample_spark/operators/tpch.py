@@ -385,3 +385,60 @@ QUERIES = {
 QUERIES_TAIL = {
     "q_tpch_q5": tpch_q5,
 }
+
+
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority census over a quarter, counting
+    only orders where EXISTS a qualifying lineitem (the testdata has
+    no commit/receipt dates, so 'late delivery' becomes 'high-value
+    item' — the PLAN shape is identical: correlated EXISTS
+    decorrelated to a left-semi join feeding a small aggregate).
+    Library op; DuckDB-checked in tests/test_tpch_shapes.py."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice") > 1500.0
+    )
+    hit = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_semi"
+    )
+    return (
+        hit.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive OR-of-ANDs predicate across the
+    lineitem⋈part join — three (brand, size-range, quantity-range)
+    clauses OR-ed together. Catalyst extracts the common conjuncts
+    (the join key) and pushes per-table residuals (p_brand IN (...),
+    l_quantity bounds) to the scans; the OR itself evaluates post-join
+    in one pass. Broadcast on part (fixed-size dim)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity").between(1, 11))
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(1, 25))
+            & (F.col("l_quantity").between(10, 30))
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(1, 40))
+            & (F.col("l_quantity").between(20, 50))
+        )
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.where(clause).agg(
+        _r2(F.sum(rev)).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

@@ -58,3 +58,49 @@ def test_shape_matches_duckdb(spark, sf_dir, fn, sql):
     )
     a, b = srt(got), srt(want)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_extendedprice > 1500.0)
+GROUP BY o.o_orderpriority
+"""
+
+Q19_SQL = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+
+@pytest.mark.parametrize(
+    "fn_name,sql",
+    [("tpch_q4_shape", Q4_SQL), ("tpch_q19_shape", Q19_SQL)],
+    ids=["q4_shape", "q19_shape"],
+)
+def test_round7_shapes_match_duckdb(spark, sf_dir, fn_name, sql):
+    from lambda_sample_spark.operators import tpch
+
+    got = getattr(tpch, fn_name)(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    try:
+        want = con.execute(sql).fetchdf()
+    finally:
+        con.close()
+    assert len(got) == len(want) and len(got) > 0
+    srt = lambda d: (
+        d[sorted(d.columns)].sort_values(by=sorted(d.columns)).reset_index(drop=True)
+    )
+    a, b = srt(got), srt(want)
+    assert a.equals(b.astype(a.dtypes.to_dict()))
