@@ -93,3 +93,92 @@ def stateful_fast_anomaly(entries_stream: DataFrame, recent_n: int = RECENT_N) -
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BOTTOMK_K = 64
+BOTTOMK_OUT_SCHEMA = (
+    "window_start_ms LONG, event_type STRING, event_id LONG, "
+    "value DOUBLE, h STRING"
+)
+BOTTOMK_STATE_SCHEMA = "hs ARRAY<STRING>, ids ARRAY<LONG>, vals ARRAY<DOUBLE>"
+
+
+def stateful_windowed_bottomk(
+    events_stream: DataFrame,
+    k: int = BOTTOMK_K,
+    window_minutes: int = 10,
+    watermark_delay: str = "5 minutes",
+) -> DataFrame:
+    """Fixed-SIZE uniform sample per event-time window on an unbounded
+    stream — the stateful complement to the stateless fixed-RATE
+    ``watermark.hash_sampled_stream``, and the streaming twin of the
+    batch bottom-k sketch (operators/multidim.py): keep the k rows
+    with the smallest md5(event_id) per (window, event_type) in
+    Spark-managed state (EXACTLY k rows per group — bounded no matter
+    the window's volume), emit the FINAL sample exactly once when the
+    watermark closes the window (EventTimeTimeout), then evict the
+    state. Append-mode output: sinks see one finished sample per
+    window, identical to what the batch _bottomk computes over the
+    same rows (tested), so day-level stream samples merge upward with
+    ``bottomk_merge`` exactly like batch-built ones.
+    """
+    from pyspark.sql import functions as F
+
+    window_ms = window_minutes * 60_000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        wstart_ms, etype = key
+        if state.hasTimedOut:
+            hs, ids, vals = state.get
+            order = sorted(range(len(hs)), key=lambda j: (hs[j], ids[j]))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "window_start_ms": [int(wstart_ms)] * len(order),
+                    "event_type": [etype] * len(order),
+                    "event_id": [int(ids[j]) for j in order],
+                    "value": [float(vals[j]) for j in order],
+                    "h": [hs[j] for j in order],
+                }
+            )
+            return
+        if state.exists:
+            hs, ids, vals = (list(c) for c in state.get)
+        else:
+            hs, ids, vals = [], [], []
+        for pdf in pdfs:
+            for h, i, v in zip(pdf["h"], pdf["event_id"], pdf["value"]):
+                hs.append(str(h))
+                ids.append(int(i))
+                vals.append(float(v))
+        keep = sorted(range(len(hs)), key=lambda j: (hs[j], ids[j]))[:k]
+        state.update(
+            (
+                [hs[j] for j in keep],
+                [ids[j] for j in keep],
+                [vals[j] for j in keep],
+            )
+        )
+        # fire when the watermark passes the window end
+        state.setTimeoutTimestamp(int(wstart_ms) + window_ms)
+        return
+
+    prepared = events_stream.withWatermark("ts", watermark_delay).select(
+        "ts",
+        F.unix_millis(
+            F.window("ts", f"{window_minutes} minutes").start
+        ).alias("wstart_ms"),
+        "event_type",
+        "event_id",
+        "value",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    )
+    return prepared.groupBy("wstart_ms", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=BOTTOMK_OUT_SCHEMA,
+        stateStructType=BOTTOMK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

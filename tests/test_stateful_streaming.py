@@ -108,3 +108,83 @@ def test_state_is_bounded(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM stateful_bounded").collect()
     assert rows and all(r.n <= RECENT_N for r in rows)
+
+
+def test_stateful_windowed_bottomk_emits_final_sample_on_close(spark, tmp_path):
+    # Fixed-size per-window sample with bounded state: the final
+    # sample must emit exactly once when the watermark closes the
+    # window, equal the batch bottom-k over the same rows, never
+    # exceed k, and drop late rows.
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.streaming.stateful import (
+        stateful_windowed_bottomk,
+    )
+
+    BASE = 1700000400000
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    K = 3
+
+    def write(rows):
+        (
+            spark.createDataFrame(
+                rows, "event_id long, event_type string, offset_min double, value double"
+            )
+            .select(
+                "event_id",
+                "event_type",
+                F.timestamp_millis(
+                    F.lit(BASE) + (F.col("offset_min") * 60000).cast("long")
+                ).alias("ts"),
+                "value",
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            stateful_windowed_bottomk(stream, k=K)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # window [0,10): 6 rows (sample must cut to K=3); pusher at +20
+    # advances the watermark past +15 and closes it
+    write(
+        [(i, "click", float(i), float(10 * i)) for i in range(6)]
+        + [(100, "click", 20.0, 1.0)]
+    )
+    run()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == K
+    assert {r.window_start_ms for r in first} == {BASE}
+    # equals the batch bottom-k over the same 6 rows
+    import hashlib
+
+    def md5(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    expect = sorted(range(6), key=lambda i: (md5(i), i))[:K]
+    assert sorted(r.event_id for r in first) == sorted(expect)
+
+    # late row for the closed window is dropped; +40 pusher closes
+    # [20,30) (1 row — sample smaller than K is the whole window)
+    write([(7, "click", 5.0, 70.0), (101, "click", 40.0, 2.0)])
+    run()
+    rows = spark.read.parquet(out).collect()
+    by_win = {}
+    for r in rows:
+        by_win.setdefault(r.window_start_ms, []).append(r.event_id)
+    assert sorted(by_win[BASE]) == sorted(expect)  # unchanged, no dup
+    assert by_win[BASE + 20 * 60000] == [100]
