@@ -95,35 +95,53 @@ def stateful_fast_anomaly(entries_stream: DataFrame, recent_n: int = RECENT_N) -
     )
 
 
-BOTTOMK_K = 64
 BOTTOMK_OUT_SCHEMA = (
     "window_start_ms LONG, event_type STRING, event_id LONG, "
     "value DOUBLE, h STRING"
 )
-BOTTOMK_STATE_SCHEMA = "hs ARRAY<STRING>, ids ARRAY<LONG>, vals ARRAY<DOUBLE>"
+# vnull carries value's NULL mask explicitly: Arrow->pandas floats
+# can't distinguish NULL from NaN, and the emitted sample must keep
+# NULLs as NULLs so the downstream sample median (which skips NULLs)
+# sees what a batch-built sample would
+BOTTOMK_STATE_SCHEMA = (
+    "hs ARRAY<STRING>, ids ARRAY<LONG>, vals ARRAY<DOUBLE>, "
+    "vnull ARRAY<BOOLEAN>"
+)
 
 
 def stateful_windowed_bottomk(
     events_stream: DataFrame,
-    k: int = BOTTOMK_K,
+    k: int | None = None,
     window_minutes: int = 10,
     watermark_delay: str = "5 minutes",
 ) -> DataFrame:
     """Fixed-SIZE uniform sample per event-time window on an unbounded
     stream — the stateful complement to the stateless fixed-RATE
     ``watermark.hash_sampled_stream``, and the streaming twin of the
-    batch bottom-k sketch (operators/multidim.py): keep the k rows
-    with the smallest md5(event_id) per (window, event_type) in
+    batch bottom-k sketch (operators/multidim.py, whose BOTTOMK_K is
+    the shared default so the two layers' k cannot drift): keep the k
+    rows with the smallest md5(event_id) per (window, event_type) in
     Spark-managed state (EXACTLY k rows per group — bounded no matter
     the window's volume), emit the FINAL sample exactly once when the
     watermark closes the window (EventTimeTimeout), then evict the
     state. Append-mode output: sinks see one finished sample per
     window, identical to what the batch _bottomk computes over the
-    same rows (tested), so day-level stream samples merge upward with
-    ``bottomk_merge`` exactly like batch-built ones.
+    same rows (tested).
+
+    NULL handling follows the layer-wide contract: NULL-keyed (or
+    NULL-timestamped) rows are excluded up front — the batch sketch's
+    NULLS LAST pin keeps them out of every sample too — while NULL
+    VALUES stay in the sample as NULLs (a value-NULL row still owns
+    its hash slot, exactly as in the batch window). To roll stream
+    sink rows up with ``bottomk_merge``, convert them to the batch
+    sketch schema first with ``stream_samples_as_sketch``.
     """
     from pyspark.sql import functions as F
 
+    from ..operators.multidim import BOTTOMK_K
+
+    if k is None:
+        k = BOTTOMK_K
     window_ms = window_minutes * 60_000
 
     def update(key, pdfs, state):
@@ -131,49 +149,66 @@ def stateful_windowed_bottomk(
 
         wstart_ms, etype = key
         if state.hasTimedOut:
-            hs, ids, vals = state.get
-            order = sorted(range(len(hs)), key=lambda j: (hs[j], ids[j]))
+            # state arrays are stored in (h, id) keep-order — emit as-is
+            hs, ids, vals, vnull = state.get
             state.remove()
             yield pd.DataFrame(
                 {
-                    "window_start_ms": [int(wstart_ms)] * len(order),
-                    "event_type": [etype] * len(order),
-                    "event_id": [int(ids[j]) for j in order],
-                    "value": [float(vals[j]) for j in order],
-                    "h": [hs[j] for j in order],
+                    "window_start_ms": [int(wstart_ms)] * len(hs),
+                    "event_type": [etype] * len(hs),
+                    "event_id": [int(i) for i in ids],
+                    # object column: None survives to SQL NULL, floats
+                    # stay doubles
+                    "value": pd.Series(
+                        [None if n else float(v) for v, n in zip(vals, vnull)],
+                        dtype=object,
+                    ),
+                    "h": list(hs),
                 }
             )
             return
         if state.exists:
-            hs, ids, vals = (list(c) for c in state.get)
+            hs, ids, vals, vnull = (list(c) for c in state.get)
         else:
-            hs, ids, vals = [], [], []
+            hs, ids, vals, vnull = [], [], [], []
         for pdf in pdfs:
-            for h, i, v in zip(pdf["h"], pdf["event_id"], pdf["value"]):
+            isna = pdf["value"].isna()
+            for h, i, v, n in zip(
+                pdf["h"], pdf["event_id"], pdf["value"], isna
+            ):
                 hs.append(str(h))
                 ids.append(int(i))
-                vals.append(float(v))
+                vals.append(0.0 if n else float(v))
+                vnull.append(bool(n))
         keep = sorted(range(len(hs)), key=lambda j: (hs[j], ids[j]))[:k]
         state.update(
             (
                 [hs[j] for j in keep],
                 [ids[j] for j in keep],
                 [vals[j] for j in keep],
+                [vnull[j] for j in keep],
             )
         )
         # fire when the watermark passes the window end
         state.setTimeoutTimestamp(int(wstart_ms) + window_ms)
         return
 
-    prepared = events_stream.withWatermark("ts", watermark_delay).select(
-        "ts",
-        F.unix_millis(
-            F.window("ts", f"{window_minutes} minutes").start
-        ).alias("wstart_ms"),
-        "event_type",
-        "event_id",
-        "value",
-        F.md5(F.col("event_id").cast("string")).alias("h"),
+    prepared = (
+        events_stream.withWatermark("ts", watermark_delay)
+        # NULL-keyed / NULL-timestamped rows are not sampleable (the
+        # layer contract); dropping them here also keeps the update fn
+        # free of NaN-id crashes
+        .where(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            "ts",
+            F.unix_millis(
+                F.window("ts", f"{window_minutes} minutes").start
+            ).alias("wstart_ms"),
+            "event_type",
+            "event_id",
+            "value",
+            F.md5(F.col("event_id").cast("string")).alias("h"),
+        )
     )
     return prepared.groupBy("wstart_ms", "event_type").applyInPandasWithState(
         update,
@@ -181,4 +216,20 @@ def stateful_windowed_bottomk(
         stateStructType=BOTTOMK_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_samples_as_sketch(samples: DataFrame) -> DataFrame:
+    """Adapt stream-built sample sink rows (window_start_ms LONG) to
+    the batch sketch schema (bucket TIMESTAMP, event_type, event_id,
+    value, h) so ``operators.multidim.bottomk_merge`` consumes them
+    directly; unix_millis/timestamp_millis round-trip exactly."""
+    from pyspark.sql import functions as F
+
+    return samples.select(
+        F.timestamp_millis("window_start_ms").alias("bucket"),
+        "event_type",
+        "event_id",
+        "value",
+        "h",
     )

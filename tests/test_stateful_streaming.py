@@ -188,3 +188,74 @@ def test_stateful_windowed_bottomk_emits_final_sample_on_close(spark, tmp_path):
         by_win.setdefault(r.window_start_ms, []).append(r.event_id)
     assert sorted(by_win[BASE]) == sorted(expect)  # unchanged, no dup
     assert by_win[BASE + 20 * 60000] == [100]
+
+
+def test_stateful_bottomk_null_contract_and_merge_adapter(spark, tmp_path):
+    # NULL-keyed rows are excluded (not a crash), NULL values survive
+    # as NULLs in the emitted sample, and the adapter makes the sink
+    # rows consumable by the batch bottomk_merge with results equal to
+    # a direct batch bottom-k over the same (closed-window) rows.
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.operators.multidim import _bottomk, bottomk_merge
+    from lambda_sample_spark.streaming.stateful import (
+        stateful_windowed_bottomk,
+        stream_samples_as_sketch,
+    )
+
+    BASE = 1700000400000
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = (
+        [(i, "click", float(i % 8), float(i)) for i in range(40)]
+        + [(50, "click", 3.0, None)]       # NULL value: sampleable
+        + [(None, "click", 4.0, 99.0)]     # NULL key: excluded
+        + [(999, "click", 25.0, 1.0)]      # watermark pusher
+    )
+    (
+        spark.createDataFrame(
+            rows, "event_id long, event_type string, offset_min double, value double"
+        )
+        .select(
+            "event_id", "event_type",
+            F.timestamp_millis(
+                F.lit(BASE) + (F.col("offset_min") * 60000).cast("long")
+            ).alias("ts"),
+            "value",
+        )
+        .write.parquet(src)
+    )
+    stream = spark.readStream.schema(
+        "event_id long, event_type string, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        stateful_windowed_bottomk(stream, k=64)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    sink = spark.read.parquet(out)
+    ids = {r.event_id for r in sink.collect()}
+    assert None not in ids            # NULL key excluded, no crash
+    assert 50 in ids                  # NULL-value row owns its slot
+    nulls = sink.where(F.col("event_id") == 50).collect()
+    assert len(nulls) == 1 and nulls[0].value is None  # NULL, not NaN
+
+    # merge adapter: stream sink rows -> batch sketch schema -> month
+    # merge equals a direct batch bottom-k over the same closed rows
+    batch = (
+        spark.read.parquet(src)
+        .where(F.col("event_id").isNotNull() & (F.col("event_id") != 999))
+    )
+    merged = bottomk_merge(stream_samples_as_sketch(sink), "month", k=64)
+    direct = _bottomk(batch, F.date_trunc("month", "ts"), k=64)
+    a = {(r.bucket, r.event_type, r.event_id) for r in merged.collect()}
+    b = {(r.bucket, r.event_type, r.event_id) for r in direct.collect()}
+    assert a == b
