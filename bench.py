@@ -156,22 +156,33 @@ def main() -> None:
     timings_max = {name: round(max(rs), 4) for name, rs in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the JSON line it finds there (BENCH_r07 recorded
+    # parsed:null because the line, grown past that window by
+    # queries_max, was truncated at the head). So: stdout gets a
+    # COMPACT line — metric/value/queries/sf plus small scalars — and
+    # the full per-repeat detail (max times, sweep walls) goes to
+    # bench_detail.json alongside this script.
     out = {
         "metric": "fast_anomaly_sec",
         "value": timings["q_fast_anomaly"],
         "unit": "sec",
         "queries": timings,
-        "queries_max": timings_max,
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
         "total_sec": round(sum(timings.values()), 4),
         # host-noise indicator: spread of whole-sweep wall times within
         # this invocation (cross-invocation drift of ~1.3x has been
         # observed on this box with zero source change)
-        "sweep_totals": sweep_totals,
         "sweep_spread": round(max(sweep_totals) / max(min(sweep_totals), 1e-9), 3),
     }
-    print(json.dumps(out))
+    detail = dict(out, queries_max=timings_max, sweep_totals=sweep_totals)
+    with open(Path(REPO) / "bench_detail.json", "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(out)
+    # hard guard: never exceed the driver's capture window again
+    assert len(line) < 1900, f"bench JSON line {len(line)} chars; slim it"
+    print(line)
     spark.stop()
 
 

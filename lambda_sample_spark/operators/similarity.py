@@ -410,29 +410,97 @@ def ivf_nprobe_for(k: int) -> int:
     return max(IVF_NPROBE, _math.ceil(_math.log2(max(k, 2))))
 
 
-def ivf_index(
-    emb: DataFrame, k: int, max_iter: int = 8, fit_fraction: float = 1.0
-):
-    """IVF coarse quantizer: spherical k-means (vectors L2-normalized,
-    then MLlib KMeans — euclidean on the unit sphere orders like
-    cosine). Returns (centroid frame, assignment frame). At 100 TB the
-    assignment frame is the index: written out partitioned by
-    ``cluster`` so a probe reads only its clusters' files (partition
-    pruning does the candidate selection).
+IVF_FIT_CAP = 262_144  # max vectors collected to the driver for quantizer fit
 
-    ``max_iter`` defaults to 8, not MLlib's 20: a COARSE quantizer
-    doesn't need convergence — measured on this corpus the k-means
-    cost plateaus by iteration 8 (1753.6 vs 1750.3 at 20, a 0.2% gap)
-    while each extra iteration is a full pass over the vectors. The
-    same economics is why FAISS trains IVF quantizers with ~10
-    iterations. ``fit_fraction`` < 1 trains the quantizer on a
-    deterministic sample and then assigns the FULL corpus with the
-    fitted model — the standard trick at corpus sizes where even one
-    k-means pass over everything is too expensive; assignment (one
-    broadcast of k centroids, one map pass) is the only full-data
-    step."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+
+def _fit_centroids_np(vecs, k: int, max_iter: int, seed: int = 42):
+    """Seeded spherical k-means (Lloyd) over a DRIVER-SIDE sample:
+    k-means++ (D^2) init, then ``max_iter`` rounds of argmax-dot
+    assignment + mean-and-renormalize updates, empty cells reseeded
+    with the farthest points. Returns a (k', dim) float64 array of
+    UNIT centroids (k' <= k when the sample is smaller than k).
+
+    Why driver-side: a coarse quantizer is always trained on a bounded
+    sample (FAISS trains IVF on ~256 vectors/cell regardless of corpus
+    size); distributing Lloyd over the full corpus buys nothing but
+    per-iteration job-scheduling overhead — measured here, MLlib's
+    KMeans.fit on a 2k-row frame costs ~3.6-9 s WARM (8 iterations x
+    2 scheduled jobs each) vs ~ms for the same arithmetic in-process.
+    Only the ASSIGNMENT is a full-corpus pass, and that ships as one
+    vectorized map over broadcast centroids (see ivf_index)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    n = unit.shape[0]
+    k = max(1, min(k, n))
+    # k-means++ seeding: D^2-weighted draws (squared euclidean on the
+    # unit sphere = 2 - 2*dot, monotone in cosine distance)
+    first = int(rng.integers(n))
+    chosen = [first]
+    d2 = np.maximum(2.0 - 2.0 * (unit @ unit[first]), 0.0)
+    for _ in range(1, k):
+        total = d2.sum()
+        probs = d2 / total if total > 0 else np.full(n, 1.0 / n)
+        j = int(rng.choice(n, p=probs))
+        chosen.append(j)
+        np.minimum(d2, np.maximum(2.0 - 2.0 * (unit @ unit[j]), 0.0), out=d2)
+    cents = unit[chosen].copy()
+    for _ in range(max_iter):
+        assign = (unit @ cents.T).argmax(axis=1)
+        newc = np.zeros_like(cents)
+        np.add.at(newc, assign, unit)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # reseed empty cells with the points farthest from their
+            # current centroid (standard Lloyd repair, deterministic)
+            far = np.argsort((unit * cents[assign]).sum(axis=1))
+            newc[empty] = unit[far[: int(empty.sum())]]
+        cn = np.linalg.norm(newc, axis=1, keepdims=True)
+        newc /= np.where(cn < 1e-12, 1.0, cn)
+        if np.allclose(newc, cents, atol=1e-12):
+            cents = newc
+            break
+        cents = newc
+    return cents
+
+
+def ivf_index(
+    emb: DataFrame,
+    k: int,
+    max_iter: int = 8,
+    fit_fraction: float = 1.0,
+    fit_cap: int = IVF_FIT_CAP,
+):
+    """IVF coarse quantizer: spherical k-means fit on a BOUNDED
+    driver-side sample (``_fit_centroids_np``; at most ``fit_cap``
+    vectors — the FAISS economics: quantizer quality needs a sample,
+    never the corpus), then one vectorized assignment pass over the
+    full frame with the k x dim centroid matrix shipped as a Spark
+    broadcast. Returns (centroid frame, assignment frame). At 100 TB
+    the assignment frame is the index: written out partitioned by
+    ``cluster`` so a probe reads only its clusters' files (partition
+    pruning does the candidate selection), and assignment — the only
+    full-data step — is a single mapper with no shuffle.
+
+    ``max_iter`` defaults to 8: a COARSE quantizer doesn't need
+    convergence — the k-means cost plateaus well before that while
+    every extra iteration is another pass over the fit sample.
+    ``fit_fraction`` < 1 subsamples distributedly BEFORE the driver
+    collect (useful when even ``fit_cap`` rows of I/O should come from
+    a cheap scan-side sample); the cap applies either way. Centroids
+    are unit vectors, so dot(q_unit, cvec) orders cells by cosine.
+
+    Replaced MLlib KMeans in round 8: same operator contract
+    (deterministic seeded fit, full-corpus assignment, unit-sphere
+    geometry), but the fit runs in-process — MLlib's per-iteration
+    job scheduling cost ~3.6-9 s warm on a 2k-row frame, two orders
+    of magnitude above the arithmetic it performs at contract scale."""
+    from pyspark.sql.functions import pandas_udf
 
     norm = F.sqrt(F.aggregate("vec", F.lit(0.0), lambda a, x: a + x * x))
     unit = emb.select(
@@ -440,19 +508,27 @@ def ivf_index(
         "vec",
         F.transform("vec", lambda x: x / norm).alias("unit"),
     )
-    feat = unit.withColumn("features", array_to_vector("unit"))
-    fit_on = feat if fit_fraction >= 1.0 else feat.sample(fit_fraction, seed=42)
-    model = KMeans(
-        k=k,
-        seed=42,
-        maxIter=max_iter,
-        featuresCol="features",
-        predictionCol="cluster",
-    ).fit(fit_on)
-    assigned = model.transform(feat).select("vec_id", "vec", "unit", "cluster")
-    # centroid frame straight from the model (k rows — tiny)
-    centroids = feat.sparkSession.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+    fit_on = emb if fit_fraction >= 1.0 else emb.sample(fit_fraction, seed=42)
+    sample = [r.vec for r in fit_on.select("vec").limit(fit_cap).collect()]
+    cents = _fit_centroids_np(sample, k, max_iter)
+    bc = emb.sparkSession.sparkContext.broadcast(cents)
+
+    @pandas_udf("int")
+    def cluster_of(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+        import pandas as _pd
+
+        c = bc.value  # (k, dim) unit centroids, torrent-broadcast once
+        if len(vecs) == 0:
+            return _pd.Series([], dtype="int32")
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        return _pd.Series((mat / nrm @ c.T).argmax(axis=1).astype("int32"))
+
+    assigned = unit.withColumn("cluster", cluster_of("vec"))
+    centroids = emb.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
         "cluster INT, cvec ARRAY<DOUBLE>",
     )
     return centroids, assigned
@@ -729,14 +805,56 @@ def semantic_dedup_indexed(
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): semantic dedup over the embeddings table.
-    k is sized from the parquet footer row count — no count() job."""
+    """Contract (rows-only): semantic dedup over the embeddings table,
+    run STRUCTURALLY as ``semantic_dedup_indexed`` (round-7 verdict
+    item 1): fit the IVF quantizer once, write the assignment to a
+    scratch cluster-partitioned index, and run the census / pairing /
+    election over the materialized cells. The in-memory composition
+    (``semantic_dedup``) re-derives its scan+k-means subtree once per
+    plan branch — builder-measured 5 scans / 10 model-UDF applications
+    per execution, because pruning/pushdown make the branch subtrees
+    non-identical and ReuseExchange can't merge them. Materializing
+    the assignment collapses that to ONE k-means application (at index
+    write) and narrow pruned parquet re-reads per branch — the same
+    plan shape a 100 TB run uses against a real persisted index.
+
+    The scratch root is deterministic per sf_dir and written with
+    mode=overwrite, so repeated invocations (bench repeats, the
+    driver's contract sweep) reuse one directory instead of
+    accumulating temp trees; nothing is ever left cached in the
+    session. k is sized from the parquet footer row count — no
+    count() job. Result-equality of the two shapes is pinned by
+    tests/test_similarity_scale.py::test_semantic_dedup_indexed_matches_inmemory.
+    """
+    import hashlib
+    import os
+    import tempfile
+
     from ..io import parquet_num_rows
 
     emb = embeddings(spark, sf_dir).select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    return semantic_dedup(emb, n=parquet_num_rows(sf_dir, "embeddings"))
+    n = parquet_num_rows(sf_dir, "embeddings")
+    if n is None:
+        n = emb.count()
+    k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
+    centroids, assigned = ivf_index(emb, k)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_semdedup_{tag}")
+    # plain (unpartitioned) cells layout: the dedup reads every cell
+    # anyway, so the per-cluster directory layout buys nothing here and
+    # its many-small-files write cost (k dirs x n_tasks files) is the
+    # wrong trade below ~1 file per cell — ivf_write_index's partitioned
+    # layout is for PROBE pruning, not full-pass dedup. File count
+    # targets ~100k vectors (~50 MB of 64-dim doubles) per file so the
+    # four downstream scans pay file-open overhead proportional to
+    # data, not to the writer's task count.
+    parts = max(1, min(2048, (n + 99_999) // 100_000))
+    assigned.select("vec_id", "vec", "cluster").repartition(parts).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/cells")
+    return semantic_dedup_indexed(spark, path)
 
 
 def _cos_sql(a: str, b: str) -> str:

@@ -474,3 +474,20 @@ def test_probe_index_external_ids_and_zero_norm(spark, sf_dir, tmp_path):
     # corpus-self probing keeps excluding the query row itself
     self_out = ivf_probe_index(spark, path, queries.where("q_id = 3"), nprobe=3)
     assert all(r.c_id != 3 for r in self_out.where("q_id = 3").collect())
+
+
+def test_contract_semantic_dedup_is_indexed_shape(spark, sf_dir):
+    # round-8 (verdict item 1): the CONTRACT path must be structurally
+    # semantic_dedup_indexed — the returned plan reads the materialized
+    # scratch cells parquet (k-means applied exactly once, at write
+    # time) and contains no model UDF; the old in-memory composition
+    # re-derived the scan+assignment subtree once per plan branch
+    # (builder-measured 5 scans / 10 UDF applications per execution).
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q_semantic_dedup"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UDF" not in plan, "model must not be re-applied at read time"
+    assert "lss_semdedup_" in plan, "plan must scan the materialized cells"
+    assert df.columns == ["vec_id", "cluster", "is_semantic_dup"]
+    assert df.count() > 0
