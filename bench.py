@@ -60,6 +60,8 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_cms_heavy_hitters",
     "q_tpch_q5",
+    "q_tpch_q4",
+    "q_tpch_q19",
     "q_source_cap",
     "q_sampled_quantiles",
 ]

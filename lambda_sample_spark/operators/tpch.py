@@ -381,19 +381,14 @@ QUERIES = {
     "q_tpch_q14": tpch_q14,
 }
 
-# round-7 promotion (appends after the frozen first-50 window)
-QUERIES_TAIL = {
-    "q_tpch_q5": tpch_q5,
-}
-
-
 def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: order-priority census over a quarter, counting
     only orders where EXISTS a qualifying lineitem (the testdata has
     no commit/receipt dates, so 'late delivery' becomes 'high-value
     item' — the PLAN shape is identical: correlated EXISTS
     decorrelated to a left-semi join feeding a small aggregate).
-    Library op; DuckDB-checked in tests/test_tpch_shapes.py."""
+    Promoted to an oracle-checked contract tail row in round 8
+    (was library-only, DuckDB-checked in tests/test_tpch_shapes.py)."""
     orders = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
@@ -442,3 +437,37 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r2(F.sum(rev)).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+ORACLE["q_tpch_q4"] = """
+SELECT o.o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_extendedprice > 1500.0)
+GROUP BY o.o_orderpriority
+"""
+
+ORACLE["q_tpch_q19"] = """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 40
+       AND l.l_quantity BETWEEN 20 AND 50)
+"""
+
+# round-7/8 promotions (append after the frozen first-50 window): Q5
+# in round 7; Q4 (EXISTS -> left-semi census) and Q19 (disjunctive
+# OR-of-ANDs residual pushdown) in round 8 — plan shapes no other
+# contract row covers
+QUERIES_TAIL = {
+    "q_tpch_q5": tpch_q5,
+    "q_tpch_q4": tpch_q4_shape,
+    "q_tpch_q19": tpch_q19_shape,
+}

@@ -55,6 +55,13 @@ BUDGET = {
     # region/nation legs and the region-pruned supplier/customer
     # filters are all broadcast joins at the scans
     "q_tpch_q5": 3,
+    # round 8 promotions: Q4's EXISTS decorrelates to a broadcast
+    # left-semi at the lineitem scan (orders quarter-filter side is
+    # small) + one priority aggregate; Q19 is a broadcast part join
+    # with pushed per-table residuals feeding a single global aggregate
+    # (partial -> single-partition final, no hash exchange)
+    "q_tpch_q4": 1,
+    "q_tpch_q19": 0,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
