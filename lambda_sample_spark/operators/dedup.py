@@ -45,14 +45,23 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
     its other columns (16-byte md5 shuffle keys, never the bodies
     twice). The contract query ``dedup_exact`` returns the aggregated
     (text_hash, doc_id, n_dups) shape; pipelines that need the
-    surviving ROWS (examples/pretrain_pipeline.py stage 2) use this."""
+    surviving ROWS (examples/pretrain_pipeline.py stage 2) use this.
+
+    NULL texts pass through UNCHANGED: md5(NULL) is NULL, so without
+    the guard every NULL-text row would land in one window partition
+    and collapse to a single survivor — surprising general-purpose
+    semantics (round-7 advice), since NULL = "no text", not "the same
+    text". Callers that want NULLs gone should filter them (the
+    example pipeline's quality gate does)."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    withtext = docs.where(F.col("text").isNotNull())
     return (
-        docs.withColumn("_rn", F.row_number().over(w))
+        withtext.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn")
+        .unionByName(docs.where(F.col("text").isNull()))
     )
 
 

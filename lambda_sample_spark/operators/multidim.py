@@ -461,11 +461,16 @@ def _sample_median(grouped: DataFrame) -> DataFrame:
     interpolating percentile, so both engines select the same value.
     NULL values are excluded from both the list and sample_n (Spark's
     collect_list skips them implicitly; the oracle filters explicitly
-    and counts count(value)) so the two engines index the same list."""
+    and counts count(value)) so the two engines index the same list.
+    A group whose sample holds ZERO non-null values gets a NULL median
+    — guarded explicitly, because idx would be 0 there and Spark's
+    element_at(arr, 0) raises while DuckDB's 1-based list[0] returns
+    NULL (round-7 advice: latent crash/divergence on the library
+    surface even though the contract corpus can't produce it)."""
     arr = F.array_sort(F.collect_list("value"))
     idx = (F.floor((F.size(arr) - F.lit(1)) * F.lit(0.5)) + 1).cast("int")
     return grouped.groupBy("bucket", "event_type").agg(
-        F.element_at(arr, idx).alias("q50_est"),
+        F.when(F.size(arr) > 0, F.element_at(arr, idx)).alias("q50_est"),
         F.count("value").cast("bigint").alias("sample_n"),
     )
 
@@ -610,7 +615,10 @@ SELECT * FROM d UNION ALL SELECT * FROM m
 """,
     # identical md5 bucket hashes + the same per-source-build ->
     # cell-wise-merge -> min-probe pipeline; sums cast back to BIGINT
-    # (DuckDB widens integer SUM to HUGEINT)
+    # (DuckDB widens integer SUM to HUGEINT). The probe join is LEFT
+    # with coalesce(c, 0) — the operator's empty-cell-is-zero
+    # semantics (absent keys estimate 0), not just the populated-cell
+    # special case the top-N tokens happen to exercise
     "q_cms_heavy_hitters": rf"""
 WITH toks AS (
   SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
@@ -640,9 +648,9 @@ WITH toks AS (
 )
 SELECT p.tok AS token,
        CAST(p.n_exact AS BIGINT) AS n_exact,
-       CAST(min(c.c) AS BIGINT) AS n_est,
-       (min(c.c) >= p.n_exact) AS no_undercount
-FROM probe p JOIN cells c ON c.hrow = p.hrow AND c.bucket = p.bucket
+       CAST(min(coalesce(c.c, 0)) AS BIGINT) AS n_est,
+       (min(coalesce(c.c, 0)) >= p.n_exact) AS no_undercount
+FROM probe p LEFT JOIN cells c ON c.hrow = p.hrow AND c.bucket = p.bucket
 GROUP BY p.tok, p.n_exact
 """,
     # identical md5 ranks -> identical samples -> identical estimates

@@ -91,3 +91,17 @@ def test_approx_distinct_within_hll_error(spark):
         n_exact, within = got[et]
         assert n_exact == n, (et, n_exact, n)
         assert within is True, f"HLL estimate outside 2% for {et}"
+
+
+def test_dedup_exact_keep_first_null_texts_pass_through(spark):
+    # round-7 advice: md5(NULL) is NULL, so NULL-text rows used to
+    # collapse into a single survivor; they must pass through unchanged
+    from lambda_sample_spark.operators.dedup import dedup_exact_keep_first
+
+    docs = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, None), (4, None), (5, "other")],
+        "doc_id BIGINT, text STRING",
+    )
+    out = dedup_exact_keep_first(docs)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert ids == [1, 3, 4, 5], ids

@@ -244,3 +244,23 @@ def test_bottomk_merge_is_subset_of_union_and_uniform(spark, sf_dir):
         ).count()
         == 0
     )
+
+
+def test_sample_median_all_null_group_yields_null(spark):
+    # round-7 advice: a group whose sample has zero non-null values
+    # made idx=0 and element_at(arr, 0) raise; it must yield NULL
+    # (matching DuckDB's 1-based list[0]) instead of crashing
+    from lambda_sample_spark.operators.multidim import _sample_median
+
+    grouped = spark.createDataFrame(
+        [
+            ("2024-01-01", "a", None),
+            ("2024-01-01", "a", None),
+            ("2024-01-01", "b", 2.0),
+            ("2024-01-01", "b", 5.0),
+        ],
+        "bucket STRING, event_type STRING, value DOUBLE",
+    )
+    rows = {r.event_type: r for r in _sample_median(grouped).collect()}
+    assert rows["a"].q50_est is None and rows["a"].sample_n == 0
+    assert rows["b"].q50_est == 2.0 and rows["b"].sample_n == 2
