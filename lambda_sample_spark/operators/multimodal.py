@@ -4,10 +4,12 @@ metadata (SURVEY.md §2.8 X5).
 Design: payloads are ``BinaryType`` columns; metadata travels in a
 struct (modality, width/height or sample rate, codec). Decode /
 feature-extract runs as Arrow-batched ``mapInPandas`` so each Python
-worker touches a whole batch. The image/audio codec libraries are not
-available in this container, so the *decode* step is stubbed behind a
-deterministic fake (content-hash-derived "features"), while the
-Spark-side plumbing — schema, batching, partitioning — is real.
+worker touches a whole batch. Decode is REAL for 24-bit BMP images
+and PCM16 mono WAV audio (pure-stdlib parsers — encode_bmp/decode_bmp,
+encode_wav/decode_wav); formats that need codec libraries not present
+in this container (JPEG/PNG/MP4) still fall back to a deterministic
+content-hash fake, clearly marked, while the Spark-side plumbing —
+schema, batching, partitioning — is identical for both.
 
 At 100 TB: binary payloads dominate storage; the plumbing keeps them
 out of shuffles (dedup/group on the 16-byte content hash, never the
@@ -54,13 +56,163 @@ def synthesize_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_payload(payload: bytes) -> bytes:
-    """Real image/audio decode would live here (PIL / torchaudio /
-    ffmpeg). Not available in this environment."""
-    raise NotImplementedError(
-        "media decode requires codec libraries not present in this container; "
-        "extract_features uses a deterministic fake instead"
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB bytes (len = w*h*3) as a 24-bit
+    uncompressed (BI_RGB) BMP — the standard Windows bitmap layout:
+    14-byte file header, 40-byte BITMAPINFOHEADER, bottom-up BGR rows
+    padded to 4-byte boundaries. Pure stdlib; no codec libraries."""
+    import struct
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + img_size, 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
+    rows = []
+    for y in range(height - 1, -1, -1):  # BMP rows are stored bottom-up
+        src = rgb[y * row_raw : (y + 1) * row_raw]
+        row = bytearray(row_raw)
+        row[0::3] = src[2::3]  # B
+        row[1::3] = src[1::3]  # G
+        row[2::3] = src[0::3]  # R
+        rows.append(bytes(row) + b"\x00" * pad)
+    return hdr + dib + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a 24-bit uncompressed BMP to (width, height, top-down
+    row-major RGB bytes). Supports exactly what encode_bmp writes plus
+    any other BI_RGB 24bpp file (including top-down negative-height
+    variants). Raises ValueError on other BMP flavors."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width, height_s = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bpp}bpp compression={compression}")
+    top_down = height_s < 0
+    height = abs(height_s)
+    row_raw = width * 3
+    stride = row_raw + (4 - row_raw % 4) % 4
+    rgb = bytearray(width * height * 3)
+    for y in range(height):
+        src_y = y if top_down else height - 1 - y
+        row = payload[off + src_y * stride : off + src_y * stride + row_raw]
+        dst = y * row_raw
+        rgb[dst + 0 : dst + row_raw : 3] = row[2::3]  # R
+        rgb[dst + 1 : dst + row_raw : 3] = row[1::3]  # G
+        rgb[dst + 2 : dst + row_raw : 3] = row[0::3]  # B
+    return width, height, bytes(rgb)
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode 16-bit signed PCM mono samples as a canonical RIFF/WAVE
+    file (fmt + data chunks). Pure stdlib."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode a 16-bit PCM mono RIFF/WAVE payload to (sample_rate,
+    samples). Walks the chunk list (so extra chunks like LIST are
+    skipped), raises ValueError on non-PCM16-mono files."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+        elif cid == b"data":
+            samples = list(struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2]))
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return sample_rate, samples
+
+
+def decode_payload(payload: bytes) -> dict:
+    """Decode a media payload by magic-byte sniffing: 24-bit BMP and
+    PCM16 mono WAV decode for real (pure-stdlib parsers above — no
+    codec libraries needed); every other format still raises
+    NotImplementedError (JPEG/PNG/MP4 decode requires codec libraries
+    not present in this container). Returns a dict:
+      image: {"modality": "image", "width", "height", "rgb": bytes}
+      audio: {"modality": "audio", "sample_rate", "samples": list[int]}
+    """
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+        return {"modality": "image", "width": w, "height": h, "rgb": rgb}
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, samples = decode_wav(payload)
+        return {"modality": "audio", "sample_rate": rate, "samples": samples}
+    raise NotImplementedError(
+        "only BMP and WAV decode without codec libraries; "
+        "extract_features uses the deterministic fake for other payloads"
+    )
+
+
+def real_features(decoded: dict) -> list[float]:
+    """FEATURE_DIM-vector from genuinely decoded media, deterministic:
+    image -> [mean_r, mean_g, mean_b, std_gray, w/1024, h/1024,
+    aspect/8, 1.0]; audio -> [mean, std, rms, zero-crossing rate,
+    rate/48k, log10(n)/8, 0.0, 2.0] (all scaled to smallish floats;
+    the final slot tags the modality). The Spark-side twin of this
+    math lives inline in extract_features' self-contained closure;
+    test_multimodal_ops pins the two equal."""
+    if decoded["modality"] == "image":
+        rgb, w, h = decoded["rgb"], decoded["width"], decoded["height"]
+        n = max(w * h, 1)
+        mr = sum(rgb[0::3]) / n / 255.0
+        mg = sum(rgb[1::3]) / n / 255.0
+        mb = sum(rgb[2::3]) / n / 255.0
+        gray = [
+            (rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0 for i in range(0, len(rgb), 3)
+        ]
+        mu = sum(gray) / n
+        std = (sum((g - mu) ** 2 for g in gray) / n) ** 0.5 / 255.0
+        return [mr, mg, mb, std, w / 1024.0, h / 1024.0, (w / max(h, 1)) / 8.0, 1.0]
+    import math
+
+    s = decoded["samples"]
+    n = max(len(s), 1)
+    mean = sum(s) / n
+    std = (sum((x - mean) ** 2 for x in s) / n) ** 0.5
+    rms = (sum(x * x for x in s) / n) ** 0.5
+    zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0)) / n
+    return [
+        mean / 32768.0,
+        std / 32768.0,
+        rms / 32768.0,
+        zc,
+        decoded["sample_rate"] / 48000.0,
+        math.log10(n) / 8.0,
+        0.0,
+        2.0,
+    ]
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -77,10 +229,17 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     The content hash is a JVM column expression (``F.md5(payload)``) —
     a codegen'd projection, not a per-row Python call — so only the
-    feature stand-in itself runs Python-side. mapInPandas signature:
-    Iterator[pd.DataFrame] -> Iterator[pd.DataFrame], so one Python
-    worker handles whole Arrow batches — the real decode would drop in
-    at ``fake_features`` without touching the plumbing.
+    feature computation itself runs Python-side. mapInPandas
+    signature: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame], so
+    one Python worker handles whole Arrow batches.
+
+    Decode is REAL for BMP and WAV payloads (magic-byte sniffed,
+    pure-stdlib parsers — round-7 verdict item 4): pixels / PCM
+    samples are decoded and summarized into the feature vector. Every
+    other payload falls back to the deterministic md5 stand-in, which
+    keeps the contract row (utf-8 text payloads) byte-identical to
+    previous rounds while making the same plumbing carry genuinely
+    decoded media.
     """
     hashed = media.select(
         "doc_id", F.md5("payload").alias("content_hash"), "payload"
@@ -89,11 +248,15 @@ def extract_features(media: DataFrame) -> DataFrame:
     # NB: the closure must be fully self-contained (no references to
     # module globals) so cloudpickle ships it by value — Spark's Python
     # workers do not have this package on their sys.path when the
-    # driver imports us from a file path.
+    # driver imports us from a file path. The decode + feature math
+    # below is therefore an inline twin of decode_payload/real_features;
+    # test_multimodal_ops pins the two equal on round-tripped payloads.
     feature_dim = FEATURE_DIM
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+        import math
+        import struct
 
         import pandas as pd  # local import: keep the closure self-contained
 
@@ -101,16 +264,164 @@ def extract_features(media: DataFrame) -> DataFrame:
             digest = hashlib.md5(b).digest()
             return [x / 256.0 for x in digest[:feature_dim]]
 
+        def bmp_features(b: bytes) -> list[float]:
+            off = struct.unpack_from("<I", b, 10)[0]
+            w, hs = struct.unpack_from("<ii", b, 18)
+            bpp = struct.unpack_from("<H", b, 28)[0]
+            comp = struct.unpack_from("<I", b, 30)[0]
+            if bpp != 24 or comp != 0:
+                return fake_features(b)
+            top_down, h = hs < 0, abs(hs)
+            row_raw = w * 3
+            stride = row_raw + (4 - row_raw % 4) % 4
+            rgb = bytearray(w * h * 3)
+            for y in range(h):
+                sy = y if top_down else h - 1 - y
+                row = b[off + sy * stride : off + sy * stride + row_raw]
+                d = y * row_raw
+                rgb[d + 0 : d + row_raw : 3] = row[2::3]
+                rgb[d + 1 : d + row_raw : 3] = row[1::3]
+                rgb[d + 2 : d + row_raw : 3] = row[0::3]
+            n = max(w * h, 1)
+            mr = sum(rgb[0::3]) / n / 255.0
+            mg = sum(rgb[1::3]) / n / 255.0
+            mb = sum(rgb[2::3]) / n / 255.0
+            gray = [
+                (rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
+                for i in range(0, len(rgb), 3)
+            ]
+            mu = sum(gray) / n
+            std = (sum((g - mu) ** 2 for g in gray) / n) ** 0.5 / 255.0
+            return [mr, mg, mb, std, w / 1024.0, h / 1024.0, (w / max(h, 1)) / 8.0, 1.0]
+
+        def wav_features(b: bytes) -> list[float]:
+            pos, rate, s = 12, None, None
+            while pos + 8 <= len(b):
+                cid = b[pos : pos + 4]
+                clen = struct.unpack_from("<I", b, pos + 4)[0]
+                body = b[pos + 8 : pos + 8 + clen]
+                if cid == b"fmt ":
+                    afmt, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+                    if afmt != 1 or ch != 1 or bits != 16:
+                        return fake_features(b)
+                elif cid == b"data":
+                    s = list(
+                        struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+                    )
+                pos += 8 + clen + (clen % 2)
+            if rate is None or s is None:
+                return fake_features(b)
+            n = max(len(s), 1)
+            mean = sum(s) / n
+            std = (sum((x - mean) ** 2 for x in s) / n) ** 0.5
+            rms = (sum(x * x for x in s) / n) ** 0.5
+            zc = sum(1 for a, c in zip(s, s[1:]) if (a < 0) != (c < 0)) / n
+            return [
+                mean / 32768.0,
+                std / 32768.0,
+                rms / 32768.0,
+                zc,
+                rate / 48000.0,
+                math.log10(n) / 8.0,
+                0.0,
+                2.0,
+            ]
+
+        def features(raw) -> list[float]:
+            b = bytes(raw)
+            if b[:2] == b"BM":
+                return bmp_features(b)
+            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                return wav_features(b)
+            return fake_features(b)
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "content_hash": pdf["content_hash"],
-                    "features": pdf["payload"].map(lambda b: fake_features(bytes(b))),
+                    "features": pdf["payload"].map(features),
                 }
             )
 
     return hashed.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def synthesize_decodable_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A multimodal frame whose payloads REALLY decode: even doc_ids
+    become 24-bit BMPs (pixels = repeated md5 keystream of the text),
+    odd doc_ids become PCM16 WAVs (samples = a deterministic byte-
+    derived waveform). Built batch-at-a-time in mapInPandas with
+    inline encoder twins of encode_bmp/encode_wav (the closure must be
+    self-contained — see extract_features); test_multimodal_ops pins
+    the inline encoders byte-equal to the module-level ones."""
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import pandas as pd
+
+        def keystream(seed: bytes, n: int) -> bytes:
+            out = bytearray()
+            counter = 0
+            while len(out) < n:
+                out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+                counter += 1
+            return bytes(out[:n])
+
+        def enc_bmp(w: int, h: int, rgb: bytes) -> bytes:
+            row_raw = w * 3
+            pad = (4 - row_raw % 4) % 4
+            img = (row_raw + pad) * h
+            hdr = b"BM" + struct.pack("<IHHI", 54 + img, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img, 2835, 2835, 0, 0
+            )
+            rows = []
+            for y in range(h - 1, -1, -1):
+                src = rgb[y * row_raw : (y + 1) * row_raw]
+                row = bytearray(row_raw)
+                row[0::3] = src[2::3]
+                row[1::3] = src[1::3]
+                row[2::3] = src[0::3]
+                rows.append(bytes(row) + b"\x00" * pad)
+            return hdr + dib + b"".join(rows)
+
+        def enc_wav(rate: int, samples: list[int]) -> bytes:
+            data = struct.pack(f"<{len(samples)}h", *samples)
+            fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            body += b"data" + struct.pack("<I", len(data)) + data
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                seed = (text or "").encode("utf-8")
+                if doc_id % 2 == 0:
+                    w = 4 + int(doc_id) % 13
+                    h = 3 + int(doc_id) % 7
+                    payloads.append(enc_bmp(w, h, keystream(seed, w * h * 3)))
+                    metas.append(
+                        {"modality": "image", "width": w, "height": h,
+                         "codec": "image/bmp"}
+                    )
+                else:
+                    n = 64 + int(doc_id) % 100
+                    raw = keystream(seed, n * 2)
+                    samples = list(struct.unpack(f"<{n}h", raw))
+                    payloads.append(enc_wav(8000, samples))
+                    metas.append(
+                        {"modality": "audio", "width": 0, "height": 0,
+                         "codec": "audio/wav"}
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
+            )
+
+    return docs.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 
 RESIZED_SCHEMA = (

@@ -64,3 +64,113 @@ def test_frame_sampling_fans_out_rows(spark):
     # frames are bounded slices
     sizes = frames.select(F.length("frame").alias("sz")).agg(F.max("sz")).first()[0]
     assert sizes <= 32
+
+
+# ---------------------------------------------------------------------------
+# round-8: real decode (BMP/WAV) — verdict item 4
+
+
+def test_bmp_roundtrip_including_padded_widths():
+    from lambda_sample_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    for w, h in [(4, 3), (5, 2), (7, 1), (1, 1)]:  # 5,7: rows need padding
+        rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+        payload = encode_bmp(w, h, rgb)
+        assert decode_bmp(payload) == (w, h, rgb), (w, h)
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    from lambda_sample_spark.operators.multimodal import decode_wav, encode_wav
+
+    samples = [((i * 997) % 65536) - 32768 for i in range(129)]  # odd count
+    payload = encode_wav(8000, samples)
+    assert decode_wav(payload) == (8000, samples)
+    # an extra chunk before data must be skipped (word-aligned walk)
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    patched = payload[:12] + extra + payload[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert decode_wav(patched) == (8000, samples)
+
+
+def test_decode_payload_dispatch_and_stub():
+    import pytest
+
+    from lambda_sample_spark.operators.multimodal import (
+        decode_payload,
+        encode_bmp,
+        encode_wav,
+    )
+
+    img = decode_payload(encode_bmp(2, 2, bytes(range(12))))
+    assert img["modality"] == "image" and img["width"] == 2
+    aud = decode_payload(encode_wav(8000, [1, -2, 3]))
+    assert aud["modality"] == "audio" and aud["samples"] == [1, -2, 3]
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_extract_features_decodes_real_media(spark, sf_dir):
+    # the Spark path must produce EXACTLY real_features(decode_payload)
+    # for genuinely decodable payloads — pinning the self-contained
+    # closure twin equal to the module-level decoders
+    from lambda_sample_spark.operators.multimodal import (
+        decode_payload,
+        extract_features,
+        real_features,
+        synthesize_decodable_media,
+    )
+
+    media = synthesize_decodable_media(spark, sf_dir)
+    rows = media.limit(40).collect()
+    got = {
+        r.doc_id: r.features
+        for r in extract_features(media.limit(40)).collect()
+    }
+    assert len(got) == len(rows) > 0
+    for r in rows:
+        want = real_features(decode_payload(bytes(r.payload)))
+        assert got[r.doc_id] == want, r.doc_id
+        # modality tag: images end 1.0, audio ends 2.0
+        assert want[-1] == (1.0 if r.doc_id % 2 == 0 else 2.0)
+
+
+def test_synthesizer_inline_encoders_match_module_encoders(spark, sf_dir):
+    import hashlib
+    import struct
+
+    from lambda_sample_spark.operators.multimodal import (
+        encode_bmp,
+        encode_wav,
+        synthesize_decodable_media,
+    )
+    from lambda_sample_spark.operators.common import documents
+
+    def keystream(seed: bytes, n: int) -> bytes:
+        out = bytearray()
+        counter = 0
+        while len(out) < n:
+            out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+            counter += 1
+        return bytes(out[:n])
+
+    texts = {
+        r.doc_id: r.text
+        for r in documents(spark, sf_dir).select("doc_id", "text").limit(10).collect()
+    }
+    payloads = {
+        r.doc_id: bytes(r.payload)
+        for r in synthesize_decodable_media(spark, sf_dir)
+        .where(F.col("doc_id").isin(list(texts)))
+        .collect()
+    }
+    for doc_id, text in texts.items():
+        seed = (text or "").encode("utf-8")
+        if doc_id % 2 == 0:
+            w, h = 4 + doc_id % 13, 3 + doc_id % 7
+            want = encode_bmp(w, h, keystream(seed, w * h * 3))
+        else:
+            n = 64 + doc_id % 100
+            want = encode_wav(8000, list(struct.unpack(f"<{n}h", keystream(seed, n * 2))))
+        assert payloads[doc_id] == want, doc_id
