@@ -59,3 +59,59 @@ def has_partial_agg(df: DataFrame) -> bool:
     return "HashAggregate" in plan and (
         "partial" in plan.lower() or plan.count("HashAggregate") >= 2
     )
+
+
+_JOIN_TOKENS = (
+    "Inner",
+    "LeftOuter",
+    "RightOuter",
+    "FullOuter",
+    "LeftSemi",
+    "LeftAnti",
+    "Cross",
+    "BuildRight",
+    "BuildLeft",
+)
+
+
+def normalized_plan(df: DataFrame) -> str:
+    """Strategy SKELETON of the physical plan, stable across runs and
+    machines: one line per operator keeping only the decision-relevant
+    tokens — operator name, exchange partitioning kind, join strategy
+    + join type + build side, scan format. Plan ids, paths, column
+    lists, and statistics are stripped.
+
+    Complements the Exchange-count budget (test_shuffle_budget): the
+    budget catches ADDED shuffles, this catches strategy FLIPS that
+    keep the count constant — a broadcast join silently becoming a
+    sort-merge join, a lost partial aggregate, an extra sort. Used by
+    tests/test_plan_snapshots.py against checked-in snapshots."""
+    out = []
+    for raw in simple_plan(df).splitlines():
+        line = re.sub(r"^[\s:+\-*)(0-9]*", "", raw).strip()
+        if not line:
+            continue
+        name = re.split(r"[\s(]", line, 1)[0].rstrip(",")
+        if not name or not name[0].isupper():
+            continue
+        if name == "Exchange":
+            kind = (
+                "hash"
+                if "hashpartitioning" in line
+                else "range"
+                if "rangepartitioning" in line
+                else "single"
+                if "SinglePartition" in line
+                else "other"
+            )
+            out.append(f"Exchange {kind}")
+        elif "Join" in name or name == "CartesianProduct":
+            toks = [t for t in _JOIN_TOKENS if f" {t}" in f" {line}"]
+            out.append(" ".join([name, *toks]))
+        elif name == "FileScan":
+            parts = line.split()
+            fmt = parts[1].split("[")[0] if len(parts) > 1 else ""
+            out.append(f"FileScan {fmt}")
+        else:
+            out.append(name)
+    return "\n".join(out)
