@@ -108,11 +108,55 @@ def bench_winnow_prod(spark, sf_dir: str) -> None:
     force(winnow_fingerprints_fast(docs))
 
 
+_STREAM_SRC: dict[str, str] = {}
+
+
+def bench_stream_bottomk(spark, sf_dir: str) -> None:
+    """Composite: the X10 speed layer end-to-end — stateful per-window
+    bottom-k (streaming/stateful.py) over the FULL events table
+    (100k rows at sf0.1) replayed as a file stream with an
+    availableNow trigger to a parquet sink. The source parquet is
+    staged once per process (the warmup sweep pays it); every measured
+    repeat gets a fresh checkpoint + sink so the trigger does the
+    complete stateful pass — events/s = table rows / this number."""
+    import shutil
+    import tempfile
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.streaming.stateful import stateful_windowed_bottomk
+
+    src = _STREAM_SRC.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bench_stream_src_")
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "ts", "value"
+        ).write.mode("overwrite").parquet(src)
+        _STREAM_SRC[sf_dir] = src
+    root = tempfile.mkdtemp(prefix="bench_stream_run_")
+    try:
+        stream = spark.readStream.schema(
+            "event_id bigint, event_type string, ts timestamp, value double"
+        ).parquet(src)
+        q = (
+            stateful_windowed_bottomk(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 # non-contract composites timed alongside the HEADLINE queries (they
 # drive their own materialization instead of a noop-sink force)
 COMPOSITES = {
     "x_winnow_prod": bench_winnow_prod,
     "x_ingest_batch": bench_ingest_batch,
+    "x_stream_bottomk": bench_stream_bottomk,
 }
 
 
