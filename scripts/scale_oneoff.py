@@ -1,10 +1,16 @@
 """One-off scale-ladder rung (docs/SCALE.md): inflate the sf0.1
-documents table by $FACTOR (default 80x -> 400k docs), run
-q_ngram_jaccard's operator and the X14 ingest_batch composite once
-each, and print wall time + shuffle-write bytes. NOT part of CI (keep
-the suite bounded) — run by hand, record the numbers in docs/SCALE.md.
+documents table by $FACTOR (default 80x -> 400k docs), run the
+selected operators once each, and print wall time + shuffle-write
+bytes. NOT part of CI (keep the suite bounded) — run by hand, record
+the numbers in docs/SCALE.md.
 
-Usage: python scripts/scale_oneoff.py [factor]
+Usage: python scripts/scale_oneoff.py [factor] [ops]
+  ops: comma list of ngram,winnow,ingest,semdedup
+       (default ngram,winnow,ingest — the round-6/7 ladder);
+       semdedup inflates the EMBEDDINGS table by the factor instead
+       (sf0.1 has 2k vectors: factor 100 -> 200k, 400 -> 800k) and
+       runs index-build + semantic_dedup_indexed over the persisted
+       cells — the round-8 rung for the ops now dominating the bench.
 """
 
 from __future__ import annotations
@@ -44,62 +50,133 @@ def measure(spark, label, fn):
     )
 
 
+def run_semdedup_rung(spark, work: str, factor: int) -> None:
+    """Inflate the sf0.1 embeddings (2k vectors) by ``factor`` with a
+    deterministic per-copy perturbation, then measure the two halves
+    of the round-8 contract shape separately: (1) quantizer fit +
+    assignment write (the one full-data pass), (2) semantic dedup over
+    the persisted cells (census/pairing/election re-reads)."""
+    import math
+
+    from lambda_sample_spark.operators.similarity import (
+        IVF_MAX_CELLS,
+        ivf_index,
+        semantic_dedup_indexed,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("copy"))
+    emb_path = os.path.join(work, "emb.parquet")
+    t0 = time.perf_counter()
+    (
+        base.select("vec_id", "embedding")
+        .crossJoin(copies)
+        .select(
+            (F.col("vec_id") * factor + F.col("copy")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.01 * F.sin(F.col("copy") * 1.7 + i.cast("double")),
+            ).alias("vec"),
+        )
+        .repartition(32)
+        .write.parquet(emb_path)
+    )
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    print(
+        f"inflated embeddings: {n} vectors ({factor}x sf0.1), "
+        f"built in {time.perf_counter() - t0:.0f}s"
+    )
+    k = max(4, min(int(math.isqrt(n)), IVF_MAX_CELLS))
+    idx = os.path.join(work, "semdedup_idx")
+    parts = max(1, min(2048, (n + 99_999) // 100_000))
+
+    def build():
+        cents, assigned = ivf_index(emb, k)
+        assigned.select("vec_id", "vec", "cluster").repartition(parts).write.mode(
+            "overwrite"
+        ).parquet(f"{idx}/cells")
+        return k
+
+    measure(spark, f"semdedup_index_build[k={k}]@{n}", build)
+    measure(
+        spark,
+        f"semantic_dedup_indexed@{n}",
+        lambda: semantic_dedup_indexed(spark, idx).count(),
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
+    ops = set(
+        (sys.argv[2] if len(sys.argv) > 2 else "ngram,winnow,ingest").split(",")
+    )
     from lambda_sample_spark.session import get_spark
     from lambda_sample_spark.operators import dedup, incremental_dedup as inc
 
     spark = get_spark(app_name="scale-oneoff")
-    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
-    docs_path = os.path.join(work, "documents.parquet")
-    t0 = time.perf_counter()
-    _inflate_docs(spark, base, factor).coalesce(16).write.parquet(docs_path)
-    docs = spark.read.parquet(docs_path)
-    n = docs.count()
-    print(f"inflated corpus: {n} docs ({factor}x sf0.1), "
-          f"built in {time.perf_counter() - t0:.0f}s at {docs_path}")
 
-    # the inflated workdir mimics an sf dir (documents.parquet inside),
-    # so the contract operator runs against it unchanged
-    measure(
-        spark,
-        f"ngram_jaccard@{n}",
-        lambda: dedup.ngram_jaccard(spark, work).count(),
-    )
+    if ops & {"ngram", "winnow", "ingest"}:
+        base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        docs_path = os.path.join(work, "documents.parquet")
+        t0 = time.perf_counter()
+        _inflate_docs(spark, base, factor).coalesce(16).write.parquet(docs_path)
+        docs = spark.read.parquet(docs_path)
+        n = docs.count()
+        print(f"inflated corpus: {n} docs ({factor}x sf0.1), "
+              f"built in {time.perf_counter() - t0:.0f}s at {docs_path}")
 
-    from lambda_sample_spark.operators.text import (
-        winnow_fingerprints,
-        winnow_fingerprints_fast,
-    )
+        # the inflated workdir mimics an sf dir (documents.parquet
+        # inside), so the contract operator runs against it unchanged
+        if "ngram" in ops:
+            measure(
+                spark,
+                f"ngram_jaccard@{n}",
+                lambda: dedup.ngram_jaccard(spark, work).count(),
+            )
 
-    measure(
-        spark,
-        f"winnow_fast@{n}",
-        lambda: winnow_fingerprints_fast(docs.select("doc_id", "text")).count(),
-    )
-    for gh in ("xxhash64", "md5"):
-        measure(
-            spark,
-            f"winnow_fingerprints[{gh}]@{n}",
-            lambda gh=gh: winnow_fingerprints(
-                docs.select("doc_id", "text"), gram_hash=gh
-            ).count(),
-        )
+        if "winnow" in ops:
+            from lambda_sample_spark.operators.text import (
+                winnow_fingerprints,
+                winnow_fingerprints_fast,
+            )
 
-    idx = os.path.join(work, "mhidx")
-    half1 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
-    half2 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
-    measure(
-        spark,
-        f"ingest_batch(first half)@{n}",
-        lambda: inc.ingest_batch(spark, idx, half1).count(),
-    )
-    measure(
-        spark,
-        f"ingest_batch(second half)@{n}",
-        lambda: inc.ingest_batch(spark, idx, half2).count(),
-    )
+            measure(
+                spark,
+                f"winnow_fast@{n}",
+                lambda: winnow_fingerprints_fast(
+                    docs.select("doc_id", "text")
+                ).count(),
+            )
+            for gh in ("xxhash64", "md5"):
+                measure(
+                    spark,
+                    f"winnow_fingerprints[{gh}]@{n}",
+                    lambda gh=gh: winnow_fingerprints(
+                        docs.select("doc_id", "text"), gram_hash=gh
+                    ).count(),
+                )
+
+        if "ingest" in ops:
+            idx = os.path.join(work, "mhidx")
+            half1 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
+            half2 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 1)
+            measure(
+                spark,
+                f"ingest_batch(first half)@{n}",
+                lambda: inc.ingest_batch(spark, idx, half1).count(),
+            )
+            measure(
+                spark,
+                f"ingest_batch(second half)@{n}",
+                lambda: inc.ingest_batch(spark, idx, half2).count(),
+            )
+
+    if "semdedup" in ops:
+        run_semdedup_rung(spark, work, factor)
+
     print(f"workdir (delete when done): {work}")
     spark.stop()
 
