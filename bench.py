@@ -64,6 +64,8 @@ HEADLINE = [
     "q_tpch_q19",
     "q_source_cap",
     "q_sampled_quantiles",
+    "q_repetition_stats",
+    "q_redact_pii",
 ]
 
 

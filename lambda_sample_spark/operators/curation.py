@@ -289,7 +289,57 @@ def dedup_paragraphs(docs: DataFrame, sep: str = "\n\n") -> DataFrame:
     )
 
 
+def q_redact_pii(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): PII redaction over the
+    documents table. The synthetic corpus contains no organic PII, so
+    the query PLANTS a deterministic doc_id-derived suffix (email +
+    IPv4 + phone + SSN) onto every text with plain string concat —
+    identically in the oracle SQL — and then redacts; the hash compare
+    covers all four pattern classes with nonzero counts on every row,
+    not just the no-op pass-through."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-4567 ssn 123-45-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return redact_pii(docs.withColumn("text", planted)).select(
+        "doc_id", "text", "n_email", "n_ipv4", "n_phone", "n_ssn"
+    )
+
+
+def _redact_pii_oracle() -> str:
+    """DuckDB twin of q_redact_pii: same planted suffix, same chained
+    global regexp_replace in PII_PATTERNS order, counts taken BEFORE
+    redaction (the patterns are the RE2-compatible subset both engines
+    parse identically — proven on adversarial rows in
+    tests/test_curation.py::test_redact_pii_vs_duckdb)."""
+    sel, red = [], "text"
+    for name, pat, tok in PII_PATTERNS:
+        sel.append(f"len(regexp_extract_all(text, '{pat}')) AS n_{name}")
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@ex.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 call 555-123-4567 ssn 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id, {red} AS text, {', '.join(sel)}
+FROM planted
+"""
+
+
 ORACLE = {
+    "q_redact_pii": _redact_pii_oracle(),
     "q_source_cap": f"""
 SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
 FROM (
@@ -307,7 +357,8 @@ WHERE rk <= {SOURCE_CAP}
 
 QUERIES: dict = {}
 
-# round-7 promotion (appends after the frozen first-50 window)
+# round-7/8 promotions (append after the frozen first-50 window)
 QUERIES_TAIL = {
     "q_source_cap": q_source_cap,
+    "q_redact_pii": q_redact_pii,
 }

@@ -629,7 +629,38 @@ QUERIES = {
     "q_lang_id": lang_id,
 }
 
-# round-6 promotions, registered AFTER every module's QUERIES (see
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): Gopher-style repetition
+    metrics over the documents table — per (doc, n) the duplicate-
+    n-gram fraction and top-n-gram token coverage. Was library-only
+    (DuckDB-checked in tests/test_curation.py); the oracle below is
+    that twin over the raw table."""
+    return repetition_stats(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+ORACLE["q_repetition_stats"] = r"""
+WITH base AS (
+  SELECT doc_id, n, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents, (VALUES (2), (3)) t(n)
+), g AS (
+  SELECT doc_id, n, len(toks) AS n_tok,
+         unnest(list_transform(
+           range(0, greatest(len(toks) - n, 0) + 1),
+           i -> array_to_string(toks[i + 1 : i + n], ' '))) AS gram
+  FROM base
+), c AS (
+  SELECT doc_id, n, n_tok, gram, count(*) AS c
+  FROM g GROUP BY ALL
+)
+SELECT doc_id, n,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE
+             / sum(c), 6) AS dup_ngram_frac,
+       round(least(max(c) * n / n_tok::DOUBLE, 1.0), 6) AS top_ngram_frac
+FROM c GROUP BY doc_id, n, n_tok
+"""
+
+
+# round-6/8 promotions, registered AFTER every module's QUERIES (see
 # contract.py): the driver's correctness harness checks the first 50
 # registered queries, and the original 50-entry contract must keep its
 # registration order — new entries append at the tail
@@ -637,4 +668,5 @@ QUERIES_TAIL = {
     "q_winnowing": q_winnowing,
     "q_vocab_topn": q_vocab_topn,
     "q_winnow_near_dup": q_winnow_near_dup,
+    "q_repetition_stats": q_repetition_stats,
 }

@@ -105,6 +105,10 @@ BUDGET = {
     "q_cms_heavy_hitters": 5,
     # round 7 promotion: one window shuffle on source
     "q_source_cap": 1,
+    # round 8 promotions: redaction is a pure codegen'd projection;
+    # repetition = (doc,n,gram) count + per-(doc,n) rollup
+    "q_redact_pii": 0,
+    "q_repetition_stats": 2,
     # round 7 promotion: day bottom-k window + month re-rank window +
     # the two levels' exact-rank validation aggregates (each joined
     # via a broadcast of the tiny estimate frame); the production read
