@@ -62,6 +62,9 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q4",
     "q_tpch_q19",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q17",
     "q_source_cap",
     "q_sampled_quantiles",
     "q_repetition_stats",

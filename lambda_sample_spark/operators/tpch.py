@@ -462,12 +462,164 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
        AND l.l_quantity BETWEEN 20 AND 50)
 """
 
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between two nations in both
+    directions, grouped by (supplier nation, customer nation, ship
+    year). The interesting plan problem: the qualifying predicate is a
+    DISJUNCTION ACROSS DIMENSIONS — (n1=A AND n2=B) OR (n1=B AND n2=A)
+    — which Catalyst cannot push into either nation leg by itself. The
+    implied SUPERSET conjunct (n1 IN (A,B) AND n2 IN (A,B)) is pushed
+    manually onto both broadcast legs, so supplier/customer (and via
+    the joins, the lineitem probe side) shrink ~25x at the scans
+    BEFORE the fact join; the OR itself evaluates post-join as a cheap
+    residual on already-tiny rows. At 100 TB that manual superset is
+    the difference between joining the full fact table and joining a
+    2-nation slice."""
+    n_a, n_b = "NATION_1", "NATION_2"
+    nations = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(n_a, n_b)
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")
+    )
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            ((F.col("supp_nation") == n_a) & (F.col("cust_nation") == n_b))
+            | ((F.col("supp_nation") == n_b) & (F.col("cust_nation") == n_a))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_r2(F.sum(vol)).alias("revenue"))
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returned lineitems over one quarter — a 4-way join
+    (returnflag pushed to the lineitem scan, quarter filter to orders,
+    broadcast nation) into a grouped aggregate capped by
+    TakeOrderedAndProject (no global sort materializes)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_r2(F.sum(rev)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    lost if small orders of one brand's parts weren't filled. The
+    correlated scalar subquery (0.2 * per-part avg quantity) is
+    decorrelated the way Catalyst would: one per-partkey aggregate over
+    lineitem, joined back on partkey — co-partitioned with the probe
+    side, so the pair costs one shuffle each on the same key. The
+    threshold compare is engine-exact: quantities are integer-valued
+    doubles, so sum/count/0.2* are bit-identical in any order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("pa_key"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+ORACLE["q_tpch_q7"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["q_tpch_q10"] = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c.c_custkey ASC
+LIMIT 20
+"""
+
+ORACLE["q_tpch_q17"] = """
+WITH pa AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_lim
+  FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < pa.qty_lim
+"""
+
+
 # round-7/8 promotions (append after the frozen first-50 window): Q5
-# in round 7; Q4 (EXISTS -> left-semi census) and Q19 (disjunctive
-# OR-of-ANDs residual pushdown) in round 8 — plan shapes no other
-# contract row covers
+# in round 7; Q4 (EXISTS -> left-semi census), Q19 (disjunctive
+# OR-of-ANDs residual pushdown), Q7 (cross-dimension disjunction with
+# manual superset pushdown), Q10 (top-N over 4-way join), Q17
+# (decorrelated scalar-avg subquery) in round 8 — plan shapes no
+# other contract row covers
 QUERIES_TAIL = {
     "q_tpch_q5": tpch_q5,
     "q_tpch_q4": tpch_q4_shape,
     "q_tpch_q19": tpch_q19_shape,
+    "q_tpch_q7": tpch_q7,
+    "q_tpch_q10": tpch_q10,
+    "q_tpch_q17": tpch_q17,
 }

@@ -62,6 +62,14 @@ BUDGET = {
     # (partial -> single-partition final, no hash exchange)
     "q_tpch_q4": 1,
     "q_tpch_q19": 0,
+    # round 8, second batch, measured at sf0.001 under the repo confs:
+    # every dim leg broadcasts (Q7's manual superset pushdown shrinks
+    # supplier/customer to 2 nations; Q10's quarter-filtered orders and
+    # Q17's per-partkey avg frame fit the broadcast threshold at this
+    # SF), leaving exactly the one final-aggregate exchange each
+    "q_tpch_q7": 1,
+    "q_tpch_q10": 1,
+    "q_tpch_q17": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
