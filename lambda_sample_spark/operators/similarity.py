@@ -698,6 +698,29 @@ def ivf_probe_index(
 
 
 SEMDEDUP_THRESHOLD = 0.9
+SEMDEDUP_TARGET_CELL = 256  # exact-pairing cell size target past ~65k vectors
+
+
+def semdedup_cells_for(n: int) -> int:
+    """Cluster count for semantic dedup: max(sqrt(n), n/TARGET_CELL),
+    capped at IVF_MAX_CELLS. sqrt(n) (the ANN-probe economics) is right
+    for small corpora, but it makes the EXPECTED CELL SIZE grow as
+    sqrt(n) — and the exact within-cluster pairing then does
+    ~n*sqrt(n)/2 cosine comparisons, a disguised N^1.5 (measured on
+    the round-8 ladder: the 200k rung's all-pairs phase dominated the
+    whole run). The n/TARGET_CELL term takes over past ~65k vectors
+    and BOUNDS the cell at ~256 rows, making pairing work ~n*128 —
+    honestly linear — at the price of slightly more cross-cell misses
+    (the SemDeDup trade, already the operator's documented premise;
+    identical/near-identical vectors still co-cluster at any k).
+    Beyond the 65536-cell cap (n ~ 16M+) cells grow linearly again;
+    there the fat-block guard is the backstop: cells past
+    ``fat_block_limit`` route through LSH co-bucketing with occupancy-
+    bounded candidates instead of all-pairs."""
+    import math as _math
+
+    return max(4, min(max(_math.isqrt(max(n, 0)), n // SEMDEDUP_TARGET_CELL),
+                      IVF_MAX_CELLS))
 
 
 def semantic_dedup(
@@ -735,14 +758,16 @@ def semantic_dedup(
 
     Sizing: ``k`` (cluster count) wins when given; else ``n`` (corpus
     size, ideally from parquet footer metadata — io.parquet_num_rows)
-    derives k ~ sqrt(n); else one Spark count runs as the fallback.
-    The k-means fit itself is eagerly executed by MLlib either way —
-    passing k or n just keeps an EXTRA full-scan job out of the build.
+    derives k via ``semdedup_cells_for`` (sqrt(n) small, bounded-cell
+    n/256 large — see that docstring for the N^1.5 pairing hazard the
+    bound removes); else one Spark count runs as the fallback. The
+    quantizer fit is eagerly executed at build either way — passing k
+    or n just keeps an EXTRA full-scan job out of the build.
     """
     if k is None:
         if n is None:
             n = emb.count()
-        k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
+        k = semdedup_cells_for(n)
     centroids, assigned = ivf_index(emb, k)
     # NOTE (plan shape): the downstream branches (block census, both
     # self-join sides, the election join) each re-derive this subtree,
@@ -838,7 +863,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = parquet_num_rows(sf_dir, "embeddings")
     if n is None:
         n = emb.count()
-    k = max(4, min(int(n**0.5), IVF_MAX_CELLS))
+    k = semdedup_cells_for(n)
     centroids, assigned = ivf_index(emb, k)
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(), f"lss_semdedup_{tag}")

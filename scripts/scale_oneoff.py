@@ -56,12 +56,10 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
     of the round-8 contract shape separately: (1) quantizer fit +
     assignment write (the one full-data pass), (2) semantic dedup over
     the persisted cells (census/pairing/election re-reads)."""
-    import math
-
     from lambda_sample_spark.operators.similarity import (
-        IVF_MAX_CELLS,
         ivf_index,
         semantic_dedup_indexed,
+        semdedup_cells_for,
     )
 
     base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -88,7 +86,7 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
         f"inflated embeddings: {n} vectors ({factor}x sf0.1), "
         f"built in {time.perf_counter() - t0:.0f}s"
     )
-    k = max(4, min(int(math.isqrt(n)), IVF_MAX_CELLS))
+    k = semdedup_cells_for(n)
     idx = os.path.join(work, "semdedup_idx")
     parts = max(1, min(2048, (n + 99_999) // 100_000))
 
@@ -100,11 +98,17 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
         return k
 
     measure(spark, f"semdedup_index_build[k={k}]@{n}", build)
-    measure(
-        spark,
-        f"semantic_dedup_indexed@{n}",
-        lambda: semantic_dedup_indexed(spark, idx).count(),
-    )
+
+    def dedup_full():
+        # noop-sink force, NOT count(): count over the final left join
+        # lets Catalyst eliminate the join entirely (distinct right
+        # side, no referenced columns) and the measurement collapses
+        # to the cells scan
+        df = semantic_dedup_indexed(spark, idx)
+        df.write.format("noop").mode("overwrite").save()
+        return "forced"
+
+    measure(spark, f"semantic_dedup_indexed@{n}", dedup_full)
 
 
 def main() -> None:

@@ -548,3 +548,23 @@ def test_ann_recall_on_clustered_corpus(spark):
     ivf = _rerank_topk(cands).collect()
     ivf_recall = sum(1 for r in ivf if r.c_id in exact[r.q_id]) / 50
     assert ivf_recall >= 0.85, f"IVF clustered recall@10 {ivf_recall}"
+
+
+def test_semdedup_cell_sizing_bounds_pairing_work():
+    # round-8: k ~ sqrt(n) makes expected cell size grow as sqrt(n) and
+    # the exact all-pairs phase N^1.5; past ~65k vectors the sizing
+    # must switch to bounded cells (~SEMDEDUP_TARGET_CELL rows) so
+    # per-corpus pairing work stays linear
+    from lambda_sample_spark.operators.similarity import (
+        IVF_MAX_CELLS,
+        SEMDEDUP_TARGET_CELL,
+        semdedup_cells_for,
+    )
+
+    assert semdedup_cells_for(2_000) == 44  # contract sizing unchanged
+    for n in (100_000, 1_000_000, 10_000_000):
+        k = semdedup_cells_for(n)
+        assert n / k <= 2 * SEMDEDUP_TARGET_CELL, (n, k)
+    # the cap is the only regime where cells grow again (fat-block
+    # guard takes over there)
+    assert semdedup_cells_for(100_000_000) == IVF_MAX_CELLS
