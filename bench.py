@@ -69,6 +69,8 @@ HEADLINE = [
     "q_sampled_quantiles",
     "q_repetition_stats",
     "q_redact_pii",
+    "q_range_join",
+    "q_salted_agg",
 ]
 
 

@@ -23,6 +23,7 @@ from .operators import (
     multimodal,
     sessions,
     similarity,
+    skew,
     text,
     tpch,
     windows,
@@ -47,9 +48,10 @@ _MODULES = [
     generator,
     json_codec,
     forest,
-    # curation registers tail queries only (its QUERIES is empty, so
-    # appending it cannot move the frozen first-50 window)
+    # curation/skew register tail queries only (their QUERIES are
+    # empty, so appending them cannot move the frozen first-50 window)
     curation,
+    skew,
 ]
 
 

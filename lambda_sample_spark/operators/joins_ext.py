@@ -225,8 +225,51 @@ ASOF LEFT JOIN ev e
 """,
 }
 
+RANGE_TOL_MS = 600_000  # 10 minutes
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): same-user event pairs within
+    a 10-minute tolerance via ``range_join_binned`` — the equi-join
+    (key, bin) formulation with radius replication, never the naive
+    per-key nested loop a direct |ts1-ts2|<=tol join plans. One row
+    per ordered pair (e1 < e2) with the gap; the oracle is the plain
+    inequality join, so the hash check proves the binned rewrite exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    left = ev.select(
+        F.col("event_id").alias("e1"), "user_id", F.col("ts").alias("ts1")
+    )
+    right = ev.select(
+        F.col("event_id").alias("e2"), "user_id", F.col("ts").alias("ts2")
+    )
+    j = range_join_binned(left, right, "user_id", "ts1", "ts2", RANGE_TOL_MS)
+    return (
+        j.where(F.col("e1") < F.col("e2"))
+        .select(
+            "user_id",
+            "e1",
+            "e2",
+            F.abs(F.unix_millis("ts1") - F.unix_millis("ts2")).alias("gap_ms"),
+        )
+    )
+
+
+ORACLE["q_range_join"] = f"""
+SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+       abs(epoch_ms(a.ts) - epoch_ms(b.ts)) AS gap_ms
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= {RANGE_TOL_MS}
+"""
+
+
 QUERIES = {
     "q_semi_anti_join": semi_anti_join,
     "q_outer_custdist": outer_custdist,
     "q_asof_join": asof_join,
+}
+
+# round-8 promotion (appends after the frozen first-50 window)
+QUERIES_TAIL = {
+    "q_range_join": q_range_join,
 }

@@ -76,6 +76,36 @@ def salted_agg(
     )
 
 
+def q_salted_agg(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): the skew-safe two-level
+    aggregate over events — level 1 on (event_type, salt-of-event_id)
+    partials, level 2 merges. The oracle is the PLAIN single-level
+    GROUP BY: salting must be result-invariant (count/sum partials are
+    associative), and the hash check proves exactly that."""
+    from ..io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    return salted_agg(ev, "event_type", "value", ["event_id"])
+
+
+ORACLE = {
+    "q_salted_agg": """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total,
+       round(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY event_type
+""",
+}
+
+QUERIES: dict = {}
+
+# round-8 promotion (appends after the frozen first-50 window)
+QUERIES_TAIL = {
+    "q_salted_agg": q_salted_agg,
+}
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

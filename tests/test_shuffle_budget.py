@@ -117,6 +117,11 @@ BUDGET = {
     # repetition = (doc,n,gram) count + per-(doc,n) rollup
     "q_redact_pii": 0,
     "q_repetition_stats": 2,
+    # round 8: binned range join broadcasts the replicated side at
+    # this SF (equi-join on (key, bin) — no nested loop either way);
+    # salted agg = its two levels, partial-agged before each exchange
+    "q_range_join": 0,
+    "q_salted_agg": 2,
     # round 7 promotion: day bottom-k window + month re-rank window +
     # the two levels' exact-rank validation aggregates (each joined
     # via a broadcast of the tiny estimate frame); the production read
