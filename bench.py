@@ -71,6 +71,7 @@ HEADLINE = [
     "q_redact_pii",
     "q_range_join",
     "q_salted_agg",
+    "q_unigram_logprob",
 ]
 
 

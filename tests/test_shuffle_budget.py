@@ -122,6 +122,9 @@ BUDGET = {
     # salted agg = its two levels, partial-agged before each exchange
     "q_range_join": 0,
     "q_salted_agg": 2,
+    # round 8: vocab token agg + the post-limit id window's single
+    # exchange lineage + per-doc mean agg (vocab join broadcasts)
+    "q_unigram_logprob": 3,
     # round 7 promotion: day bottom-k window + month re-rank window +
     # the two levels' exact-rank validation aggregates (each joined
     # via a broadcast of the tiny estimate frame); the production read
