@@ -72,6 +72,8 @@ HEADLINE = [
     "q_range_join",
     "q_salted_agg",
     "q_unigram_logprob",
+    "q_tpch_q2",
+    "q_tpch_q21",
 ]
 
 

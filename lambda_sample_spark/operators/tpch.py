@@ -222,8 +222,14 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey = outer.partkey)`) decorrelated the way Catalyst does it:
     aggregate the subquery once, equi-join back on (partkey, min).
     Stand-in cost relation: each supplier's cheapest sale price per
-    part from lineitem (the testdata has no partsupp table). Library
-    op; DuckDB-oracle-checked in tests/test_tpch_shapes.py."""
+    part from lineitem (the testdata has no partsupp table). Promoted
+    to an oracle-checked contract tail row in round 8 (was
+    library-only, DuckDB-checked in tests/test_tpch_shapes.py).
+
+    Scale shape: both aggregates and the equality join share the
+    l_partkey key, so the per-(part,supp) min, the per-part min, and
+    the join-back co-partition on ONE shuffle lineage; at 100 TB
+    bucketing lineitem by partkey removes even that."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
@@ -253,7 +259,14 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones on a multi-supplier order — EXISTS (another supplier on the
     order) AND NOT EXISTS (another LATE supplier on the order), i.e. a
     left-semi then a left-anti against the same fact, both plain hash
-    joins. Late = shipped after the order date + 60 days."""
+    joins. Late = shipped after the order date + 60 days. Promoted to
+    an oracle-checked contract tail row in round 8.
+
+    Scale shape: the flagged frame (one orderkey co-shuffle of
+    lineitem⋈orders) is aggregated to DISTINCT (orderkey, suppkey)
+    once per role; the semi/anti self-joins then hash on orderkey —
+    the same key lineage — so no second fact-table shuffle ever
+    happens, and the inequality on suppkey rides as a residual."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -261,8 +274,19 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
     )
-    late = flagged.where("late").select("l_orderkey", "l_suppkey").distinct()
-    other_supp = flagged.select("l_orderkey", "l_suppkey").distinct()
+    # one (orderkey, suppkey) aggregate defines BOTH the any-supplier
+    # and the late-supplier roles. Catalyst still derives the subtree
+    # per branch (pruning drops max(late) from the unfiltered branch,
+    # so the exchanges don't canonicalize equal and ReuseExchange
+    # can't merge them) — but every self-join input is the DISTINCT
+    # pair reduction, orders of magnitude below fact cardinality; at
+    # 100 TB the per_pair frame is the thing to materialize once
+    # (scratch parquet, as the semantic-dedup contract row does).
+    per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    late = per_pair.where("late").select("l_orderkey", "l_suppkey")
+    other_supp = per_pair.select("l_orderkey", "l_suppkey")
     o1, o2 = late.alias("o1"), other_supp.alias("o2")
     has_other = o1.join(
         o2,
@@ -609,12 +633,44 @@ WHERE p.p_brand = 'Brand#1'
 """
 
 
+ORACLE["q_tpch_q2"] = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT c.l_partkey AS partkey, s.s_name AS supplier, round(c.cost, 2) AS cost
+FROM cost c
+JOIN supplier s ON c.l_suppkey = s.s_suppkey
+WHERE c.cost = (SELECT min(c2.cost) FROM cost c2 WHERE c2.l_partkey = c.l_partkey)
+"""
+
+ORACLE["q_tpch_q21"] = """
+WITH flagged AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM flagged WHERE late
+), supps AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM flagged
+)
+SELECT a.l_suppkey, count(*) AS numwait
+FROM late a
+WHERE EXISTS (SELECT 1 FROM supps b
+              WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey != a.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late c
+                  WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey != a.l_suppkey)
+GROUP BY a.l_suppkey
+"""
+
+
 # round-7/8 promotions (append after the frozen first-50 window): Q5
 # in round 7; Q4 (EXISTS -> left-semi census), Q19 (disjunctive
 # OR-of-ANDs residual pushdown), Q7 (cross-dimension disjunction with
 # manual superset pushdown), Q10 (top-N over 4-way join), Q17
-# (decorrelated scalar-avg subquery) in round 8 — plan shapes no
-# other contract row covers
+# (decorrelated scalar-avg subquery), Q2 (correlated scalar-min
+# decorrelation), Q21 (EXISTS + NOT EXISTS self-join pair) in round 8
+# — plan shapes no other contract row covers
 QUERIES_TAIL = {
     "q_tpch_q5": tpch_q5,
     "q_tpch_q4": tpch_q4_shape,
@@ -622,4 +678,6 @@ QUERIES_TAIL = {
     "q_tpch_q7": tpch_q7,
     "q_tpch_q10": tpch_q10,
     "q_tpch_q17": tpch_q17,
+    "q_tpch_q2": tpch_q2_shape,
+    "q_tpch_q21": tpch_q21_shape,
 }

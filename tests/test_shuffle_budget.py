@@ -70,6 +70,13 @@ BUDGET = {
     "q_tpch_q7": 1,
     "q_tpch_q10": 1,
     "q_tpch_q17": 1,
+    # round 8, third batch: Q2's three agg/join legs co-partition on
+    # l_partkey (min-per-pair, min-per-part, join-back); Q21 plans the
+    # per-pair reduction per branch (pruning defeats ReuseExchange —
+    # see the op docstring) plus the two pair-level self-joins and the
+    # final suppkey census
+    "q_tpch_q2": 3,
+    "q_tpch_q21": 7,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
