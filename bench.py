@@ -74,6 +74,9 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_tpch_q2",
     "q_tpch_q21",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q12",
 ]
 
 

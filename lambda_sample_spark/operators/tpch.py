@@ -587,6 +587,197 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): of all ECONOMY-type parts
+    sold to AMERICA-region customers over two years, what fraction of
+    the volume did NATION_1 suppliers ship, per year? The suite's
+    WIDEST join tree — lineitem⋈part⋈supplier⋈orders⋈customer plus
+    three dimension legs — collapsed so that every leg but
+    orders⋈customer is a broadcast at a scan:
+
+    - part is filtered to one type BEFORE the join (the fact probe
+      shrinks ~6x at the lineitem scan);
+    - the region constraint lives on the CUSTOMER side only, so it
+      broadcasts onto customer as a left-semi (no nation columns
+      carried through the fact joins);
+    - the supplier nation name is needed only for the numerator CASE,
+      so it rides the supplier broadcast as a single string column.
+
+    The share is a conditional-sum ratio per year — partial-aggregable,
+    one exchange on o_year."""
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    nation = load_table(spark, sf_dir, "nation")
+    in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(in_region),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("c_custkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    target = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(r6(F.sum(target) / F.sum(vol)).alias("mkt_share"))
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation and
+    order year over all parts whose name matches a pattern. The
+    testdata has no partsupp, so supply cost is the stand-in
+    0.5 * p_retailprice (a per-part constant, exactly what
+    ps_supplycost is) — the PLAN shape is identical: a non-anchored
+    LIKE that canNOT become a scan-range predicate (it stays a
+    post-scan filter on the part dim), a five-table join, and a
+    two-key aggregate.
+
+    Scale shape: the LIKE-filtered part dim broadcasts (~13% of a
+    fixed-size dim); supplier's nation name broadcasts onto the fact
+    rows; orders joins on the orderkey co-shuffle. One exchange for
+    the (nation, year) aggregate."""
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # per-row profit is a deterministic double (same IEEE op order in
+    # any engine); the SUM is order-sensitive at the cent boundary, so
+    # accumulate in exact decimal — Spark and DuckDB both sum decimals
+    # exactly, making the rounded total engine-independent
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,6)")
+    joined = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        joined.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(_r2(F.sum(profit)).cast("double").alias("sum_profit"))
+    )
+
+
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority census): for each shipping
+    class, how many late line items carried urgent vs non-urgent
+    orders? The testdata has no l_shipmode or commit/receipt dates, so
+    the class is l_returnflag (restricted to two values, as Q12's
+    IN-list does) and 'late' is shipped >90 days after the order date
+    — the PLAN shape is identical: per-table residuals (flag IN-list +
+    ship-year range) pushed to the lineitem scan, a fact⋈fact join
+    whose date-arithmetic predicate can only evaluate post-join, and a
+    two-way conditional census per class.
+
+    Scale shape: both residuals reach the parquet scan (the join
+    carries ~1/3 of lineitem); orders⋈lineitem co-shuffles on
+    orderkey; the census is partial-aggregable with a 2-row result."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE["q_tpch_q8"] = """
+SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN l.l_extendedprice * (1 - l.l_discount)
+                      ELSE 0.0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'AMERICA'
+  AND p.p_type = 'ECONOMY'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+ORACLE["q_tpch_q9"] = """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.5 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLE["q_tpch_q12"] = """
+SELECT l.l_returnflag AS ship_class,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag IN ('R', 'A')
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
+"""
+
+
 ORACLE["q_tpch_q7"] = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -680,4 +871,7 @@ QUERIES_TAIL = {
     "q_tpch_q17": tpch_q17,
     "q_tpch_q2": tpch_q2_shape,
     "q_tpch_q21": tpch_q21_shape,
+    "q_tpch_q8": tpch_q8,
+    "q_tpch_q9": tpch_q9,
+    "q_tpch_q12": tpch_q12_shape,
 }

@@ -77,6 +77,13 @@ BUDGET = {
     # final suppkey census
     "q_tpch_q2": 3,
     "q_tpch_q21": 7,
+    # Q8/Q9/Q12: every dim leg broadcasts (filtered part, supplier
+    # with nation name, region semi-join on customer) and the fact
+    # joins co-shuffle or broadcast under AQE, leaving exactly the one
+    # final-aggregate exchange each
+    "q_tpch_q8": 1,
+    "q_tpch_q9": 1,
+    "q_tpch_q12": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
