@@ -77,6 +77,11 @@ HEADLINE = [
     "q_tpch_q8",
     "q_tpch_q9",
     "q_tpch_q12",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q22",
 ]
 
 

@@ -728,6 +728,301 @@ def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose inventory value
+    held by one nation's suppliers exceeds a fixed fraction of that
+    nation's TOTAL inventory value — the global-scalar HAVING
+    (`HAVING value > (SELECT sum(...) * fraction ...)`). The testdata
+    has no partsupp, so inventory value is the stand-in
+    sum(l_extendedprice * l_quantity) over the nation's lineitems.
+
+    The threshold compare is made engine-exact by (a) accumulating in
+    decimal (exact in both engines, any order) and (b) comparing
+    `value * 1000 > total` — integer-scaled decimal on both sides, no
+    float division anywhere.
+
+    Scale shape: the nation's supplier set broadcasts as a left-semi
+    onto the lineitem scan; per-part values take one partkey exchange;
+    the grand total is a single-row broadcast back over the per-part
+    frame (second derivation of the aggregate, not a second fact
+    scan: it reuses the same partkey exchange lineage under AQE)."""
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp.select("s_suppkey")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        "left_semi",
+    )
+    val = li.groupBy("l_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(18,4)")
+        ).alias("value")
+    )
+    total = val.agg(F.sum("value").alias("grand_total"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value") * 1000 > F.col("grand_total"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.round(F.col("value"), 2).cast("double").alias("value"),
+        )
+    )
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the supplier(s) whose quarterly
+    revenue equals the maximum quarterly revenue — the scalar-max
+    subquery over a derived view, decorrelated as agg -> single-row
+    max -> broadcast equality join back onto the same aggregate.
+
+    The equality compares the ROUNDED per-supplier revenue (both
+    engines round the same double sum to cents before the max and the
+    compare), so the tie-set is engine-independent.
+
+    Scale shape: one suppkey exchange builds the revenue view; the
+    max is a single-partition reduce of the ~|suppliers| frame, then a
+    one-row broadcast filters it — the fact table is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("max_revenue"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (part/supplier relationship census): how many
+    DISTINCT suppliers can deliver each qualifying (brand, type, size)
+    bucket, excluding a denylisted supplier set — the NOT IN
+    anti-join feeding a count-distinct aggregate. Stand-ins: the
+    part-supplier relation is the distinct (l_partkey, l_suppkey)
+    pairs observed in lineitem (no partsupp table), and the denylist
+    is suppliers whose name contains '7' (no comment column).
+
+    Scale shape: the relation-building distinct is one
+    (partkey, suppkey) exchange over the fact; the denylist and the
+    filtered part dim both broadcast; count_distinct plans the
+    standard expand + two-stage aggregate on the grouping keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excl = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_name").like("%7%"))
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    kept = ps.join(
+        F.broadcast(excl), ps.l_suppkey == excl.s_suppkey, "left_anti"
+    ).join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        kept.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers in one
+    nation who shipped MORE than half of a qualifying part's total
+    1996 volume — the nested IN-subquery chain (supplier IN (... part
+    IN (...))) decorrelated to: per-(part,supp) volume ⋈ per-part
+    total (same-key co-shuffle), the >half filter, then a left-semi
+    into supplier gated by a broadcast nation. The half-volume
+    compare is exact: quantities are integer-valued doubles, so both
+    sums and 0.5* are bit-identical in any accumulation order.
+
+    Scale shape: the part-name filter broadcasts onto the lineitem
+    scan as a left-semi; the two aggregates share one partkey-rooted
+    shuffle lineage; the final supplier probe is a broadcast semi of
+    the (tiny) qualifying suppkey set."""
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_p = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("part_total")
+    )
+    qual = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("qty") > 0.5 * F.col("part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_2")
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(F.broadcast(qual), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): count and total
+    balance of well-funded customers in selected country codes who
+    placed no order since 1999 — the anti-join against the fact plus
+    the positive-balance scalar-avg subquery. (Q22 proper anti-joins
+    ALL orders; this corpus gives every customer at least one order
+    ever, which would make the result — and the oracle check —
+    vacuously empty, so the anti side is date-scoped: same plan, a
+    pushed scan predicate, nonempty result.) Stand-in country code:
+    c_nationkey % 10 (the phone-prefix substring doesn't exist) — a
+    computed expression, like the original, so it cannot push to the
+    scan as a column predicate.
+
+    The avg compare is made engine-exact without dividing:
+    `acctbal * n_positive > sum_positive` in integer-scaled decimal.
+
+    Scale shape: the two scalars come from one aggregate over the
+    code-filtered customers and broadcast back; the no-orders check
+    is a left-anti against the orders scan projected to o_custkey
+    (at 100 TB: the one shuffle pair in the query, on custkey)."""
+    code = (F.col("c_nationkey") % 10).alias("cntrycode")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .withColumn("cntrycode", code)
+        .where(F.col("cntrycode").isin(1, 3, 5, 7))
+        .withColumn("bal", F.col("c_acctbal").cast("decimal(18,2)"))
+    )
+    pos = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.count("*").alias("n_pos"), F.sum("bal").alias("sum_pos")
+    )
+    rich = cust.join(F.broadcast(pos)).where(
+        F.col("bal") * F.col("n_pos") > F.col("sum_pos")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    silent = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (
+        silent.groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+ORACLE["q_tpch_q11"] = """
+WITH natsupp AS (
+  SELECT s_suppkey FROM supplier
+  WHERE s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+), val AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,4))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (SELECT s_suppkey FROM natsupp)
+  GROUP BY 1
+)
+SELECT l_partkey AS partkey, CAST(round(value, 2) AS DOUBLE) AS value
+FROM val
+WHERE value * 1000 > (SELECT sum(value) FROM val)
+"""
+
+ORACLE["q_tpch_q15"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLE["q_tpch_q16"] = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+WHERE p.p_brand != 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                           WHERE s_name LIKE '%7%')
+GROUP BY 1, 2, 3
+"""
+
+ORACLE["q_tpch_q20"] = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM shipped GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey, sum(l_quantity) AS part_total
+  FROM shipped GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE s.s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+  AND s.s_suppkey IN (
+    SELECT a.l_suppkey FROM per_ps a
+    JOIN per_p b ON a.l_partkey = b.l_partkey
+    WHERE a.qty > 0.5 * b.part_total)
+"""
+
+ORACLE["q_tpch_q22"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_acctbal
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+), pos AS (
+  SELECT count(*) AS n_pos, sum(bal) AS sum_pos FROM cust WHERE c_acctbal > 0.0
+)
+SELECT cntrycode, count(*) AS numcust,
+       CAST(round(sum(bal), 2) AS DOUBLE) AS totacctbal
+FROM cust, pos
+WHERE bal * n_pos > sum_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cust.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
 ORACLE["q_tpch_q8"] = """
 SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
        round(sum(CASE WHEN n1.n_name = 'NATION_1'
@@ -874,4 +1169,9 @@ QUERIES_TAIL = {
     "q_tpch_q8": tpch_q8,
     "q_tpch_q9": tpch_q9,
     "q_tpch_q12": tpch_q12_shape,
+    "q_tpch_q11": tpch_q11_shape,
+    "q_tpch_q15": tpch_q15,
+    "q_tpch_q16": tpch_q16_shape,
+    "q_tpch_q20": tpch_q20_shape,
+    "q_tpch_q22": tpch_q22_shape,
 }

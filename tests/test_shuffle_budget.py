@@ -84,6 +84,18 @@ BUDGET = {
     "q_tpch_q8": 1,
     "q_tpch_q9": 1,
     "q_tpch_q12": 1,
+    # Q11: partkey value agg + its re-derivation under the grand-total
+    # scalar (the broadcast-back); Q15: suppkey revenue agg planned on
+    # both sides of the max-equality self-join; Q16: the
+    # (partkey, suppkey) distinct + count_distinct's two-stage expand;
+    # Q20: per-(part,supp) and per-part sums co-shuffle on partkey +
+    # the qualifying-suppkey distinct; Q22: the single cntrycode census
+    # (scalars and the anti side broadcast)
+    "q_tpch_q11": 2,
+    "q_tpch_q15": 2,
+    "q_tpch_q16": 3,
+    "q_tpch_q20": 3,
+    "q_tpch_q22": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
