@@ -82,6 +82,10 @@ HEADLINE = [
     "q_tpch_q16",
     "q_tpch_q20",
     "q_tpch_q22",
+    "q_stratified_sample",
+    "q_split_assign",
+    "q_pack_documents",
+    "q_contamination",
 ]
 
 

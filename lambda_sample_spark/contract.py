@@ -26,6 +26,7 @@ from .operators import (
     skew,
     text,
     tpch,
+    training,
     windows,
 )
 from .ml import forest
@@ -48,10 +49,12 @@ _MODULES = [
     generator,
     json_codec,
     forest,
-    # curation/skew register tail queries only (their QUERIES are
-    # empty, so appending them cannot move the frozen first-50 window)
+    # curation/skew/training register tail queries only (their QUERIES
+    # are empty, so appending them cannot move the frozen first-50
+    # window)
     curation,
     skew,
+    training,
 ]
 
 

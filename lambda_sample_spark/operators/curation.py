@@ -23,15 +23,25 @@ from pyspark.sql import functions as F
 # --- decontamination ---------------------------------------------------
 
 
-def _ngram_hashes(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _ngram_hashes(
+    docs: DataFrame, id_col: str, text_col: str, n: int, gram_hash: str = "xxhash64"
+) -> DataFrame:
     """One row per (id, distinct n-gram hash). Token n-grams (the
     GPT-3-style contamination unit) via a sliding zip over the token
     array; hashing before the explode keeps shuffled rows narrow
-    (BIGINT, not the n-gram string)."""
+    (BIGINT, not the n-gram string). ``gram_hash='md5'`` uses the
+    first md5 word instead — the DuckDB-replayable oracle seam (the
+    winnowing idiom); production stays on xxhash64."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    if gram_hash == "md5":
+        def one(i):
+            digest = F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+            return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    else:
+        def one(i):
+            return F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))), one
     )
     return docs.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram_h")
@@ -47,6 +57,7 @@ def contamination_check(
     bench_id_col: str = "bench_id",
     bench_text_col: str = "text",
     broadcast_benchmark: bool = True,
+    gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """Flag training documents sharing any token ``n``-gram with an
     evaluation benchmark (the n=13 overlap rule used for pretraining
@@ -60,7 +71,7 @@ def contamination_check(
     broadcast-join with NO shuffle of corpus data; set
     ``broadcast_benchmark=False`` to co-shuffle both sides on the
     gram hash when the benchmark is itself huge."""
-    doc_grams = _ngram_hashes(docs, id_col, text_col, n)
+    doc_grams = _ngram_hashes(docs, id_col, text_col, n, gram_hash)
     bench_grams = _ngram_hashes(
         benchmark.select(
             F.col(bench_id_col).alias("bench_id"),
@@ -69,6 +80,7 @@ def contamination_check(
         "bench_id",
         "__btext",
         n,
+        gram_hash,
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
@@ -338,7 +350,47 @@ FROM planted
 """
 
 
+_DECON_N = 8
+
+
+def q_contamination(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): benchmark decontamination's
+    detection half — flag every document sharing a token 8-gram with a
+    20-item 'benchmark' (the first 20 documents standing in for an
+    eval set; the corpus' planted near-duplicates give genuine
+    cross-document hits beyond the 20 self-matches). Uses the
+    gram_hash='md5' oracle seam so DuckDB replays the gram hashing
+    exactly; production callers keep xxhash64 (n=13)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check(docs, bench, n=_DECON_N, gram_hash="md5")
+
+
+_CONTAMINATION_ORACLE = rf"""
+WITH dg AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - {_DECON_N} + 1, 1) + 1),
+           i -> (('0x' || substr(md5(array_to_string(
+                   list_slice(t, i, i + {_DECON_N} - 1), ' ')), 1, 8))::BIGINT)
+         ))) AS gram_h
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents)
+)
+SELECT d.doc_id, b.bench_id, count(DISTINCT d.gram_h) AS shared_ngrams
+FROM dg d
+JOIN (SELECT doc_id AS bench_id, gram_h FROM dg WHERE doc_id < 20) b
+  USING (gram_h)
+GROUP BY 1, 2
+"""
+
+
 ORACLE = {
+    "q_contamination": _CONTAMINATION_ORACLE,
     "q_redact_pii": _redact_pii_oracle(),
     "q_source_cap": f"""
 SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
@@ -361,4 +413,5 @@ QUERIES: dict = {}
 QUERIES_TAIL = {
     "q_source_cap": q_source_cap,
     "q_redact_pii": q_redact_pii,
+    "q_contamination": q_contamination,
 }

@@ -17,20 +17,35 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _md5_u(key, salt: str = ""):
+    """[0,1) draw from the first md5 word of (salt || key) — the
+    DuckDB-replayable twin of the xxhash64 draw (the winnowing
+    gram_hash='md5' oracle-seam idiom; production paths keep
+    xxhash64, which is ~25% faster and not string-round-tripped)."""
+    digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
+    word = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    return word / F.lit(float(1 << 32))
+
+
 def stratified_sample(
     docs: DataFrame,
     fractions: dict[str, float],
     strata_col: str = "lang",
     key_col: str = "doc_id",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum sampling with DETERMINISTIC membership: a row is in
     the sample iff the low 32 bits of xxhash64(key) fall under the
     stratum's fraction — reproducible across runs/executors, no RNG,
     no shuffle (unlike ``sampleBy``, whose draw depends on partition
-    iteration order)."""
-    u = (F.xxhash64(F.col(key_col)).bitwiseAND(F.lit((1 << 32) - 1))) / F.lit(
-        float(1 << 32)
-    )
+    iteration order). ``hash='md5'`` swaps the draw for the
+    md5-word seam so a SQL oracle can replay membership exactly."""
+    if hash == "md5":
+        u = _md5_u(F.col(key_col))
+    else:
+        u = (F.xxhash64(F.col(key_col)).bitwiseAND(F.lit((1 << 32) - 1))) / F.lit(
+            float(1 << 32)
+        )
     # per-stratum fraction as a single chained CASE expression
     expr = F.lit(0.0)
     for stratum, f in fractions.items():
@@ -68,16 +83,21 @@ def split_by_hash(
     weights: dict[str, float],
     key_col: str = "doc_id",
     salt: str = "split",
+    hash: str = "xxhash64",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: buckets of the salted
     content hash partition [0,1) by the cumulative weights. Stateless
     and stable — adding documents never reassigns existing ones (the
-    property random splits lose)."""
-    u = (
-        F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-        .bitwiseAND(F.lit((1 << 32) - 1))
-        / F.lit(float(1 << 32))
-    )
+    property random splits lose). ``hash='md5'`` swaps in the
+    oracle-seam draw (see _md5_u)."""
+    if hash == "md5":
+        u = _md5_u(F.col(key_col), salt)
+    else:
+        u = (
+            F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+            .bitwiseAND(F.lit((1 << 32) - 1))
+            / F.lit(float(1 << 32))
+        )
     expr = None
     acc = 0.0
     for name, wgt in weights.items():
@@ -155,6 +175,7 @@ def pack_documents(
     token_budget: int,
     group_col: str = "lang",
     n_shards: int = 64,
+    shard_hash: str = "xxhash64",
 ) -> DataFrame:
     """Sequence packing: assign documents to fixed-token-budget bins —
     the concat-and-split step that turns a corpus into training
@@ -174,11 +195,20 @@ def pack_documents(
     sharding, doc_id order — no RNG).
 
     Returns (grp, bin_id, doc_id, n_tokens, offset); offset is the
-    document's token start within its bin's stream."""
+    document's token start within its bin's stream.
+    ``shard_hash='md5'`` swaps the shard draw for the md5-word seam
+    (everything else — the running sum, bin and offset arithmetic —
+    is already integer-exact SQL in any engine)."""
+    if shard_hash == "md5":
+        digest = F.md5(F.col("doc_id").cast("string"))
+        word = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+        shard = F.pmod(word, F.lit(n_shards))
+    else:
+        shard = F.pmod(F.xxhash64("doc_id"), F.lit(n_shards))
     sized = docs.select(
         F.col(group_col).alias("grp"),
         "doc_id",
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).alias("_shard"),
+        shard.alias("_shard"),
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     w = (
@@ -198,3 +228,108 @@ def pack_documents(
             (F.col("cum_before") % token_budget).alias("offset"),
         )
     )
+
+
+# --- contract registrations (round-8 tail promotions) ------------------
+#
+# The three sampling/packing utilities above become oracle-checked
+# rows via the md5-word hash seam (the winnowing gram_hash='md5'
+# idiom): membership/shard draws replay exactly in DuckDB, so the
+# driver hash-compares the FULL selected set / assignment / packing
+# layout, not just counts. Production callers keep xxhash64.
+
+_STRATA_FRACTIONS = {"en": 0.5, "fr": 0.25, "es": 0.25, "de": 0.75, "zh": 0.1}
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_MD5_U_DUCK = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def q_stratified_sample(spark, sf_dir: str):
+    """Contract (tail): deterministic per-language sample of the
+    documents table — the full kept (doc_id, lang, source) set is
+    hash-compared, pinning per-row membership, not just rates."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_sample(docs, _STRATA_FRACTIONS, hash="md5")
+
+
+def q_split_assign(spark, sf_dir: str):
+    """Contract (tail): deterministic train/val/test assignment —
+    per-split cardinality plus a sum(doc_id) checksum, so swapping any
+    two documents between splits is caught without shipping 500 rows."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = split_by_hash(docs, _SPLIT_WEIGHTS, hash="md5")
+    return out.groupBy("split").agg(
+        F.count("*").alias("numdocs"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+def q_pack_documents(spark, sf_dir: str):
+    """Contract (tail): GPT-style concat-and-split sequence packing of
+    the documents table (256-token bins, 8 shards) — the full
+    (grp, bin_id, doc_id, n_tokens, offset) layout is hash-compared,
+    pinning the running sum, bin arithmetic, and shard routing."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return pack_documents(docs, 256, n_shards=8, shard_hash="md5")
+
+
+ORACLE = {
+    "q_stratified_sample": """
+SELECT doc_id, lang, source FROM documents
+WHERE """ + _MD5_U_DUCK + """ <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.25
+                WHEN 'de' THEN 0.75 WHEN 'zh' THEN 0.1 ELSE 0.0 END
+""",
+    # thresholds written as running SUMS (0.8 + 0.1), not collapsed
+    # literals: split_by_hash accumulates the weights in float, so the
+    # val/test boundary is the double 0.8+0.1 (≠ 0.9 in the last ulp)
+    # — the oracle must bound with the same bits
+    "q_split_assign": """
+WITH assigned AS (
+  SELECT doc_id,
+         CASE WHEN ("""
+    + _MD5_U_DUCK.replace("doc_id", "'split' || CAST(doc_id AS VARCHAR)")
+    + """) < 0.8 THEN 'train'
+              WHEN ("""
+    + _MD5_U_DUCK.replace("doc_id", "'split' || CAST(doc_id AS VARCHAR)")
+    + """) < 0.8 + 0.1 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*) AS numdocs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned GROUP BY 1
+""",
+    "q_pack_documents": r"""
+WITH sized AS (
+  SELECT lang AS grp, doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS shard,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT grp, doc_id, shard, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (
+             PARTITION BY grp, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM sized
+)
+SELECT grp, CAST(shard + 8 * (cum_before // 256) AS BIGINT) AS bin_id,
+       doc_id, n_tokens, CAST(cum_before % 256 AS BIGINT) AS "offset"
+FROM c
+""",
+}
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "q_stratified_sample": q_stratified_sample,
+    "q_split_assign": q_split_assign,
+    "q_pack_documents": q_pack_documents,
+}

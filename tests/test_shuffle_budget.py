@@ -96,6 +96,15 @@ BUDGET = {
     "q_tpch_q16": 3,
     "q_tpch_q20": 3,
     "q_tpch_q22": 1,
+    # round 8, pipeline-utility promotions: stratified sampling is a
+    # pure scan-side filter (ZERO shuffles at any corpus size); split
+    # assignment's one exchange is its census aggregate; packing's is
+    # the (grp, shard) window; contamination = gram-hash join (bench
+    # side broadcast) + the (doc, bench) count-distinct pair
+    "q_stratified_sample": 0,
+    "q_split_assign": 1,
+    "q_pack_documents": 1,
+    "q_contamination": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
