@@ -86,6 +86,7 @@ HEADLINE = [
     "q_split_assign",
     "q_pack_documents",
     "q_contamination",
+    "q_connected_components",
 ]
 
 

@@ -17,6 +17,7 @@ from .operators import (
     anomaly,
     curation,
     dedup,
+    graph,
     joins,
     joins_ext,
     multidim,
@@ -55,6 +56,7 @@ _MODULES = [
     curation,
     skew,
     training,
+    graph,
 ]
 
 

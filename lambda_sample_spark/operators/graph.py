@@ -1,0 +1,166 @@
+"""Connected components over an edge list (SURVEY.md §2.8 adjunct):
+the clustering backbone every near-duplicate family ends with —
+minhash buckets, winnow fingerprint matches, embedding neighbors, and
+Jaccard pairs all reduce to "label each node with its component
+minimum". dedup.py inlines a bounded 2-round variant for its banded
+buckets; this module is the GENERAL operator: arbitrary edge lists,
+iterated to convergence, usable on any pair output.
+
+Algorithm: min-label propagation with pointer jumping (the
+alternating min-label family — cf. Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014; Rastogi et al.,
+"Finding Connected Components in Map-Reduce in Logarithmic Rounds",
+ICDE 2013 hash-to-min). Each round is (a) one neighbor-min hash
+aggregate and (b) one label-table self-join (the jump), so labels
+reach the component minimum in O(log n) rounds — a 200-node chain
+converges in ~7, not 200. Convergence is driver-checked per round
+(one bounded count() job); no pairwise expansion, no pair output,
+ever — state is exactly one (node, comp) row per node.
+
+Iterative lineage is CUT every round — re-planning round k's labels
+from the raw edges is O(k) deep and sends Catalyst optimization time
+superlinear (measured: a 10-round run over an unmaterialized
+23-exchange edge subtree never finished planning). The edge list is
+materialized once up front and each round's labels after the jump:
+``localCheckpoint`` by default (executor storage, reclaimed by the
+ContextCleaner once the round frame is dereferenced — nothing stays
+pinned in a long-lived session), or alternating parquet paths under
+``scratch_dir`` (the semantic-dedup contract pattern; also the
+fault-tolerant choice on a real cluster, where localCheckpoint dies
+with an executor).
+
+100 TB notes: both per-round shuffles hash on node id, so successive
+rounds reuse the same partitioning profile; state is one (node, comp)
+row per node, independent of edge count or round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    nodes: DataFrame | None = None,
+    max_rounds: int = 20,
+    scratch_dir: str | None = None,
+) -> DataFrame:
+    """Label every node with the MINIMUM node id of its connected
+    component. ``edges`` is an undirected edge list (each pair listed
+    once, either orientation); NULL endpoints are dropped. ``nodes``
+    optionally supplies the node universe (first column) so isolated
+    nodes appear with their own id as the component; default universe
+    is the edge endpoints. Returns (node, comp).
+
+    Raises after ``max_rounds`` without convergence — on a connected
+    diameter-d graph the bound needs only O(log d) rounds, so hitting
+    it means the input is pathological, not that more rounds would be
+    fine to skip.
+    """
+    spark = edges.sparkSession
+
+    def _materialize(df: DataFrame, slot: str) -> DataFrame:
+        if scratch_dir is None:
+            return df.localCheckpoint(eager=True)
+        path = f"{scratch_dir}/{slot}"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    e = edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
+    und = _materialize(
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
+        "cc_edges",
+    )
+    if nodes is None:
+        universe = und.select(F.col("a").alias("node")).distinct()
+    else:
+        first = nodes.columns[0]
+        universe = nodes.select(F.col(first).cast("bigint").alias("node")).distinct()
+    lab = universe.withColumn("comp", F.col("node"))
+
+    for rnd in range(max_rounds):
+        # (a) neighbor min: the best label visible across one hop
+        nbr = (
+            und.join(lab, und.b == lab.node)
+            .groupBy(F.col("a").alias("nb_node"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        stepped = lab.join(nbr, lab.node == F.col("nb_node"), "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
+        )
+        # (b) pointer jump: comp := comp(comp) — doubles the effective
+        # propagation distance per round (log-round convergence)
+        parent = stepped.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
+        new = stepped.join(parent, stepped.comp == parent.p_node, "left").select(
+            "node", F.coalesce("p_comp", "comp").alias("comp")
+        )
+        # alternating slots: round r reads r-1's files while writing
+        # its own — never overwrite a path still feeding the lineage
+        new = _materialize(new, f"cc_round_{rnd % 2}")
+        changed = (
+            new.alias("n")
+            .join(lab.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        lab = new
+        if changed == 0:
+            return lab
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+def q_connected_components(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): dedup clustering as a graph
+    problem — connected components over the exact >= 0.95-Jaccard
+    near-dup pairs (q_ngram_jaccard's output), every document labeled
+    with its cluster minimum, isolated docs labeling themselves. The
+    oracle replays the converged fixpoint with a recursive CTE
+    (reachability closure + min), so the hash compare pins the FULL
+    labeling, independent of how many rounds propagation took."""
+    from ..io import load_table
+    from .dedup import ngram_jaccard
+
+    pairs = ngram_jaccard(spark, sf_dir).select("d1", "d2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    lab = connected_components(pairs, src="d1", dst="d2", nodes=docs)
+    return lab.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def _cc_oracle() -> str:
+    from .dedup import ORACLE as _DEDUP_ORACLE
+
+    pairs_sql = _DEDUP_ORACLE["q_ngram_jaccard"].strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+), und AS (
+  SELECT d1 AS s, d2 AS t FROM pairs
+  UNION ALL
+  SELECT d2 AS s, d1 AS t FROM pairs
+), reach(node, comp) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT u.s, r.comp FROM reach r JOIN und u ON u.t = r.node
+)
+SELECT node AS doc_id, CAST(min(comp) AS BIGINT) AS component
+FROM reach GROUP BY 1
+"""
+
+
+ORACLE = {"q_connected_components": _cc_oracle()}
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {"q_connected_components": q_connected_components}

@@ -105,6 +105,10 @@ BUDGET = {
     "q_split_assign": 1,
     "q_pack_documents": 1,
     "q_contamination": 2,
+    # iterative op: rounds run eagerly during construction (edge list
+    # + per-round labels are checkpoint-materialized — see graph.py);
+    # the returned frame is a scan of the converged labels
+    "q_connected_components": 0,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
