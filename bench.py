@@ -87,6 +87,7 @@ HEADLINE = [
     "q_pack_documents",
     "q_contamination",
     "q_connected_components",
+    "q_pq_adc_topk",
 ]
 
 

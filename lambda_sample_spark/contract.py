@@ -22,6 +22,7 @@ from .operators import (
     joins_ext,
     multidim,
     multimodal,
+    pq,
     sessions,
     similarity,
     skew,
@@ -57,6 +58,7 @@ _MODULES = [
     skew,
     training,
     graph,
+    pq,
 ]
 
 

@@ -1,0 +1,109 @@
+"""Product quantization: recall of the numpy ADC lane vs exact search
+on a planted-cluster corpus, encode determinism and code domain,
+compression arithmetic, IVF-PQ refinement recall, and the relational
+contract row against its DuckDB oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lambda_sample_spark.operators.pq import (
+    ORACLE,
+    ivfpq_search,
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+    q_pq_adc_topk,
+)
+from tests.oracle_harness import compare, duckdb_con
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    """Planted-cluster corpus (the test_similarity_scale fixture
+    recipe): 3000 unit vectors in 40 clusters, 32 dims — the regime
+    real embedding corpora live in."""
+    rng = np.random.default_rng(23)
+    n, dim, n_clusters = 3000, 32, 40
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[rng.integers(0, n_clusters, size=n)] + 0.15 * rng.normal(
+        size=(n, dim)
+    )
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    sims = pts[:5] @ pts.T
+    exact = {}
+    for qi in range(5):
+        s = sims[qi].copy()
+        s[qi] = -2.0
+        exact[qi] = set(np.argsort(-s)[:10].tolist())
+    queries = [(i, pts[i].tolist()) for i in range(5)]
+    return emb, pts, exact, queries
+
+
+def test_adc_recall_on_clustered_corpus(spark, clustered):
+    emb, pts, exact, queries = clustered
+    # measured trade on this fixture (no residuals, no refinement):
+    # (m=8,ks=64) 0.40, (8,256) 0.52, (16,64) 0.74, (16,256) 0.84 —
+    # within-cluster ranking is plain PQ's weak regime, and bytes buy
+    # it back; 16 bytes/vector (16x at 32-dim float64) is the honest
+    # standalone-ADC operating point, and exact refinement (next test)
+    # recovers the rest at 8
+    books = pq_train(emb, m=16, ks=256)
+    encoded = pq_encode(emb, books)
+    got = pq_adc_topk(encoded, queries, books).collect()
+    recall = sum(1 for r in got if r.c_id in exact[r.q_id]) / 50
+    assert recall >= 0.75, f"ADC recall@10 {recall}"
+
+
+def test_ivfpq_refined_recall(spark, clustered):
+    emb, pts, exact, queries = clustered
+    got = ivfpq_search(emb, queries, n=3000).collect()
+    recall = sum(1 for r in got if r.c_id in exact[r.q_id]) / 50
+    # exact re-rank of the ADC survivors inside probed cells recovers
+    # IVF-Flat-grade recall at PQ scan cost
+    assert recall >= 0.8, f"IVF-PQ refined recall@10 {recall}"
+    # the exact lane reports true cosine: every score within [-1, 1]
+    assert all(-1.0001 <= r.cos_sim <= 1.0001 for r in got)
+
+
+def test_encode_deterministic_and_in_domain(spark, clustered):
+    emb, *_ = clustered
+    books = pq_train(emb, m=8, ks=64)
+    a = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: tuple(r.codes) for r in pq_encode(emb, books).collect()}
+    assert a == b
+    ks = books.shape[1]
+    assert all(len(c) == 8 and all(0 <= x < ks for x in c) for c in a.values())
+
+
+def test_compression_arithmetic():
+    # the reason PQ exists: M codes of <=256 entries are M bytes;
+    # 64-dim float64 is 512 bytes — 64x. (Codes travel as ARRAY<INT>
+    # in the contract schema; the byte packing is the storage story.)
+    m, dim = 8, 64
+    assert dim * 8 / m == 64.0
+
+
+def test_train_small_sample_clamps_ks(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, -1.0]) for i in range(5)],
+        "vec_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    books = pq_train(emb, m=2, ks=256)
+    assert books.shape == (2, 5, 2)  # ks clamped to the 5-row sample
+
+
+def test_contract_row_matches_oracle(spark, sf_dir):
+    con = duckdb_con(sf_dir)
+    try:
+        want = con.execute(ORACLE["q_pq_adc_topk"]).fetchdf()
+    finally:
+        con.close()
+    got = q_pq_adc_topk(spark, sf_dir)
+    assert compare("q_pq_adc_topk", got, want) == []

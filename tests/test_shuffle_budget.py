@@ -109,6 +109,10 @@ BUDGET = {
     # + per-round labels are checkpoint-materialized — see graph.py);
     # the returned frame is a scan of the converged labels
     "q_connected_components": 0,
+    # relational PQ-ADC: the encode argmin window (vec_id, m), the
+    # (q, candidate) score aggregate, and the top-k rank window; the
+    # codebook and LUT legs broadcast
+    "q_pq_adc_topk": 3,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
