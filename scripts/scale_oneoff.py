@@ -5,12 +5,14 @@ bytes. NOT part of CI (keep the suite bounded) — run by hand, record
 the numbers in docs/SCALE.md.
 
 Usage: python scripts/scale_oneoff.py [factor] [ops]
-  ops: comma list of ngram,winnow,ingest,semdedup
+  ops: comma list of ngram,winnow,ingest,semdedup,cc
        (default ngram,winnow,ingest — the round-6/7 ladder);
        semdedup inflates the EMBEDDINGS table by the factor instead
        (sf0.1 has 2k vectors: factor 100 -> 200k, 400 -> 800k) and
        runs index-build + semantic_dedup_indexed over the persisted
-       cells — the round-8 rung for the ops now dominating the bench.
+       cells — the round-8 rung for the ops now dominating the bench;
+       cc runs connected_components on a synthetic hash-random graph
+       with 5000*factor nodes and 1.2x that in edges.
 """
 
 from __future__ import annotations
@@ -111,6 +113,37 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
     measure(spark, f"semantic_dedup_indexed@{n}", dedup_full)
 
 
+def run_cc_rung(spark, work: str, factor: int) -> None:
+    """Connected components at scale, isolated from pair generation:
+    a deterministic hash-random graph with n = 5000 * factor nodes and
+    ~1.2n edges (supercritical — one giant component plus fringe), CC
+    run with scratch-parquet materialization (the cluster-faithful
+    mode). Wall + shuffle recorded; the O(log n) round count shows up
+    as the job count, not the wall."""
+    from lambda_sample_spark.operators.graph import connected_components
+
+    n = 5000 * factor
+    m = int(1.2 * n)
+    edges = (
+        spark.range(m)
+        .select(
+            (F.abs(F.xxhash64(F.col("id"), F.lit("s"))) % n).alias("src"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit("d"))) % n).alias("dst"),
+        )
+        .repartition(32)
+    )
+    nodes = spark.range(n).select(F.col("id").alias("node"))
+
+    def run():
+        lab = connected_components(
+            edges, nodes=nodes, scratch_dir=os.path.join(work, "cc")
+        )
+        n_comp = lab.select("comp").distinct().count()
+        return f"{n_comp} components"
+
+    measure(spark, f"connected_components@{n}n/{m}e", run)
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     ops = set(
@@ -180,6 +213,9 @@ def main() -> None:
 
     if "semdedup" in ops:
         run_semdedup_rung(spark, work, factor)
+
+    if "cc" in ops:
+        run_cc_rung(spark, work, factor)
 
     print(f"workdir (delete when done): {work}")
     spark.stop()
