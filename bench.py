@@ -88,6 +88,7 @@ HEADLINE = [
     "q_contamination",
     "q_connected_components",
     "q_pq_adc_topk",
+    "q_shard_order",
 ]
 
 

@@ -182,6 +182,55 @@ def deterministic_shuffle(
     )
 
 
+def shard_order(
+    docs: DataFrame,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    n_shards: int = 64,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """The training-loader view of ``deterministic_shuffle``'s sharded
+    mode AS DATA: every row gets its (shard, pos) — which shard file
+    it lands in and its position within the shard's local shuffle —
+    instead of a physical layout. Pure function of (key, seed): same
+    hash-bucketed sharding, same within-shard pseudo-random order (an
+    independent salt), NULLS LAST pinned on both sort keys (Spark and
+    DuckDB default NULL order differ). ``hash='md5'`` swaps both draws
+    for the md5 seam so a SQL oracle replays the full epoch order.
+
+    One window shuffle on shard (64-ary by default — no global range
+    sort, the reason the sharded mode exists)."""
+    from pyspark.sql.window import Window
+
+    key_str = F.col(key_col).cast("string")
+    if hash == "md5":
+        digest = F.md5(F.concat(F.lit(f"shard:{seed}:"), key_str))
+        word = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+        order_key = F.md5(F.concat(F.lit(f"order:{seed}:"), key_str))
+    else:
+        word = F.abs(F.xxhash64(F.col(key_col), F.lit(seed)))
+        order_key = F.xxhash64(F.col(key_col), F.lit(seed + 1))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ok").asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        docs.withColumn("shard", F.pmod(word, F.lit(n_shards)).cast("int"))
+        .withColumn("_ok", order_key)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("_ok")
+    )
+
+
+def q_shard_order(spark, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): the full epoch order —
+    (doc_id, shard, pos) for every document at seed 0, 8 shards — is
+    hash-compared, pinning shard routing and within-shard order."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return shard_order(docs, seed=0, n_shards=8, hash="md5")
+
+
 # --- per-source frequency capping -------------------------------------
 
 SOURCE_CAP = 15
@@ -389,8 +438,23 @@ GROUP BY 1, 2
 """
 
 
+_SHARD_ORDER_ORACLE = """
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+         PARTITION BY shard
+         ORDER BY md5('order:0:' || CAST(doc_id AS VARCHAR)) NULLS LAST,
+                  doc_id NULLS LAST) AS INT) AS pos
+FROM (
+  SELECT doc_id,
+         CAST((('0x' || substr(md5('shard:0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8
+              AS INT) AS shard
+  FROM documents
+)
+"""
+
 ORACLE = {
     "q_contamination": _CONTAMINATION_ORACLE,
+    "q_shard_order": _SHARD_ORDER_ORACLE,
     "q_redact_pii": _redact_pii_oracle(),
     "q_source_cap": f"""
 SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
@@ -414,4 +478,5 @@ QUERIES_TAIL = {
     "q_source_cap": q_source_cap,
     "q_redact_pii": q_redact_pii,
     "q_contamination": q_contamination,
+    "q_shard_order": q_shard_order,
 }

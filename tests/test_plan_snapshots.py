@@ -39,6 +39,13 @@ SNAPSHOT_QUERIES = [
     "q_semantic_dedup",
     "q_cms_heavy_hitters",
     "q_sampled_quantiles",
+    # round-8 additions: the widest TPC-H join tree, the
+    # distinct-expand census, the decontamination gram join, and the
+    # relational ADC pipeline
+    "q_tpch_q8",
+    "q_tpch_q16",
+    "q_contamination",
+    "q_pq_adc_topk",
 ]
 
 

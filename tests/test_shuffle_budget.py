@@ -113,6 +113,8 @@ BUDGET = {
     # (q, candidate) score aggregate, and the top-k rank window; the
     # codebook and LUT legs broadcast
     "q_pq_adc_topk": 3,
+    # one window shuffle on shard — the point of the sharded mode
+    "q_shard_order": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
