@@ -92,6 +92,7 @@ def connected_components(
         )
         stepped = lab.join(nbr, lab.node == F.col("nb_node"), "left").select(
             "node",
+            F.col("comp").alias("old_comp"),
             F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
         )
         # (b) pointer jump: comp := comp(comp) — doubles the effective
@@ -100,18 +101,16 @@ def connected_components(
             F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
         )
         new = stepped.join(parent, stepped.comp == parent.p_node, "left").select(
-            "node", F.coalesce("p_comp", "comp").alias("comp")
+            "node", "old_comp", F.coalesce("p_comp", "comp").alias("comp")
         )
         # alternating slots: round r reads r-1's files while writing
-        # its own — never overwrite a path still feeding the lineage
+        # its own — never overwrite a path still feeding the lineage.
+        # The previous label rides along as old_comp, so the
+        # convergence check is a filter-count over the materialized
+        # frame — no new-vs-old join, no extra shuffle per round.
         new = _materialize(new, f"cc_round_{rnd % 2}")
-        changed = (
-            new.alias("n")
-            .join(lab.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        lab = new
+        changed = new.where(F.col("comp") != F.col("old_comp")).count()
+        lab = new.select("node", "comp")
         if changed == 0:
             return lab
     raise RuntimeError(
