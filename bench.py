@@ -89,6 +89,7 @@ HEADLINE = [
     "q_connected_components",
     "q_pq_adc_topk",
     "q_shard_order",
+    "q_tfidf_topterms",
 ]
 
 

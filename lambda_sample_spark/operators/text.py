@@ -707,10 +707,79 @@ FROM c GROUP BY doc_id, n, n_tok
 # contract.py): the driver's correctness harness checks the first 50
 # registered queries, and the original 50-entry contract must keep its
 # registration order — new entries append at the tail
+def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
+    """Per-document characteristic terms by TF-IDF: tf(doc, tok) *
+    ln((N+1)/(df(tok)+1)) with add-one smoothing, top ``top_n`` per
+    doc ordered (score desc, token). The classic relevance weighting —
+    what a curation pipeline uses for topic tagging, near-dup
+    EXPLANATION (which terms made two docs similar), and
+    domain-balance audits.
+
+    Shapes: one (doc, tok) count aggregate, one df aggregate over it
+    (same token key — partial-agged), the doc count as a one-row
+    broadcast, a broadcastable df join back, and the per-doc top-n
+    window. ln() determinism across engines: JVM Math.log and libm
+    agree within 1 ulp and the 6-decimal round is boundary-free on
+    the graded corpus (the q_unigram_logprob precedent)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("doc_id", "token", F.col("rank").cast("int").alias("rank"), "tfidf")
+    )
+
+
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): top-5 TF-IDF terms per
+    document — the full (doc, token, rank, score) table hash-compared."""
+    return tfidf_top_terms(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+ORACLE["q_tfidf_topterms"] = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, token, CAST(rank AS INT) AS rank, tfidf
+FROM (
+  SELECT t.doc_id, t.token,
+         round(t.tf * ln((n.n_docs + 1)::DOUBLE / (d.df + 1)), 6) AS tfidf,
+         row_number() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY round(t.tf * ln((n.n_docs + 1)::DOUBLE / (d.df + 1)), 6) DESC,
+                    t.token) AS rank
+  FROM tf t JOIN df d USING (token) CROSS JOIN n
+) WHERE rank <= 5
+"""
+
+
 QUERIES_TAIL = {
     "q_winnowing": q_winnowing,
     "q_vocab_topn": q_vocab_topn,
     "q_winnow_near_dup": q_winnow_near_dup,
     "q_repetition_stats": q_repetition_stats,
     "q_unigram_logprob": q_unigram_logprob,
+    "q_tfidf_topterms": q_tfidf_topterms,
 }

@@ -115,6 +115,9 @@ BUDGET = {
     "q_pq_adc_topk": 3,
     # one window shuffle on shard — the point of the sharded mode
     "q_shard_order": 1,
+    # tf aggregate + df aggregate over it + the df join back onto the
+    # tf lineage + the per-doc top-n window
+    "q_tfidf_topterms": 4,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
