@@ -61,6 +61,11 @@ def connected_components(
     fine to skip.
     """
     spark = edges.sparkSession
+    # checkpointed frames superseded during the loop — unpersisted
+    # eagerly so a long-lived session (the driver's contract sweep)
+    # never accumulates dead round blocks; only the RETURNED frame's
+    # blocks stay (the ContextCleaner reclaims them on dereference)
+    retired: list[DataFrame] = []
 
     def _materialize(df: DataFrame, slot: str) -> DataFrame:
         if scratch_dir is None:
@@ -68,6 +73,18 @@ def connected_components(
         path = f"{scratch_dir}/{slot}"
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
+
+    def _retire(df: DataFrame) -> None:
+        if scratch_dir is None:
+            retired.append(df)
+
+    def _sweep(keep: DataFrame) -> None:
+        for df in retired:
+            if df is not keep:
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
 
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
@@ -109,9 +126,12 @@ def connected_components(
         # convergence check is a filter-count over the materialized
         # frame — no new-vs-old join, no extra shuffle per round.
         new = _materialize(new, f"cc_round_{rnd % 2}")
+        _retire(new)
         changed = new.where(F.col("comp") != F.col("old_comp")).count()
         lab = new.select("node", "comp")
         if changed == 0:
+            _retire(und)
+            _sweep(keep=new)
             return lab
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds"
@@ -125,13 +145,26 @@ def q_connected_components(spark, sf_dir: str) -> DataFrame:
     with its cluster minimum, isolated docs labeling themselves. The
     oracle replays the converged fixpoint with a recursive CTE
     (reachability closure + min), so the hash compare pins the FULL
-    labeling, independent of how many rounds propagation took."""
+    labeling, independent of how many rounds propagation took.
+
+    Runs in scratch-parquet mode at a DETERMINISTIC per-sf_dir path
+    (overwrite — the q_semantic_dedup pattern): the driver's
+    long-lived session gets zero persistent RDD blocks from this row
+    (test_no_cache_leak), and repeated sweeps reuse one directory."""
+    import hashlib
+    import os
+    import tempfile
+
     from ..io import load_table
     from .dedup import ngram_jaccard
 
     pairs = ngram_jaccard(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    lab = connected_components(pairs, src="d1", dst="d2", nodes=docs)
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    scratch = os.path.join(tempfile.gettempdir(), f"lss_cc_{tag}")
+    lab = connected_components(
+        pairs, src="d1", dst="d2", nodes=docs, scratch_dir=scratch
+    )
     return lab.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
