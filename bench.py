@@ -224,7 +224,11 @@ def main() -> None:
             bench_fns[name](spark, sf_dir)
             runs[name].append(time.perf_counter() - t0)
         sweep_totals.append(round(time.perf_counter() - t_sweep, 4))
-    timings = {name: round(min(rs), 4) for name, rs in runs.items()}
+    # 3 decimals (ms precision) on the stdout line: 62 headline
+    # queries at 4 decimals measured 1818 chars — inside the 1900
+    # assert but one promotion from breaking the driver's ~2000-char
+    # tail capture; full 4-decimal numbers stay in bench_detail.json
+    timings = {name: round(min(rs), 3) for name, rs in runs.items()}
     timings_max = {name: round(max(rs), 4) for name, rs in runs.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
