@@ -218,6 +218,58 @@ def pq_adc_topk(
     )
 
 
+def _train_residual_books(assigned, cmat, crow: dict, m: int, ks: int):
+    """Codebooks over residual samples r = unit(v) - centroid: the
+    coarse cell absorbs between-cluster variance, so the codes spend
+    entirely on within-cell detail (Jégou et al. §IV). Driver-side
+    over a bounded sample, like every quantizer fit here."""
+    import numpy as np
+
+    sample = assigned.select("unit", "cluster").limit(PQ_FIT_CAP).collect()
+    smat = np.asarray([r["unit"] for r in sample], dtype=np.float64)
+    srow = np.asarray([crow[r["cluster"]] for r in sample])
+    X = smat - cmat[srow]
+    dim = X.shape[1]
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    ds = dim // m
+    ks_eff = max(1, min(ks, X.shape[0]))
+    return np.stack(
+        [_fit_kmeans_np(X[:, i * ds : (i + 1) * ds], ks_eff, seed=7 + i)
+         for i in range(m)]
+    )
+
+
+def _encode_residual(assigned, books, cmat, crow: dict):
+    """One vectorized mapper: unit(v) - centroid[cluster] -> M codes.
+    Returns (vec_id, cluster, codes)."""
+    from pyspark.sql.functions import pandas_udf
+
+    spark = assigned.sparkSession
+    bc_enc = spark.sparkContext.broadcast((books, cmat, crow))
+
+    @pandas_udf("array<int>")
+    def enc_resid(units: pd.Series, clusters: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        b, cm, cr = bc_enc.value
+        if len(units) == 0:
+            return _pd.Series([], dtype=object)
+        mat = _np.array(units.tolist(), dtype=_np.float64)
+        mat -= cm[clusters.map(cr).to_numpy()]
+        mm, kk, dd = b.shape
+        codes = _np.empty((mat.shape[0], mm), dtype=_np.int32)
+        for i in range(mm):
+            sub = mat[:, i * dd : (i + 1) * dd]
+            sc = 2.0 * (sub @ b[i].T) - (b[i] ** 2).sum(axis=1)
+            codes[:, i] = sc.argmax(axis=1)
+        return _pd.Series(list(codes))
+
+    return assigned.select(
+        "vec_id", "cluster", enc_resid("unit", "cluster").alias("codes")
+    )
+
+
 def ivfpq_search(
     emb: DataFrame,
     queries,
@@ -267,44 +319,8 @@ def ivfpq_search(
     spark = emb.sparkSession
 
     if residual:
-        # codebooks train on residual samples; encoding subtracts the
-        # assigned centroid inside the same vectorized mapper
-        sample = assigned.select("unit", "cluster").limit(PQ_FIT_CAP).collect()
-        smat = np.asarray([r["unit"] for r in sample], dtype=np.float64)
-        srow = np.asarray([crow[r["cluster"]] for r in sample])
-        X = smat - cmat[srow]
-        dim = X.shape[1]
-        assert dim % m == 0, f"dim {dim} not divisible by m={m}"
-        ds = dim // m
-        ks_eff = max(1, min(ks, X.shape[0]))
-        books = np.stack(
-            [_fit_kmeans_np(X[:, i * ds : (i + 1) * ds], ks_eff, seed=7 + i)
-             for i in range(m)]
-        )
-        bc_enc = spark.sparkContext.broadcast((books, cmat, crow))
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("array<int>")
-        def enc_resid(units: pd.Series, clusters: pd.Series) -> pd.Series:
-            import numpy as _np
-            import pandas as _pd
-
-            b, cm, cr = bc_enc.value
-            if len(units) == 0:
-                return _pd.Series([], dtype=object)
-            mat = _np.array(units.tolist(), dtype=_np.float64)
-            mat -= cm[clusters.map(cr).to_numpy()]
-            mm, kk, dd = b.shape
-            codes = _np.empty((mat.shape[0], mm), dtype=_np.int32)
-            for i in range(mm):
-                sub = mat[:, i * dd : (i + 1) * dd]
-                sc = 2.0 * (sub @ b[i].T) - (b[i] ** 2).sum(axis=1)
-                codes[:, i] = sc.argmax(axis=1)
-            return _pd.Series(list(codes))
-
-        encoded = assigned.select(
-            "vec_id", "cluster", enc_resid("unit", "cluster").alias("codes")
-        )
+        books = _train_residual_books(assigned, cmat, crow, m, ks)
+        encoded = _encode_residual(assigned, books, cmat, crow)
     else:
         books = pq_train(emb, m=m, ks=ks)
         encoded = pq_encode(assigned.select("vec_id", "vec", "cluster"), books).join(
@@ -369,6 +385,160 @@ def ivfpq_search(
     )
     refined = (
         survivors.join(emb.select(F.col("vec_id").alias("c_id"), "vec"), "c_id")
+        .join(F.broadcast(qdf), "q_id")
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
+# --- persisted IVF-PQ index -------------------------------------------
+
+
+def ivfpq_write_index(
+    emb: DataFrame,
+    path: str,
+    n: int | None = None,
+    m: int = PQ_M,
+    ks: int = 64,
+) -> None:
+    """Build and persist the full IVF-PQ index: cluster-partitioned
+    cells holding (vec_id, vec, codes) — parquet's column pruning
+    means the ADC scan reads ONLY the codes column and the refine
+    join ONLY vec — plus the k-row centroid table and the codebook
+    (m, code, subvec) alongside. At 100 TB the codes column is the
+    RAM-resident ~1/64 slice; raw vectors stay on disk and are read
+    by id for the refine survivors."""
+    import math as _math
+
+    import numpy as np
+
+    from .similarity import IVF_MAX_CELLS, ivf_index
+
+    if n is None:
+        n = emb.count()
+    k_cells = max(4, min(int(_math.isqrt(n)), IVF_MAX_CELLS))
+    centroids, assigned = ivf_index(emb, k_cells)
+    cents = {r["cluster"]: np.asarray(r["cvec"]) for r in centroids.collect()}
+    ckeys = sorted(cents)
+    cmat = np.stack([cents[c] for c in ckeys])
+    crow = {c: i for i, c in enumerate(ckeys)}
+    books = _train_residual_books(assigned, cmat, crow, m, ks)
+    encoded = _encode_residual(assigned, books, cmat, crow)
+    cells = assigned.select("vec_id", "vec", "cluster").join(
+        encoded.select("vec_id", "codes"), "vec_id"
+    )
+    cells.write.mode("overwrite").partitionBy("cluster").parquet(f"{path}/cells")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    spark = emb.sparkSession
+    book_rows = [
+        (int(i), int(c), [float(x) for x in books[i, c]])
+        for i in range(books.shape[0])
+        for c in range(books.shape[1])
+    ]
+    spark.createDataFrame(
+        book_rows, "m INT, code INT, subvec ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_probe_index(
+    spark: SparkSession,
+    path: str,
+    queries,
+    nprobe: int | None = None,
+    top_k: int = 10,
+    refine: int = 4,
+) -> DataFrame:
+    """Probe a persisted IVF-PQ index: cell selection on the broadcast
+    centroid table; the cells scan carries the probed cluster set as a
+    PARTITION filter (pruning IS candidate selection, the
+    ivf_probe_index contract) and reads only the codes column; the
+    refine join re-reads the SAME pruned partitions for just the
+    survivors' vec column. ``queries`` is a list of (q_id, vector).
+    Returns (q_id, c_id, cos_sim, rank)."""
+    import numpy as np
+
+    from ..functions.vectors import cosine
+    from .similarity import ivf_nprobe_for
+
+    centroids = spark.read.parquet(f"{path}/centroids").collect()
+    cents = {r["cluster"]: np.asarray(r["cvec"]) for r in centroids}
+    ckeys = sorted(cents)
+    cmat = np.stack([cents[c] for c in ckeys])
+    if nprobe is None:
+        nprobe = ivf_nprobe_for(len(ckeys))
+    brows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["m"] for r in brows)
+    ks = 1 + max(r["code"] for r in brows)
+    books = np.zeros((m, ks, len(brows[0]["subvec"])))
+    for r in brows:
+        books[r["m"], r["code"]] = r["subvec"]
+
+    probe_rows = []
+    for q_id, vec in queries:
+        qv = np.asarray(vec, dtype=np.float64)
+        nrm = np.linalg.norm(qv)
+        qu = qv / (nrm if nrm > 0 else 1.0)
+        dots = cmat @ qu
+        order = np.argsort(-dots)[:nprobe]
+        probe_rows.extend(
+            (int(q_id), int(ckeys[i]), float(dots[i])) for i in order
+        )
+    probed = spark.createDataFrame(
+        probe_rows, "q_id BIGINT, cluster INT, qc_dot DOUBLE"
+    )
+    clusters = sorted({c for _, c, _ in probe_rows})
+
+    cells = spark.read.parquet(f"{path}/cells")
+    cand_codes = (
+        cells.where(F.col("cluster").isin(clusters))
+        .select("vec_id", "codes", "cluster")
+        .join(F.broadcast(probed), "cluster")
+    )
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qmat = qmat / np.where(qn == 0, 1.0, qn)
+    ds = books.shape[2]
+    q_index = {int(q): i for i, (q, _) in enumerate(queries)}
+    luts = np.stack([qmat[:, i * ds : (i + 1) * ds] @ books[i].T for i in range(m)])
+    bc = spark.sparkContext.broadcast((q_index, luts))
+
+    def score(batches):
+        import pandas as _pd
+
+        qidx, lut = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            qrows = pdf["q_id"].map(qidx).to_numpy()
+            s = pdf["qc_dot"].to_numpy().astype(float).copy()
+            for i in range(lut.shape[0]):
+                s += lut[i][qrows, codes[:, i]]
+            yield _pd.DataFrame(
+                {"q_id": pdf["q_id"], "c_id": pdf["vec_id"], "adc_score": s}
+            )
+
+    scored = cand_codes.mapInPandas(
+        score, "q_id BIGINT, c_id BIGINT, adc_score DOUBLE"
+    ).where(F.col("c_id") != F.col("q_id"))
+    wa = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("c_id"))
+    survivors = scored.withColumn("ar", F.row_number().over(wa)).where(
+        F.col("ar") <= refine * top_k
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "q_id BIGINT, q_vec ARRAY<DOUBLE>",
+    )
+    vecs = cells.where(F.col("cluster").isin(clusters)).select(
+        F.col("vec_id").alias("c_id"), "vec"
+    )
+    refined = (
+        survivors.join(vecs, "c_id")
         .join(F.broadcast(qdf), "q_id")
         .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
     )

@@ -10,7 +10,9 @@ import pytest
 
 from lambda_sample_spark.operators.pq import (
     ORACLE,
+    ivfpq_probe_index,
     ivfpq_search,
+    ivfpq_write_index,
     pq_adc_topk,
     pq_encode,
     pq_train,
@@ -89,6 +91,24 @@ def test_residual_beats_raw_at_same_bytes(spark, clustered):
     r_res, r_raw = recall(True), recall(False)
     assert r_res >= 0.6, f"residual ADC recall@10 {r_res}"
     assert r_res >= r_raw + 0.15, f"residual {r_res} vs raw {r_raw}"
+
+
+def test_persisted_ivfpq_index_probe(spark, clustered, tmp_path):
+    # the persisted layout end-to-end: write (cluster-partitioned
+    # cells + centroids + codebook), probe from a fresh read. The
+    # cells scan must carry the probed clusters as a PARTITION filter
+    # (pruning IS candidate selection) and recall must match the
+    # in-memory residual path's grade.
+    emb, pts, exact, queries = clustered
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, n=3000)
+    out = ivfpq_probe_index(spark, path, queries)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
+    assert any("cluster" in p and "IN" in p for p in pfs), plan[:1500]
+    got = out.collect()
+    recall = sum(1 for r in got if r.c_id in exact[r.q_id]) / 50
+    assert recall >= 0.9, f"persisted IVF-PQ recall@10 {recall}"
 
 
 def test_adc_lane_matches_relational_row(spark, sf_dir):
