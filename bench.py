@@ -90,6 +90,7 @@ HEADLINE = [
     "q_pq_adc_topk",
     "q_shard_order",
     "q_tfidf_topterms",
+    "q_drift_psi",
 ]
 
 

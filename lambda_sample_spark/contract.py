@@ -17,6 +17,7 @@ from .operators import (
     anomaly,
     curation,
     dedup,
+    drift,
     graph,
     joins,
     joins_ext,
@@ -59,6 +60,7 @@ _MODULES = [
     training,
     graph,
     pq,
+    drift,
 ]
 
 

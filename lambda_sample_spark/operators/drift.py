@@ -1,0 +1,164 @@
+"""Distribution-drift detection (SURVEY.md §2.8 adjunct): the
+monitoring op a long-running ingest pipeline runs between corpus
+snapshots — "has the value distribution of this event type moved
+since the reference window?" — as the Population Stability Index over
+reference-quantile bins (the standard scorecard-monitoring metric:
+PSI = sum over bins of (p_cur - p_ref) * ln(p_cur / p_ref); < 0.1
+stable, 0.1-0.25 drifting, > 0.25 shifted).
+
+Shape: decile edges come from an ntile window over the REFERENCE
+slice only (deterministic total order: value, event_id), both slices
+are binned against those same edges with one broadcast join + a
+higher-order filter count (no per-row UDF), and the per-bin
+probability terms are summed in exact DECIMAL so the reported PSI is
+engine-independent (the one ln() per bin matches across engines on
+the fixed corpus — the q_unigram_logprob precedent). Laplace-style
++0.5 smoothing keeps empty current-period bins finite.
+
+100 TB: the reference pass is one window + tiny edge aggregate (10
+rows/key); the current pass is a scan + broadcast bin lookup + one
+(key, bin) count — nothing quadratic, nothing driver-side but the
+bin grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+N_BINS = 10
+_SPLIT = "2024-01-16 00:00:00"
+
+
+def drift_psi(
+    events: DataFrame,
+    split_ts: str,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """PSI per key between the slice before ``split_ts`` (reference)
+    and the slice at/after it (current). Returns
+    (key, psi, n_ref, n_cur)."""
+    ref = events.where(F.col("ts") < F.lit(split_ts).cast("timestamp"))
+    cur = events.where(F.col("ts") >= F.lit(split_ts).cast("timestamp"))
+
+    w = Window.partitionBy(key_col).orderBy(F.col(value_col), F.col(id_col))
+    tiles = ref.withColumn("tile", F.ntile(n_bins).over(w))
+    edges = (
+        tiles.groupBy(key_col, "tile")
+        .agg(F.max(value_col).alias("edge"))
+        .where(F.col("tile") < n_bins)  # n_bins-1 interior edges
+        .groupBy(key_col)
+        .agg(F.sort_array(F.collect_list("edge")).alias("edges"))
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        v = F.col(value_col)
+        return df.join(F.broadcast(edges), key_col).select(
+            key_col,
+            F.size(F.filter("edges", lambda e: v > e)).alias("bin"),
+        )
+
+    def bin_counts(df: DataFrame, out: str) -> DataFrame:
+        return binned(df).groupBy(key_col, "bin").agg(F.count("*").alias(out))
+
+    grid = edges.select(
+        key_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    )
+    counts = (
+        grid.join(bin_counts(ref, "r_cnt"), [key_col, "bin"], "left")
+        .join(bin_counts(cur, "c_cnt"), [key_col, "bin"], "left")
+        .select(
+            key_col,
+            "bin",
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        )
+    )
+    totals = counts.groupBy(key_col).agg(
+        F.sum("r_cnt").alias("n_ref"), F.sum("c_cnt").alias("n_cur")
+    )
+    half = F.lit(0.5)
+    smooth = F.lit(0.5 * n_bins)
+    j = counts.join(F.broadcast(totals), key_col)
+    p_r = (F.col("r_cnt") + half) / (F.col("n_ref") + smooth)
+    p_c = (F.col("c_cnt") + half) / (F.col("n_cur") + smooth)
+    term = ((p_c - p_r) * F.log(p_c / p_r)).cast("decimal(25,15)")
+    return (
+        j.select(key_col, "n_ref", "n_cur", term.alias("term"))
+        .groupBy(key_col, "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("psi"))
+        .select(key_col, "psi", "n_ref", "n_cur")
+    )
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-8 promotion): PSI per event_type across a
+    mid-January split of the events table — edges, bin censuses,
+    smoothing, and the exact-decimal term sum all hash-compared."""
+    return drift_psi(load_table(spark, sf_dir, "events"), _SPLIT)
+
+
+ORACLE = {
+    "q_drift_psi": f"""
+WITH ref AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE ts < TIMESTAMP '{_SPLIT}'
+), cur AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE ts >= TIMESTAMP '{_SPLIT}'
+), tiles AS (
+  SELECT event_type, value,
+         ntile({N_BINS}) OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS tile
+  FROM ref
+), edges AS (
+  SELECT event_type, list_sort(list(edge)) AS edges
+  FROM (SELECT event_type, tile, max(value) AS edge
+        FROM tiles GROUP BY 1, 2)
+  WHERE tile < {N_BINS}
+  GROUP BY 1
+), rbin AS (
+  SELECT r.event_type, len(list_filter(e.edges, x -> r.value > x)) AS bin
+  FROM ref r JOIN edges e USING (event_type)
+), cbin AS (
+  SELECT c.event_type, len(list_filter(e.edges, x -> c.value > x)) AS bin
+  FROM cur c JOIN edges e USING (event_type)
+), rc AS (
+  SELECT event_type, bin, count(*) AS r_cnt FROM rbin GROUP BY 1, 2
+), cc AS (
+  SELECT event_type, bin, count(*) AS c_cnt FROM cbin GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(0, {N_BINS})) AS bin FROM edges
+), counts AS (
+  SELECT g.event_type, g.bin,
+         coalesce(rc.r_cnt, 0) AS r_cnt, coalesce(cc.c_cnt, 0) AS c_cnt
+  FROM grid g
+  LEFT JOIN rc ON g.event_type = rc.event_type AND g.bin = rc.bin
+  LEFT JOIN cc ON g.event_type = cc.event_type AND g.bin = cc.bin
+), totals AS (
+  SELECT event_type,
+         CAST(sum(r_cnt) AS BIGINT) AS n_ref,
+         CAST(sum(c_cnt) AS BIGINT) AS n_cur
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type,
+       CAST(round(sum(CAST(((c.c_cnt + 0.5) / (t.n_cur + {0.5 * N_BINS})
+                            - (c.r_cnt + 0.5) / (t.n_ref + {0.5 * N_BINS}))
+                           * ln(((c.c_cnt + 0.5) / (t.n_cur + {0.5 * N_BINS}))
+                                / ((c.r_cnt + 0.5) / (t.n_ref + {0.5 * N_BINS})))
+                           AS DECIMAL(25,15))), 6) AS DOUBLE) AS psi,
+       t.n_ref, t.n_cur
+FROM counts c JOIN totals t USING (event_type)
+GROUP BY 1, 3, 4
+"""
+}
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {"q_drift_psi": q_drift_psi}

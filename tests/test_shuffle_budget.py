@@ -118,6 +118,11 @@ BUDGET = {
     # tf aggregate + df aggregate over it + the df join back onto the
     # tf lineage + the per-doc top-n window
     "q_tfidf_topterms": 4,
+    # reference ntile window + edge aggregate, re-derived under each
+    # of the three edge-broadcast branches (grid/ref-bins/cur-bins) +
+    # the two bin censuses and the final PSI aggregate; at scale the
+    # tiny edges frame is the thing to materialize once
+    "q_drift_psi": 10,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
