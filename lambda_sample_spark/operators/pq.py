@@ -64,8 +64,12 @@ def _fit_kmeans_np(mat, k: int, max_iter: int = 12, seed: int = 7):
         chosen.append(j)
         np.minimum(d2, ((mat - mat[j]) ** 2).sum(axis=1), out=d2)
     cents = mat[chosen].copy()
+    x2 = (mat**2).sum(axis=1)
     for _ in range(max_iter):
-        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 — one BLAS matmul,
+        # no (n, k, ds) difference tensor (the naive broadcast form
+        # cost ~100s and ~0.5 GB of temporaries at a 131k-row sample)
+        d = x2[:, None] - 2.0 * (mat @ cents.T) + (cents**2).sum(axis=1)
         assign = d.argmin(axis=1)
         newc = np.zeros_like(cents)
         np.add.at(newc, assign, mat)
@@ -225,7 +229,11 @@ def _train_residual_books(assigned, cmat, crow: dict, m: int, ks: int):
     over a bounded sample, like every quantizer fit here."""
     import numpy as np
 
-    sample = assigned.select("unit", "cluster").limit(PQ_FIT_CAP).collect()
+    # codebook quality saturates around ~1k samples/codeword (the
+    # FAISS training economics); collecting more only pays driver
+    # transfer cost
+    cap = min(PQ_FIT_CAP, ks * 1024)
+    sample = assigned.select("unit", "cluster").limit(cap).collect()
     smat = np.asarray([r["unit"] for r in sample], dtype=np.float64)
     srow = np.asarray([crow[r["cluster"]] for r in sample])
     X = smat - cmat[srow]

@@ -12,7 +12,9 @@ Usage: python scripts/scale_oneoff.py [factor] [ops]
        runs index-build + semantic_dedup_indexed over the persisted
        cells — the round-8 rung for the ops now dominating the bench;
        cc runs connected_components on a synthetic hash-random graph
-       with 5000*factor nodes and 1.2x that in edges.
+       with 5000*factor nodes and 1.2x that in edges;
+       pq inflates the embeddings like semdedup and measures
+       persisted IVF-PQ index build + a 5-query pruned probe.
 """
 
 from __future__ import annotations
@@ -111,6 +113,58 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
         return "forced"
 
     measure(spark, f"semantic_dedup_indexed@{n}", dedup_full)
+
+
+def run_pq_rung(spark, work: str, factor: int) -> None:
+    """IVF-PQ at scale: inflate the sf0.1 embeddings (2k vectors) by
+    ``factor`` with the semdedup rung's deterministic perturbation,
+    build + persist the residual-PQ index (the one full-data pass:
+    assignment + encode + partitioned write), then probe 5 queries
+    (partition-pruned scan + ADC + exact refine)."""
+    from lambda_sample_spark.operators.pq import (
+        ivfpq_probe_index,
+        ivfpq_write_index,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("copy"))
+    emb_path = os.path.join(work, "pq_emb.parquet")
+    t0 = time.perf_counter()
+    (
+        base.select("vec_id", "embedding")
+        .crossJoin(copies)
+        .select(
+            (F.col("vec_id") * factor + F.col("copy")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x.cast("double")
+                + 0.01 * F.sin(F.col("copy") * 1.7 + i.cast("double")),
+            ).alias("vec"),
+        )
+        .repartition(32)
+        .write.parquet(emb_path)
+    )
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    print(
+        f"inflated embeddings: {n} vectors ({factor}x sf0.1), "
+        f"built in {time.perf_counter() - t0:.0f}s"
+    )
+    idx = os.path.join(work, "pq_idx")
+    measure(
+        spark,
+        f"ivfpq_write_index@{n}",
+        lambda: ivfpq_write_index(emb, idx, n=n),
+    )
+    queries = [
+        (int(r["vec_id"]), list(r["vec"]))
+        for r in emb.where(F.col("vec_id") < 5).collect()
+    ]
+    measure(
+        spark,
+        f"ivfpq_probe_index@{n}",
+        lambda: ivfpq_probe_index(spark, idx, queries).count(),
+    )
 
 
 def run_cc_rung(spark, work: str, factor: int) -> None:
@@ -216,6 +270,9 @@ def main() -> None:
 
     if "cc" in ops:
         run_cc_rung(spark, work, factor)
+
+    if "pq" in ops:
+        run_pq_rung(spark, work, factor)
 
     print(f"workdir (delete when done): {work}")
     spark.stop()
