@@ -43,7 +43,13 @@ def drift_psi(
 ) -> DataFrame:
     """PSI per key between the slice before ``split_ts`` (reference)
     and the slice at/after it (current). Returns
-    (key, psi, n_ref, n_cur)."""
+    (key, psi, n_ref, n_cur).
+
+    Keys with NO reference rows have no edges and drop out (PSI
+    against nothing is undefined — detect brand-new keys with a plain
+    anti-join, not a distribution test); keys that vanished from the
+    current slice still report (n_cur = 0, every current bin at the
+    smoothed floor)."""
     ref = events.where(F.col("ts") < F.lit(split_ts).cast("timestamp"))
     cur = events.where(F.col("ts") >= F.lit(split_ts).cast("timestamp"))
 
