@@ -138,6 +138,48 @@ def connected_components(
     )
 
 
+def cc_ingest(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **kwargs,
+) -> DataFrame:
+    """Incremental connected components: fold a NEW edge batch into an
+    existing (node, comp) labeling without rescanning the original
+    edge set — the steady-state companion to the minhash ingest path
+    (incremental_dedup), where tonight's near-dup pairs must update
+    yesterday's cluster assignments.
+
+    The existing labeling IS a spanning structure of its components
+    (each a star: node -> comp), so CC over (star edges ∪ new batch)
+    yields exactly CC over (all original edges ∪ new batch) — star
+    edges preserve connectivity and add none. Work is bounded by
+    |nodes| + |new batch|, independent of historical edge volume, and
+    stars have diameter 2, so convergence stays in the low-round
+    regime regardless of how the original graph looked. New nodes
+    appearing only in the batch join the universe automatically.
+
+    Returns the refreshed (node, comp). Labels stay min-node ids, so
+    repeated ingests are stable: an untouched component keeps its
+    representative."""
+    star = labels.select(F.col("node").alias("a"), F.col("comp").alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    batch = new_edges.select(
+        F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
+    )
+    all_nodes = (
+        labels.select("node")
+        .unionByName(batch.select(F.col("a").alias("node")))
+        .unionByName(batch.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return connected_components(
+        star.unionByName(batch), src="a", dst="b", nodes=all_nodes, **kwargs
+    )
+
+
 def q_connected_components(spark, sf_dir: str) -> DataFrame:
     """Contract (tail, round-8 promotion): dedup clustering as a graph
     problem — connected components over the exact >= 0.95-Jaccard

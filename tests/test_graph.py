@@ -9,6 +9,7 @@ import random
 import pytest
 
 from lambda_sample_spark.operators.graph import (
+    cc_ingest,
     connected_components,
     q_connected_components,
 )
@@ -79,6 +80,35 @@ def test_nonconvergence_raises(spark):
     edf = spark.createDataFrame([(i, i + 1) for i in range(63)], "src BIGINT, dst BIGINT")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edf, max_rounds=1)
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_incremental_ingest_matches_full_recompute(spark, seed):
+    # cc(all edges) == cc_ingest(cc(first half), second half): the
+    # star-edge reduction preserves connectivity exactly, including
+    # components that only merge ACROSS the two batches and new nodes
+    # that appear only in the second batch
+    rng = random.Random(seed)
+    n, m = 60, 50
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    ndf = spark.createDataFrame([(i,) for i in range(n)], "node BIGINT")
+    full = {
+        r["node"]: r["comp"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "src BIGINT, dst BIGINT"), nodes=ndf
+        ).collect()
+    }
+    half = m // 2
+    first = connected_components(
+        spark.createDataFrame(edges[:half], "src BIGINT, dst BIGINT"), nodes=ndf
+    )
+    merged = {
+        r["node"]: r["comp"]
+        for r in cc_ingest(
+            first, spark.createDataFrame(edges[half:], "src BIGINT, dst BIGINT")
+        ).collect()
+    }
+    assert merged == full
 
 
 def test_contract_row_matches_oracle(spark, sf_dir):
