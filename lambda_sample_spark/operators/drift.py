@@ -49,11 +49,18 @@ def drift_psi(
     against nothing is undefined — detect brand-new keys with a plain
     anti-join, not a distribution test); keys that vanished from the
     current slice still report (n_cur = 0, every current bin at the
-    smoothed floor)."""
-    ref = events.where(F.col("ts") < F.lit(split_ts).cast("timestamp"))
-    cur = events.where(F.col("ts") >= F.lit(split_ts).cast("timestamp"))
+    smoothed floor). NULL values are excluded from BOTH slices before
+    anything else: a NULL has no position in a value distribution
+    (and Spark's NULLS FIRST vs DuckDB's NULLS LAST ntile defaults
+    would silently diverge the edges) — track NULL-rate drift with a
+    plain conditional count, not a quantile binning."""
+    nn = F.col(value_col).isNotNull()
+    ref = events.where(nn & (F.col("ts") < F.lit(split_ts).cast("timestamp")))
+    cur = events.where(nn & (F.col("ts") >= F.lit(split_ts).cast("timestamp")))
 
-    w = Window.partitionBy(key_col).orderBy(F.col(value_col), F.col(id_col))
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     tiles = ref.withColumn("tile", F.ntile(n_bins).over(w))
     edges = (
         tiles.groupBy(key_col, "tile")
@@ -114,14 +121,15 @@ ORACLE = {
     "q_drift_psi": f"""
 WITH ref AS (
   SELECT event_type, event_id, value FROM events
-  WHERE ts < TIMESTAMP '{_SPLIT}'
+  WHERE value IS NOT NULL AND ts < TIMESTAMP '{_SPLIT}'
 ), cur AS (
   SELECT event_type, event_id, value FROM events
-  WHERE ts >= TIMESTAMP '{_SPLIT}'
+  WHERE value IS NOT NULL AND ts >= TIMESTAMP '{_SPLIT}'
 ), tiles AS (
   SELECT event_type, value,
          ntile({N_BINS}) OVER (PARTITION BY event_type
-                               ORDER BY value, event_id) AS tile
+                               ORDER BY value NULLS LAST,
+                                        event_id NULLS LAST) AS tile
   FROM ref
 ), edges AS (
   SELECT event_type, list_sort(list(edge)) AS edges

@@ -51,9 +51,11 @@ def connected_components(
     """Label every node with the MINIMUM node id of its connected
     component. ``edges`` is an undirected edge list (each pair listed
     once, either orientation); NULL endpoints are dropped. ``nodes``
-    optionally supplies the node universe (first column) so isolated
-    nodes appear with their own id as the component; default universe
-    is the edge endpoints. Returns (node, comp).
+    optionally adds to the node universe (first column) so isolated
+    nodes appear with their own id as the component; edge endpoints
+    are ALWAYS included — an explicit ``nodes`` frame that omits an
+    endpoint must not silently sever the paths running through it.
+    Returns (node, comp).
 
     Raises after ``max_rounds`` without convergence — on a connected
     diameter-d graph the bound needs only O(log d) rounds, so hitting
@@ -93,11 +95,17 @@ def connected_components(
         e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
         "cc_edges",
     )
+    endpoints = und.select(F.col("a").alias("node"))
     if nodes is None:
-        universe = und.select(F.col("a").alias("node")).distinct()
+        universe = endpoints.distinct()
     else:
         first = nodes.columns[0]
-        universe = nodes.select(F.col(first).cast("bigint").alias("node")).distinct()
+        universe = (
+            nodes.select(F.col(first).cast("bigint").alias("node"))
+            .where(F.col(first).isNotNull())
+            .unionByName(endpoints)
+            .distinct()
+        )
     lab = universe.withColumn("comp", F.col("node"))
 
     for rnd in range(max_rounds):
@@ -169,14 +177,12 @@ def cc_ingest(
     batch = new_edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     )
-    all_nodes = (
-        labels.select("node")
-        .unionByName(batch.select(F.col("a").alias("node")))
-        .unionByName(batch.select(F.col("b").alias("node")))
-        .distinct()
-    )
+    # universe: the labeled nodes (isolated ones must persist); batch
+    # endpoints join automatically (connected_components always folds
+    # edge endpoints in — and drops NULL endpoints with their edges)
     return connected_components(
-        star.unionByName(batch), src="a", dst="b", nodes=all_nodes, **kwargs
+        star.unionByName(batch), src="a", dst="b",
+        nodes=labels.select("node"), **kwargs
     )
 
 

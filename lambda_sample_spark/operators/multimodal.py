@@ -274,6 +274,17 @@ def extract_features(media: DataFrame) -> DataFrame:
             top_down, h = hs < 0, abs(hs)
             row_raw = w * 3
             stride = row_raw + (4 - row_raw % 4) % 4
+            # mis-sniffed payloads (any bytes starting 'BM') carry
+            # garbage dims: bound them and require the pixel array to
+            # actually fit inside the payload BEFORE allocating, else
+            # w=h=0x20202020 allocates ~8.7e17 bytes and kills the job
+            if not (
+                0 < w <= 1 << 14
+                and 0 < h <= 1 << 14
+                and 0 <= off
+                and off + stride * h <= len(b)
+            ):
+                return fake_features(b)
             rgb = bytearray(w * h * 3)
             for y in range(h):
                 sy = y if top_down else h - 1 - y
@@ -329,10 +340,16 @@ def extract_features(media: DataFrame) -> DataFrame:
 
         def features(raw) -> list[float]:
             b = bytes(raw)
-            if b[:2] == b"BM":
-                return bmp_features(b)
-            if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                return wav_features(b)
+            # magic-byte sniffing can false-positive on arbitrary
+            # payloads (any text starting 'BM'); a malformed body must
+            # degrade to the deterministic fake, never crash the job
+            try:
+                if b[:2] == b"BM":
+                    return bmp_features(b)
+                if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    return wav_features(b)
+            except Exception:
+                return fake_features(b)
             return fake_features(b)
 
         for pdf in batches:

@@ -278,6 +278,95 @@ def _encode_residual(assigned, books, cmat, crow: dict):
     )
 
 
+def _probe_cells(queries, cmat, ckeys, nprobe: int, with_dots: bool):
+    """(q_id, cluster, qc_dot) probe rows: each query's nprobe nearest
+    centroids, with the dot(q_unit, centroid) term when residual ADC
+    needs it (0.0 otherwise)."""
+    import numpy as np
+
+    rows = []
+    for q_id, vec in queries:
+        qv = np.asarray(vec, dtype=np.float64)
+        nrm = np.linalg.norm(qv)
+        qu = qv / (nrm if nrm > 0 else 1.0)
+        dots = cmat @ qu
+        order = np.argsort(-dots)[:nprobe]
+        rows.extend(
+            (int(q_id), int(ckeys[i]), float(dots[i]) if with_dots else 0.0)
+            for i in order
+        )
+    return rows
+
+
+def _adc_scored(cand_codes: DataFrame, queries, books, unit_queries: bool):
+    """ADC scoring mapper over (vec_id, codes, q_id, qc_dot) candidate
+    rows -> (q_id, c_id, adc_score), self-pairs excluded. With
+    ``unit_queries`` the LUTs are built from normalized queries so the
+    qc_dot + LUT decomposition reconstructs cosine (residual mode)."""
+    import numpy as np
+
+    ds = books.shape[2]
+    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
+    if unit_queries:
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qmat = qmat / np.where(qn == 0, 1.0, qn)
+    q_index = {int(q): i for i, (q, _) in enumerate(queries)}
+    luts = np.stack(
+        [qmat[:, i * ds : (i + 1) * ds] @ books[i].T for i in range(books.shape[0])]
+    )
+    bc = cand_codes.sparkSession.sparkContext.broadcast((q_index, luts))
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        qidx, lut = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = _np.array(pdf["codes"].tolist(), dtype=_np.int64)
+            qrows = pdf["q_id"].map(qidx).to_numpy()
+            s = pdf["qc_dot"].to_numpy().astype(float).copy()
+            for i in range(lut.shape[0]):
+                s += lut[i][qrows, codes[:, i]]
+            yield _pd.DataFrame(
+                {"q_id": pdf["q_id"], "c_id": pdf["vec_id"], "adc_score": s}
+            )
+
+    return cand_codes.mapInPandas(
+        score, "q_id BIGINT, c_id BIGINT, adc_score DOUBLE"
+    ).where(F.col("c_id") != F.col("q_id"))
+
+
+def _refine_exact_topk(
+    scored: DataFrame, vecs: DataFrame, queries, top_k: int, refine: int
+) -> DataFrame:
+    """Keep the top refine*k ADC survivors per query, re-rank them by
+    exact cosine against raw vectors joined BY ID, return
+    (q_id, c_id, cos_sim, rank). ``vecs`` is a (c_id, vec) frame."""
+    from ..functions.vectors import cosine
+
+    wa = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("c_id"))
+    survivors = scored.withColumn("ar", F.row_number().over(wa)).where(
+        F.col("ar") <= refine * top_k
+    )
+    qdf = scored.sparkSession.createDataFrame(
+        [(int(q), [float(x) for x in v]) for q, v in queries],
+        "q_id BIGINT, q_vec ARRAY<DOUBLE>",
+    )
+    refined = (
+        survivors.join(vecs, "c_id")
+        .join(F.broadcast(qdf), "q_id")
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= top_k)
+        .select("q_id", "c_id", "cos_sim", "rank")
+    )
+
+
 def ivfpq_search(
     emb: DataFrame,
     queries,
@@ -311,7 +400,6 @@ def ivfpq_search(
 
     import numpy as np
 
-    from ..functions.vectors import cosine
     from .similarity import IVF_MAX_CELLS, ivf_index, ivf_nprobe_for
 
     if n is None:
@@ -335,73 +423,18 @@ def ivfpq_search(
             assigned.select("vec_id", "cluster"), "vec_id"
         )
 
-    probe_rows = []
-    for q_id, vec in queries:
-        qv = np.asarray(vec, dtype=np.float64)
-        nrm = np.linalg.norm(qv)
-        qu = qv / (nrm if nrm > 0 else 1.0)
-        dots = cmat @ qu
-        order = np.argsort(-dots)[:nprobe]
-        probe_rows.extend(
-            (int(q_id), int(ckeys[i]), float(dots[i]) if residual else 0.0)
-            for i in order
-        )
-    probed = spark.createDataFrame(probe_rows, "q_id BIGINT, cluster INT, qc_dot DOUBLE")
-
+    probed = spark.createDataFrame(
+        _probe_cells(queries, cmat, ckeys, nprobe, with_dots=residual),
+        "q_id BIGINT, cluster INT, qc_dot DOUBLE",
+    )
+    # ADC over the probed cells only: score rows where the candidate's
+    # cell was probed FOR that query (the join already paired them)
     cand_codes = encoded.join(F.broadcast(probed), "cluster").select(
         "vec_id", "codes", "q_id", "qc_dot"
     )
-    # ADC over the probed cells only: score rows where the candidate's
-    # cell was probed FOR that query (the join already paired them).
-    # In residual mode queries are scored as unit vectors so the
-    # dot(q, c) + LUT decomposition reconstructs cosine(q, v).
-    m_, ks_, ds = books.shape
-    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
-    if residual:
-        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-        qmat = qmat / np.where(qn == 0, 1.0, qn)
-    q_index = {int(q): i for i, (q, _) in enumerate(queries)}
-    luts = np.stack([qmat[:, i * ds : (i + 1) * ds] @ books[i].T for i in range(m_)])
-    bc = spark.sparkContext.broadcast((q_index, luts))
-
-    def score(batches):
-        import pandas as _pd
-
-        qidx, lut = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            qrows = pdf["q_id"].map(qidx).to_numpy()
-            s = pdf["qc_dot"].to_numpy().astype(float).copy()
-            for i in range(lut.shape[0]):
-                s += lut[i][qrows, codes[:, i]]
-            yield _pd.DataFrame(
-                {"q_id": pdf["q_id"], "c_id": pdf["vec_id"], "adc_score": s}
-            )
-
-    scored = cand_codes.mapInPandas(
-        score, "q_id BIGINT, c_id BIGINT, adc_score DOUBLE"
-    ).where(F.col("c_id") != F.col("q_id"))
-    wa = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("c_id"))
-    survivors = scored.withColumn("ar", F.row_number().over(wa)).where(
-        F.col("ar") <= refine * top_k
-    )
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "q_id BIGINT, q_vec ARRAY<DOUBLE>",
-    )
-    refined = (
-        survivors.join(emb.select(F.col("vec_id").alias("c_id"), "vec"), "c_id")
-        .join(F.broadcast(qdf), "q_id")
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
-    )
-    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
-    return (
-        refined.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= top_k)
-        .select("q_id", "c_id", "cos_sim", "rank")
-    )
+    scored = _adc_scored(cand_codes, queries, books, unit_queries=residual)
+    vecs = emb.select(F.col("vec_id").alias("c_id"), "vec")
+    return _refine_exact_topk(scored, vecs, queries, top_k, refine)
 
 
 # --- persisted IVF-PQ index -------------------------------------------
@@ -470,7 +503,6 @@ def ivfpq_probe_index(
     Returns (q_id, c_id, cos_sim, rank)."""
     import numpy as np
 
-    from ..functions.vectors import cosine
     from .similarity import ivf_nprobe_for
 
     centroids = spark.read.parquet(f"{path}/centroids").collect()
@@ -486,16 +518,7 @@ def ivfpq_probe_index(
     for r in brows:
         books[r["m"], r["code"]] = r["subvec"]
 
-    probe_rows = []
-    for q_id, vec in queries:
-        qv = np.asarray(vec, dtype=np.float64)
-        nrm = np.linalg.norm(qv)
-        qu = qv / (nrm if nrm > 0 else 1.0)
-        dots = cmat @ qu
-        order = np.argsort(-dots)[:nprobe]
-        probe_rows.extend(
-            (int(q_id), int(ckeys[i]), float(dots[i])) for i in order
-        )
+    probe_rows = _probe_cells(queries, cmat, ckeys, nprobe, with_dots=True)
     probed = spark.createDataFrame(
         probe_rows, "q_id BIGINT, cluster INT, qc_dot DOUBLE"
     )
@@ -507,55 +530,13 @@ def ivfpq_probe_index(
         .select("vec_id", "codes", "cluster")
         .join(F.broadcast(probed), "cluster")
     )
-    qmat = np.asarray([v for _, v in queries], dtype=np.float64)
-    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qmat = qmat / np.where(qn == 0, 1.0, qn)
-    ds = books.shape[2]
-    q_index = {int(q): i for i, (q, _) in enumerate(queries)}
-    luts = np.stack([qmat[:, i * ds : (i + 1) * ds] @ books[i].T for i in range(m)])
-    bc = spark.sparkContext.broadcast((q_index, luts))
-
-    def score(batches):
-        import pandas as _pd
-
-        qidx, lut = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            qrows = pdf["q_id"].map(qidx).to_numpy()
-            s = pdf["qc_dot"].to_numpy().astype(float).copy()
-            for i in range(lut.shape[0]):
-                s += lut[i][qrows, codes[:, i]]
-            yield _pd.DataFrame(
-                {"q_id": pdf["q_id"], "c_id": pdf["vec_id"], "adc_score": s}
-            )
-
-    scored = cand_codes.mapInPandas(
-        score, "q_id BIGINT, c_id BIGINT, adc_score DOUBLE"
-    ).where(F.col("c_id") != F.col("q_id"))
-    wa = Window.partitionBy("q_id").orderBy(F.col("adc_score").desc(), F.col("c_id"))
-    survivors = scored.withColumn("ar", F.row_number().over(wa)).where(
-        F.col("ar") <= refine * top_k
-    )
-    qdf = spark.createDataFrame(
-        [(int(q), [float(x) for x in v]) for q, v in queries],
-        "q_id BIGINT, q_vec ARRAY<DOUBLE>",
-    )
+    scored = _adc_scored(cand_codes, queries, books, unit_queries=True)
+    # the refine scan re-reads only the SAME pruned partitions, and
+    # only their vec column
     vecs = cells.where(F.col("cluster").isin(clusters)).select(
         F.col("vec_id").alias("c_id"), "vec"
     )
-    refined = (
-        survivors.join(vecs, "c_id")
-        .join(F.broadcast(qdf), "q_id")
-        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("vec")))
-    )
-    wr = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("c_id"))
-    return (
-        refined.withColumn("rank", F.row_number().over(wr))
-        .where(F.col("rank") <= top_k)
-        .select("q_id", "c_id", "cos_sim", "rank")
-    )
+    return _refine_exact_topk(scored, vecs, queries, top_k, refine)
 
 
 # --- contract row: the relational ADC twin -----------------------------

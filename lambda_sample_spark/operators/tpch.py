@@ -272,7 +272,12 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_orderkey",
         "l_suppkey",
-        (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).alias("late"),
+        # timestamp + INTERVAL (not date_add, which truncates to DATE):
+        # keeps any time-of-day on o_orderdate, matching the oracle's
+        # `+ INTERVAL 60 DAY` exactly instead of only on midnight data
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("late"),
     )
     # one (orderkey, suppkey) aggregate defines BOTH the any-supplier
     # and the late-supplier roles. Catalyst still derives the subtree
@@ -716,7 +721,8 @@ def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders")
     late = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+        # timestamp + INTERVAL, not date_add: see tpch_q21_shape
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
     urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (

@@ -110,7 +110,13 @@ class ServingEndpoint:
 
     def cached_json(self) -> str:
         """GET /stress: the cache, however old — compute only if it
-        has never been populated."""
+        has never been populated. The populated-cache read takes NO
+        lock (a Python attribute read is atomic), so /stress keeps
+        serving instantly even while a GET / refresh holds the mutex
+        through its Spark job — the load the cache exists to absorb."""
+        c = self._cached
+        if c is not None:
+            return c
         with self._lock:
             if self._cached is not None:
                 return self._cached

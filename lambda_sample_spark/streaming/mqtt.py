@@ -117,10 +117,16 @@ def encode_simple(ptype: int) -> bytes:
     return bytes([ptype << 4, 0])
 
 
-def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
+def read_packet(
+    sock: socket.socket, first: bytes | None = None
+) -> tuple[int, int, bytes]:
     """Read one framed packet -> (type, flags, body). Raises
-    ConnectionError on EOF mid-frame, EOFError on clean close."""
-    first = sock.recv(1)
+    ConnectionError on EOF mid-frame, EOFError on clean close.
+    ``first`` injects an already-read header byte (the idle-timeout
+    loop reads it separately so a timeout can only ever fire BETWEEN
+    frames, never desync mid-frame)."""
+    if first is None:
+        first = sock.recv(1)
     if not first:
         raise EOFError("connection closed")
     ptype, flags = first[0] >> 4, first[0] & 0x0F
@@ -145,9 +151,24 @@ def read_packet(sock: socket.socket) -> tuple[int, int, bytes]:
     return ptype, flags, body
 
 
+def valid_filter(filt: str) -> bool:
+    """Spec §4.7.1: '#' only as the LAST level; '+'/'#' must occupy a
+    whole level."""
+    parts = filt.split("/")
+    for i, p in enumerate(parts):
+        if "#" in p and (p != "#" or i != len(parts) - 1):
+            return False
+        if "+" in p and p != "+":
+            return False
+    return True
+
+
 def topic_matches(filt: str, topic: str) -> bool:
     """MQTT topic-filter match: '+' one level, '#' trailing multi-level
-    (spec §4.7)."""
+    (spec §4.7). Malformed filters (e.g. non-final '#') match nothing
+    rather than silently over-matching."""
+    if not valid_filter(filt):
+        return False
     fparts, tparts = filt.split("/"), topic.split("/")
     for i, f in enumerate(fparts):
         if f == "#":
@@ -168,9 +189,14 @@ class MqttClient:
     no QoS>0 state machine, no retained messages, no wills."""
 
     def __init__(self, host: str, port: int, client_id: str | None = None,
-                 timeout: float = 10.0):
+                 timeout: float = 10.0, keepalive: int = 60):
+        self.keepalive = keepalive
         self.sock = socket.create_connection((host, port), timeout=timeout)
-        self.sock.sendall(encode_connect(client_id or f"lss-{uuid.uuid4().hex[:8]}"))
+        self.sock.sendall(
+            encode_connect(
+                client_id or f"lss-{uuid.uuid4().hex[:8]}", keepalive=keepalive
+            )
+        )
         ptype, _, body = read_packet(self.sock)
         if ptype != CONNACK or body[1] != 0:
             raise ConnectionError(f"CONNACK refused: type={ptype} body={body!r}")
@@ -180,6 +206,8 @@ class MqttClient:
         self.sock.sendall(encode_publish(topic, payload))
 
     def subscribe(self, topic_filter: str) -> None:
+        if not valid_filter(topic_filter):
+            raise ValueError(f"invalid MQTT topic filter: {topic_filter!r}")
         pid = self._next_id
         self._next_id = pid % 65535 + 1
         self.sock.sendall(encode_subscribe(pid, topic_filter))
@@ -188,11 +216,30 @@ class MqttClient:
             raise ConnectionError(f"bad SUBACK: type={ptype} body={body!r}")
 
     def messages(self):
-        """Yield (topic, payload) until the connection closes."""
+        """Yield (topic, payload) until the connection closes. An idle
+        receive window is NOT a close: the socket timeout doubles as
+        the keepalive clock — each quiet interval sends PINGREQ (the
+        spec obligation a receive-only subscriber otherwise never
+        meets, and a compliant broker drops silent clients at 1.5x the
+        advertised keepalive); only EOF / broken pipe terminate."""
+        self.sock.settimeout(max(self.keepalive / 2.0, 1.0))
         while True:
             try:
-                ptype, _, body = read_packet(self.sock)
+                first = self.sock.recv(1)
+            except TimeoutError:
+                # idle between frames: this is the keepalive clock
+                try:
+                    self.sock.sendall(encode_simple(PINGREQ))
+                except OSError:
+                    return
+                continue
+            except OSError:
+                return
+            try:
+                ptype, _, body = read_packet(self.sock, first=first)
             except (EOFError, ConnectionError, OSError):
+                # includes a timeout MID-frame: that is a stalled peer,
+                # not idleness — resynchronizing is impossible, so close
                 return
             if ptype == PUBLISH:
                 yield decode_publish(body)

@@ -54,21 +54,13 @@ def measure(spark, label, fn):
     )
 
 
-def run_semdedup_rung(spark, work: str, factor: int) -> None:
+def _inflate_embeddings(spark, work: str, factor: int, name: str):
     """Inflate the sf0.1 embeddings (2k vectors) by ``factor`` with a
-    deterministic per-copy perturbation, then measure the two halves
-    of the round-8 contract shape separately: (1) quantizer fit +
-    assignment write (the one full-data pass), (2) semantic dedup over
-    the persisted cells (census/pairing/election re-reads)."""
-    from lambda_sample_spark.operators.similarity import (
-        ivf_index,
-        semantic_dedup_indexed,
-        semdedup_cells_for,
-    )
-
+    deterministic per-copy perturbation; returns (frame, row count).
+    Shared by the semdedup and pq rungs — one recipe, two consumers."""
     base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     copies = spark.range(factor).select(F.col("id").alias("copy"))
-    emb_path = os.path.join(work, "emb.parquet")
+    emb_path = os.path.join(work, name)
     t0 = time.perf_counter()
     (
         base.select("vec_id", "embedding")
@@ -90,6 +82,22 @@ def run_semdedup_rung(spark, work: str, factor: int) -> None:
         f"inflated embeddings: {n} vectors ({factor}x sf0.1), "
         f"built in {time.perf_counter() - t0:.0f}s"
     )
+    return emb, n
+
+
+def run_semdedup_rung(spark, work: str, factor: int) -> None:
+    """Inflate the sf0.1 embeddings (2k vectors) by ``factor`` with a
+    deterministic per-copy perturbation, then measure the two halves
+    of the round-8 contract shape separately: (1) quantizer fit +
+    assignment write (the one full-data pass), (2) semantic dedup over
+    the persisted cells (census/pairing/election re-reads)."""
+    from lambda_sample_spark.operators.similarity import (
+        ivf_index,
+        semantic_dedup_indexed,
+        semdedup_cells_for,
+    )
+
+    emb, n = _inflate_embeddings(spark, work, factor, "emb.parquet")
     k = semdedup_cells_for(n)
     idx = os.path.join(work, "semdedup_idx")
     parts = max(1, min(2048, (n + 99_999) // 100_000))
@@ -126,30 +134,7 @@ def run_pq_rung(spark, work: str, factor: int) -> None:
         ivfpq_write_index,
     )
 
-    base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-    copies = spark.range(factor).select(F.col("id").alias("copy"))
-    emb_path = os.path.join(work, "pq_emb.parquet")
-    t0 = time.perf_counter()
-    (
-        base.select("vec_id", "embedding")
-        .crossJoin(copies)
-        .select(
-            (F.col("vec_id") * factor + F.col("copy")).alias("vec_id"),
-            F.transform(
-                "embedding",
-                lambda x, i: x.cast("double")
-                + 0.01 * F.sin(F.col("copy") * 1.7 + i.cast("double")),
-            ).alias("vec"),
-        )
-        .repartition(32)
-        .write.parquet(emb_path)
-    )
-    emb = spark.read.parquet(emb_path)
-    n = emb.count()
-    print(
-        f"inflated embeddings: {n} vectors ({factor}x sf0.1), "
-        f"built in {time.perf_counter() - t0:.0f}s"
-    )
+    emb, n = _inflate_embeddings(spark, work, factor, "pq_emb.parquet")
     idx = os.path.join(work, "pq_idx")
     measure(
         spark,

@@ -76,6 +76,15 @@ def test_isolated_nodes_and_null_edges(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5, 6: 6, 7: 7}
 
 
+def test_endpoints_outside_explicit_universe_still_connect(spark):
+    # a nodes frame omitting a through-node must not sever the path:
+    # endpoints always join the universe
+    edf = spark.createDataFrame([(1, 99), (99, 2)], "src BIGINT, dst BIGINT")
+    ndf = spark.createDataFrame([(1,), (2,)], "node BIGINT")
+    got = {r["node"]: r["comp"] for r in connected_components(edf, nodes=ndf).collect()}
+    assert got == {1: 1, 2: 1, 99: 1}
+
+
 def test_nonconvergence_raises(spark):
     edf = spark.createDataFrame([(i, i + 1) for i in range(63)], "src BIGINT, dst BIGINT")
     with pytest.raises(RuntimeError, match="did not converge"):

@@ -73,10 +73,22 @@ def test_subscribe_packet_flags_bit():
         ("a/+/c", "a/b/c", True),
         ("+/b", "a/b", True),
         ("a/b", "a", False),
+        # malformed filters (spec §4.7.1) match NOTHING instead of
+        # silently over-matching: '#' must be the whole last level
+        ("a/#/b", "a/x/b", False),
+        ("a/x#", "a/x1", False),
+        ("a/+b", "a/xb", False),
     ],
 )
 def test_topic_filter_matching(filt, topic, want):
     assert M.topic_matches(filt, topic) is want
+
+
+def test_subscribe_rejects_invalid_filter(broker):
+    cli = M.MqttClient(broker.host, broker.port, "strict")
+    with pytest.raises(ValueError, match="invalid MQTT topic filter"):
+        cli.subscribe("sensors/#/power")
+    cli.disconnect()
 
 
 # --- loopback broker ---------------------------------------------------

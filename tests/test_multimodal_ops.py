@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.operators.multimodal import (
@@ -174,3 +175,30 @@ def test_synthesizer_inline_encoders_match_module_encoders(spark, sf_dir):
             n = 64 + doc_id % 100
             want = encode_wav(8000, list(struct.unpack(f"<{n}h", keystream(seed, n * 2))))
         assert payloads[doc_id] == want, doc_id
+
+
+def test_mis_sniffed_payloads_degrade_to_fake_not_crash(spark):
+    # magic-byte false positives: arbitrary bytes starting 'BM' (with
+    # garbage dims that would otherwise allocate ~1e17 bytes) or a
+    # truncated RIFF header must yield the deterministic fake
+    # features, never fail the job
+    import hashlib
+
+    from lambda_sample_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    evil = [
+        (0, bytearray(b"BM" + b" " * 60)),           # text that sniffs as BMP
+        (1, bytearray(b"BM\x01")),                   # truncated header
+        (2, bytearray(b"RIFF\x00\x00\x00\x00WAVE")), # RIFF with no chunks
+        (3, bytearray(b"RIFFxxxxWAVEfmt \xff\xff\xff\xff")),  # absurd chunk len
+    ]
+    df = spark.createDataFrame(evil, "doc_id BIGINT, payload BINARY")
+    rows = {r.doc_id: r for r in extract_features(df).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for doc_id, payload in evil:
+        digest = hashlib.md5(bytes(payload)).digest()
+        want = [x / 256.0 for x in digest[:FEATURE_DIM]]
+        assert list(rows[doc_id].features) == pytest.approx(want), doc_id
