@@ -216,35 +216,54 @@ class MqttClient:
             raise ConnectionError(f"bad SUBACK: type={ptype} body={body!r}")
 
     def messages(self):
-        """Yield (topic, payload) until the connection closes. An idle
-        receive window is NOT a close: the socket timeout doubles as
-        the keepalive clock — each quiet interval sends PINGREQ (the
-        spec obligation a receive-only subscriber otherwise never
-        meets, and a compliant broker drops silent clients at 1.5x the
-        advertised keepalive); only EOF / broken pipe terminate."""
-        self.sock.settimeout(max(self.keepalive / 2.0, 1.0))
+        """Yield (topic, payload) until the connection closes. The
+        keepalive obligation (spec: the BROKER judges liveness by
+        packets the CLIENT sends, dropping silent clients at 1.5x the
+        advertised interval) is met on BOTH traffic shapes: an idle
+        receive window times out and pings, and a busy inbound stream
+        — where the timeout never fires — pings on a wall-clock check
+        after each frame. Only EOF / broken pipe / a malformed frame
+        terminate (resynchronizing a byte stream after a bad
+        remaining-length or truncated frame is impossible)."""
+        import time as _time
+
+        interval = max(self.keepalive / 2.0, 1.0)
+        self.sock.settimeout(interval)
+        last_send = _time.monotonic()
+
+        def ping() -> bool:
+            nonlocal last_send
+            try:
+                self.sock.sendall(encode_simple(PINGREQ))
+            except OSError:
+                return False
+            last_send = _time.monotonic()
+            return True
+
         while True:
             try:
                 first = self.sock.recv(1)
             except TimeoutError:
                 # idle between frames: this is the keepalive clock
-                try:
-                    self.sock.sendall(encode_simple(PINGREQ))
-                except OSError:
+                if not ping():
                     return
                 continue
             except OSError:
                 return
             try:
                 ptype, _, body = read_packet(self.sock, first=first)
-            except (EOFError, ConnectionError, OSError):
-                # includes a timeout MID-frame: that is a stalled peer,
-                # not idleness — resynchronizing is impossible, so close
+                if ptype == PUBLISH:
+                    yield decode_publish(body)
+                elif ptype == PINGREQ:
+                    self.sock.sendall(encode_simple(PINGRESP))
+                    last_send = _time.monotonic()
+            except (EOFError, ConnectionError, OSError,
+                    ValueError, UnicodeDecodeError):
+                # mid-frame timeout / EOF / malformed varint / bad
+                # topic UTF-8: the stream cannot be resynchronized
                 return
-            if ptype == PUBLISH:
-                yield decode_publish(body)
-            elif ptype == PINGREQ:
-                self.sock.sendall(encode_simple(PINGRESP))
+            if _time.monotonic() - last_send > interval and not ping():
+                return
 
     def disconnect(self) -> None:
         try:
@@ -263,7 +282,15 @@ class MqttFileBridge:
     Spark file stream tails. Messages buffer for ``roll_secs`` (or
     ``max_buffer`` messages) then land atomically: write to a dot-
     prefixed temp name, fsync, rename — the file-stream reader never
-    sees a partial file. Runs on a daemon thread; ``stop()`` flushes."""
+    sees a partial file. Runs on a daemon thread; ``stop()`` flushes.
+
+    Each landed line is an ENVELOPE ``{"ts_ms": <receive time>,
+    "raw": <payload text>}``: the per-message receive timestamp is
+    stamped HERE, at arrival, because a streaming-side
+    current_timestamp() is frozen per micro-batch — every row of a
+    batch would share one ts and the (sensor, ts)-keyed LWW upsert
+    would collapse each batch to one row per sensor (the hazard
+    pipeline.sensor_stream documents)."""
 
     def __init__(self, host: str, port: int, topic: str, out_dir: str,
                  roll_secs: float = 1.0, max_buffer: int = 1000):
@@ -283,9 +310,12 @@ class MqttFileBridge:
         self._roller.start()
 
     def _read_loop(self):
+        import time as _time
+
         for _topic, payload in self.client.messages():
+            entry = (int(_time.time() * 1000), payload)
             with self._lock:
-                self._buf.append(payload)
+                self._buf.append(entry)
                 full = len(self._buf) >= self.max_buffer
             if full:
                 self.flush()
@@ -303,11 +333,16 @@ class MqttFileBridge:
                 return 0
             seq = self._seq
             self._seq += 1
+        import json as _json
+
         tmp = os.path.join(self.out_dir, f".batch-{seq:08d}.json.tmp")
         final = os.path.join(self.out_dir, f"batch-{seq:08d}.json")
-        with open(tmp, "wb") as f:
-            for payload in batch:
-                f.write(payload.rstrip(b"\n") + b"\n")
+        with open(tmp, "w", encoding="utf-8") as f:
+            for ts_ms, payload in batch:
+                line = _json.dumps(
+                    {"ts_ms": ts_ms, "raw": payload.decode("utf-8", "replace")}
+                )
+                f.write(line + "\n")
             f.flush()
             os.fsync(f.fileno())
         os.rename(tmp, final)
@@ -324,31 +359,80 @@ class MqttFileBridge:
 
 def mqtt_stream(spark, bridge_dir: str):
     """The inbound leg: a streaming frame over the bridge's landing
-    directory, decoded to the wire schema + ingest timestamp (the
-    same downstream contract as pipeline.sensor_stream)."""
+    directory, decoded to the wire schema + the bridge's PER-MESSAGE
+    receive timestamp (ms-truncated — the same downstream contract as
+    pipeline.sensor_stream, whose keyed LWW upsert needs distinct ts
+    per reading; current_timestamp() here would be frozen per
+    micro-batch and collapse each batch to one row per sensor)."""
     from pyspark.sql import functions as F
 
-    raw = spark.readStream.schema(WIRE_SCHEMA).json(bridge_dir)
-    return raw.withColumn("ts", F.current_timestamp())
+    env = spark.readStream.schema("ts_ms LONG, raw STRING").json(bridge_dir)
+    return env.select(
+        F.from_json("raw", WIRE_SCHEMA).alias("r"),
+        F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+    ).select("r.sensor", "r.value", "r.anomaly", "ts")
 
 
 def publish_stream(df, host: str, port: int, topic: str, checkpoint: str):
     """The outbound leg: foreachBatch publisher — each row one QoS-0
-    JSON message (Producer.scala's MqttEntry shape). One client per
-    micro-batch per partition; rows travel as canonical JSON built
-    JVM-side (to_json), Python only moves bytes."""
+    JSON message (Producer.scala's MqttEntry shape). Publishing runs
+    EXECUTOR-SIDE via foreachPartition, one lazily-opened client per
+    non-empty partition: the driver never collects the batch (a
+    backlog replay would otherwise pull every row into driver memory)
+    and partitions publish in parallel. Rows travel as canonical JSON
+    built JVM-side (to_json); the partition closure is fully
+    self-contained (inline CONNECT/PUBLISH byte builders — Spark's
+    Python workers do not have this package on sys.path when the
+    driver imports it from a file path, the multimodal closure
+    rule)."""
     from pyspark.sql import functions as F
 
+    host_, port_, topic_b = host, port, topic.encode("utf-8")
+
     def send(batch_df, _epoch):
-        rows = batch_df.select(
-            F.to_json(F.struct(*batch_df.columns)).alias("j")
-        ).collect()
-        cli = MqttClient(host, port)
-        try:
-            for r in rows:
-                cli.publish(topic, r["j"].encode())
-        finally:
-            cli.disconnect()
+        jdf = batch_df.select(F.to_json(F.struct(*batch_df.columns)).alias("j"))
+
+        def pub(rows):
+            import socket as _socket
+            import uuid as _uuid
+
+            def vint(n: int) -> bytes:
+                out = bytearray()
+                while True:
+                    n, d = divmod(n, 128)
+                    out.append(d | (0x80 if n else 0))
+                    if not n:
+                        return bytes(out)
+
+            def utf(b: bytes) -> bytes:
+                return len(b).to_bytes(2, "big") + b
+
+            sock = None
+            try:
+                for r in rows:
+                    if sock is None:  # lazy: empty partitions open nothing
+                        cid = ("lss-sink-" + _uuid.uuid4().hex[:8]).encode()
+                        vh = utf(b"MQTT") + bytes([4, 0x02]) + (60).to_bytes(2, "big")
+                        body = vh + utf(cid)
+                        sock = _socket.create_connection((host_, port_), timeout=10)
+                        sock.sendall(bytes([0x10]) + vint(len(body)) + body)
+                        ack = b""
+                        while len(ack) < 4:
+                            c = sock.recv(4 - len(ack))
+                            if not c:
+                                raise ConnectionError("no CONNACK")
+                            ack += c
+                        if ack[3] != 0:
+                            raise ConnectionError(f"CONNACK refused rc={ack[3]}")
+                    pbody = utf(topic_b) + r["j"].encode("utf-8")
+                    sock.sendall(bytes([0x30]) + vint(len(pbody)) + pbody)
+                if sock is not None:
+                    sock.sendall(bytes([0xE0, 0]))  # DISCONNECT
+            finally:
+                if sock is not None:
+                    sock.close()
+
+        jdf.foreachPartition(pub)
 
     return (
         df.writeStream.outputMode("append")

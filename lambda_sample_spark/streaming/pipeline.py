@@ -150,35 +150,37 @@ def refresh_snapshot(
 ) -> bool:
     """T2/T6: recompute the per-sensor fast analysis from the store and
     overwrite the snapshot table; returns False (skip) when nothing
-    changed since the last snapshot (HistoryWriter.scala:89-101)."""
-    from ..functions.scoring import heuristic_score
+    changed since the last snapshot (HistoryWriter.scala:89-101).
 
-    entries = lww_entries(spark, entry_dir)
-    w = Window.partitionBy("sensor").orderBy(F.col("ts").desc(), F.col("value"))
-    recent = entries.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") <= recent_n
-    )
-    agg = recent.groupBy("sensor").agg(
-        F.avg("value").alias("avg_value"),
-        F.stddev_pop("value").alias("sd_value"),
-        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("latest_value"),
-        F.max("ts").alias("ts"),
-    )
-    snap = agg.select(
-        "sensor",
-        "ts",
-        heuristic_score(
-            F.col("latest_value"), F.col("avg_value"), F.col("sd_value")
-        ).alias("fast_anomaly"),
-        F.col("avg_value").alias("avg_anomaly"),
-    )
+    The recompute itself is serving.speed_snapshot — the SAME
+    definition the live serving query uses, so snapshot table and
+    query cannot drift. Change detection reads (max ts, max batch_id)
+    from the append log: max(ts) alone misses an LWW OVERWRITE of an
+    existing (sensor, ts) key (new data, same max ts — the exact
+    upsert the store exists for), while every append — overwrites
+    included — lands under a fresh micro-batch id. The previous
+    signal rides in a sidecar file, not the snapshot schema."""
+    import json as _json
+    import os as _os
+
+    # local import: serving imports lww_entries from this module at
+    # module level, so the reverse edge must stay function-local
+    from .serving import speed_snapshot
+
+    log = spark.read.schema(ENTRY_SCHEMA + ", batch_id LONG").parquet(entry_dir)
+    sig_row = log.agg(
+        F.unix_millis(F.max("ts")).alias("ts"), F.max("batch_id").alias("b")
+    ).collect()[0]
+    cur_sig = [sig_row["ts"], sig_row["b"]]
+    sig_path = _os.path.join(snapshot_dir, "_change_signal.json")
     try:
-        prev = spark.read.parquet(snapshot_dir)
-        prev_max = prev.agg(F.max("ts")).collect()[0][0]
-        new_max = snap.agg(F.max("ts")).collect()[0][0]
-        if prev_max is not None and new_max == prev_max:
-            return False  # notUpdatedYet — skip the write
+        with open(sig_path) as fh:
+            if _json.load(fh) == cur_sig:
+                return False  # notUpdatedYet — skip the write
     except Exception:
-        pass  # first snapshot
+        pass  # first snapshot (or unreadable signal: refresh anyway)
+    snap = speed_snapshot(lww_entries(spark, entry_dir), recent_n)
     snap.write.mode("overwrite").parquet(snapshot_dir)
+    with open(sig_path, "w") as fh:
+        _json.dump(cur_sig, fh)
     return True

@@ -44,6 +44,28 @@ def speed_layer_agg(entries: DataFrame, recent_n: int = 200) -> DataFrame:
     )
 
 
+def snapshot_from_agg(agg: DataFrame) -> DataFrame:
+    """The fast-analysis projection over a speed-layer aggregate:
+    (sensor, ts, fast_anomaly, avg_anomaly). Shared by the serving
+    query's speed leg AND pipeline.refresh_snapshot — ONE definition
+    of the heuristic select, so the snapshot table and the live query
+    cannot drift."""
+    return agg.select(
+        "sensor",
+        "ts",
+        heuristic_score(
+            F.col("latest_value"), F.col("avg_value"), F.col("sd_value")
+        ).alias("fast_anomaly"),
+        F.col("avg_value").alias("avg_anomaly"),
+    )
+
+
+def speed_snapshot(entries: DataFrame, recent_n: int = 200) -> DataFrame:
+    """speed_layer_agg + snapshot_from_agg in one call (the refresh
+    path's whole recompute)."""
+    return snapshot_from_agg(speed_layer_agg(entries, recent_n))
+
+
 def model_scores(spark: SparkSession, models: dict, agg: DataFrame) -> DataFrame:
     """Batch-layer posterior P(anomaly) of each sensor's LATEST value
     under its trained forest — the tiny broadcastable dimension.
@@ -81,14 +103,7 @@ def serve_analysis(
     """The flagship composition: SensorMeta rows
     (name, ts, fast_anomaly, full_anomaly, avg_anomaly)."""
     agg = speed_layer_agg(lww_entries(spark, entry_dir), recent_n)
-    fast = agg.select(
-        "sensor",
-        "ts",
-        heuristic_score(
-            F.col("latest_value"), F.col("avg_value"), F.col("sd_value")
-        ).alias("fast_anomaly"),
-        F.col("avg_value").alias("avg_anomaly"),
-    )
+    fast = snapshot_from_agg(agg)
     dim = model_scores(spark, models or {}, agg)
     joined = fast.join(F.broadcast(dim), on="sensor", how="left")
     return joined.select(

@@ -55,10 +55,26 @@ def stateful_fast_anomaly(entries_stream: DataFrame, recent_n: int = RECENT_N) -
 
         for pdf in pdfs:
             for ts, v in zip(pdf["ts_ms"], pdf["value"]):
+                # NULL/NaN guard (the layer-wide contract the bottom-k
+                # twin already enforces): a corrupt payload's NULL
+                # value arrives as NaN and would poison avg/sd to NaN
+                # — and min(1.0, nan) is 1.0 in Python, a spurious
+                # MAXIMUM anomaly score; a NULL ts would crash int()
+                if v is None or v != v or ts is None or ts != ts:
+                    continue
                 values.append(float(v))
                 ts_ms.append(int(ts))
 
-        # newest-N by timestamp (stable for equal ts: later arrival wins)
+        if not values:
+            state.update((values, ts_ms))
+            return
+
+        # newest-N by timestamp (stable for equal ts: later arrival
+        # wins). Documented divergence from the recompute twin: the
+        # snapshot path breaks ms-truncated ts ties by VALUE (it has
+        # no arrival order to use), so on tie-bearing input the two
+        # formulations may score a different "latest" — at the
+        # designed ingest rates (sensor, ts) is unique and they agree
         order = sorted(range(len(ts_ms)), key=lambda i: (ts_ms[i], i))[-recent_n:]
         values = [values[i] for i in order]
         ts_ms = [ts_ms[i] for i in order]

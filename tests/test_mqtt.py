@@ -179,6 +179,36 @@ def test_bridge_to_structured_streaming(spark, broker, tmp_path):
         bridge.stop()
 
 
+def test_mqtt_stream_uses_per_message_receive_ts(spark, tmp_path):
+    # the envelope's ts_ms must become each ROW's ts (distinct per
+    # message) — a stream-side current_timestamp() would stamp every
+    # row of the micro-batch identically and collapse the downstream
+    # (sensor, ts) LWW upsert to one row per sensor per batch
+    land = tmp_path / "land"
+    land.mkdir()
+    lines = [
+        {"ts_ms": 1_700_000_000_000 + i,
+         "raw": json.dumps({"sensor": "s", "value": float(i), "anomaly": 0})}
+        for i in range(5)
+    ]
+    (land / "batch-00000000.json").write_text(
+        "\n".join(json.dumps(e) for e in lines) + "\n"
+    )
+    out = str(tmp_path / "out")
+    q = (
+        M.mqtt_stream(spark, str(land))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r["value"], r["ts"].timestamp() * 1000) for r in rows)
+    assert got == [(float(i), 1_700_000_000_000 + i) for i in range(5)]
+
+
 def test_publish_stream_foreachbatch_sink(spark, broker, tmp_path):
     sub = M.MqttClient(broker.host, broker.port, "sink-sub")
     sub.subscribe("out/scores")
