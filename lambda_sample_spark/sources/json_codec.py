@@ -42,7 +42,10 @@ def json_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.from_json(F.col("props"), PROPS_SCHEMA).getField("k").alias("k"),
         F.to_json(F.struct("event_id", "event_type")).alias("js"),
-        (k_re * F.lit(1000)).cast("bigint").alias("k_scaled"),
+        # widen BEFORE multiplying: int k * int 1000 wraps silently in
+        # 32-bit (non-ANSI) past ~2.1M while the oracle's BIGINT math
+        # doesn't — cast first so both engines compute the same value
+        (k_re.cast("bigint") * F.lit(1000)).alias("k_scaled"),
     )
 
 
@@ -74,9 +77,14 @@ def all_meta_json(meta_df: DataFrame) -> str:
     engine: it is the HTTP response edge, sized by the sensor fleet
     (rows = #sensors), not by the data.
     """
+    # array_sort the collected structs (lexicographic by field order,
+    # i.e. by name first): collect_list alone inherits partition
+    # scheduling order after the upstream per-sensor shuffle, so two
+    # runs over identical data could emit entries in different orders
+    # — the nondeterminism render_sensor_list already sorts away
     row = (
         meta_df.select(F.struct(*META_FIELDS).alias("s"))
-        .agg(F.collect_list("s").alias("entries"))
+        .agg(F.array_sort(F.collect_list("s")).alias("entries"))
         .select(F.to_json(F.struct("entries")).alias("js"))
         .first()
     )
@@ -86,11 +94,16 @@ def all_meta_json(meta_df: DataFrame) -> str:
 ORACLE = {
     "q_json_codec": """
 SELECT event_id,
-       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
        CAST(to_json({'event_id': event_id, 'event_type': event_type}) AS VARCHAR) AS js,
-       CAST(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS INTEGER) * 1000 AS BIGINT) AS k_scaled
+       TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) * 1000 AS k_scaled
 FROM events
 """,
+    # oracle notes: TRY_CAST (not CAST) so a malformed payload yields
+    # NULL like Spark's from_json instead of erroring the whole oracle
+    # query; on a QUOTED number ('{"k": "12"}') the engines still
+    # differ (from_json: NULL; json_extract_string: '12') — Spark's
+    # typed semantics are normative, the generated corpus well-formed
 }
 
 QUERIES = {

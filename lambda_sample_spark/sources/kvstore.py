@@ -125,9 +125,18 @@ def foreach_batch_hset(
     that HSETs every micro-batch row. Within a batch the newest row per
     (hkey, field) wins (``order_col`` descending when given, matching
     the last-write-wins the reference gets from sequential hset calls);
-    across batches merge_versioned's upsert gives the same LWW."""
+    across batches merge_versioned's upsert gives the same LWW.
+
+    WITHOUT ``order_col`` a batch has no arrival order Spark can see,
+    so true LWW is unexpressible; intra-batch duplicates then resolve
+    by the DETERMINISTIC tiebreak max(value-as-string) — reproducible
+    across runs and cluster layouts, unlike dropDuplicates' arbitrary
+    pick, but NOT last-write: supply order_col (an event ts, a Kafka
+    offset) whenever per-batch write order matters."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
         df = batch_df.select(
             F.col(hkey_col).alias("hkey"),
             F.col(field_col).alias("field"),
@@ -135,14 +144,15 @@ def foreach_batch_hset(
             *([F.col(order_col).alias("_ord")] if order_col else []),
         )
         if order_col:
-            from pyspark.sql.window import Window
-
-            w = Window.partitionBy("hkey", "field").orderBy(F.col("_ord").desc())
-            df = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_rn", "_ord")
-            )
+            order = F.col("_ord").desc()
+        else:
+            order = F.col("value").cast("string").desc_nulls_last()
+        w = Window.partitionBy("hkey", "field").orderBy(order)
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", *(["_ord"] if order_col else []))
+        )
         spark = batch_df.sparkSession
         hset_df(spark, root, df, n_buckets=n_buckets)
 

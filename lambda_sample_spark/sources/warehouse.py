@@ -130,7 +130,9 @@ def read_versioned(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(versioned_path(root, v))
 
 
-def write_versioned(df: DataFrame, root: str) -> int:
+def write_versioned(
+    df: DataFrame, root: str, partition_by: list[str] | None = None
+) -> int:
     """Commit ``df`` as the next version of a versioned parquet table.
 
     The minimal transactional layout (the single-pointer core of what
@@ -141,12 +143,20 @@ def write_versioned(df: DataFrame, root: str) -> int:
     half-written directory (the non-atomic rmtree+move window that
     plain ``compact_parquet`` documents). Old versions remain readable
     until ``vacuum_versions``; single-WRITER is still assumed (two
-    concurrent committers could race the same version number)."""
+    concurrent committers could race the same version number).
+
+    ``partition_by`` preserves a physical partition layout — the
+    bucketed-table case: merge_versioned tables MUST keep their
+    ``_bkt=`` directories, or the next merge's hardlink carry-forward
+    finds none and silently drops every untouched bucket."""
     import os
 
     os.makedirs(root, exist_ok=True)
     v = (current_version(root) or 0) + 1
-    df.write.mode("overwrite").parquet(versioned_path(root, v))
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(versioned_path(root, v))
     _commit_pointer(root, v)
     return v
 
@@ -184,10 +194,24 @@ def compact_versioned(
     NEW version and atomically swap the pointer. Readers mid-query on
     the old version are untouched (its directory survives until
     vacuum); new readers see only compacted files. Returns
-    (files_before, files_after)."""
+    (files_before, files_after).
+
+    REFUSES bucketed (merge_versioned) tables: this rewrite flattens
+    partition layout, and a flattened merge table loses every
+    untouched bucket at its next merge (the carry-forward finds no
+    ``_bkt=`` directories). ``compact_versioned_bucketed`` is the
+    layout-preserving maintenance for those — the guard turns a
+    silent-data-loss mistake into an error naming the right tool."""
     import math as _math
     from pyspark.sql import functions as F
 
+    if stored_buckets(root) is not None:
+        raise ValueError(
+            f"table {root} is a bucketed merge_versioned table; use "
+            "compact_versioned_bucketed (this rewrite would flatten "
+            "the _bkt= layout and the next merge would silently drop "
+            "every untouched bucket)"
+        )
     df = read_versioned(spark, root)
     files_before = df.select(F.input_file_name()).distinct().count()
     n_rows = df.count()
@@ -240,6 +264,8 @@ def resolve_buckets(root: str, n_buckets: int | None) -> int:
     silently pruning/rewriting the wrong buckets), else the argument,
     else MERGE_BUCKETS. Tables created before bucket metadata existed
     get the resolved value persisted by the next merge."""
+    import os
+
     stored = stored_buckets(root)
     if stored is not None:
         if n_buckets is not None and n_buckets != stored:
@@ -249,6 +275,21 @@ def resolve_buckets(root: str, n_buckets: int | None) -> int:
                 "mismatched bucket count would corrupt the table"
             )
         return stored
+    # metadata-less but PHYSICALLY bucketed (pre-metadata table): a
+    # guessed count that differs from the physical one hashes updates
+    # into the wrong _bkt directories, the anti-join prunes the wrong
+    # buckets, and stale rows silently survive — refuse instead of
+    # guessing; the operator must supply the creation-time count
+    cur = current_version(root)
+    if cur is not None and n_buckets is None:
+        vdir = versioned_path(root, cur)
+        if any(d.startswith("_bkt=") for d in os.listdir(vdir)):
+            raise ValueError(
+                f"table {root} is physically bucketed but has no "
+                "bucket metadata (pre-metadata table); pass the "
+                "creation-time n_buckets explicitly — a guessed "
+                "default would merge against the wrong buckets"
+            )
     return MERGE_BUCKETS if n_buckets is None else n_buckets
 
 
@@ -288,7 +329,31 @@ def merge_versioned(
 
     n_buckets = resolve_buckets(root, n_buckets)
     bkt = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-    updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt)
+    # persist for the duration of the merge: the frame feeds THREE
+    # consumers (the per-bucket census collect, the anti-join keyset,
+    # and the union write) — without this, an expensive upstream
+    # lineage (window dedup, LSH banding) recomputes per consumer.
+    # Released in the finally below; nothing outlives the call.
+    updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt).persist()
+    try:
+        return _merge_versioned_inner(spark, root, updates, keys, n_buckets)
+    finally:
+        updates.unpersist()
+
+
+def _merge_versioned_inner(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: list[str],
+    n_buckets: int,
+) -> int:
+    import os
+
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
     cur = current_version(root)
     if cur is None:
         os.makedirs(root, exist_ok=True)
@@ -316,18 +381,36 @@ def merge_versioned(
         # broadcast the update keyset only while it plausibly fits the
         # broadcast budget; a huge backfill batch falls back to a
         # planner-chosen (AQE) join — still pruned to touched buckets
-        upd_keys = updates.select(*keys)
+        # NULL-SAFE key equality: a plain name-list join evaluates
+        # NULL = NULL as NULL, so a stored NULL-key row would survive
+        # the anti-join and every merge of a NULL-key update would
+        # append a duplicate instead of upserting (dropDuplicates
+        # above already groups NULLs together — the join must agree)
+        upd_keys = updates.select(
+            *[F.col(k).alias(f"_uk_{k}") for k in keys]
+        )
         if n_update_rows <= BROADCAST_KEY_ROWS:
             upd_keys = F.broadcast(upd_keys)
-        kept = pruned.join(upd_keys, keys, "left_anti")
+        anti_cond = reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"_uk_{k}")) for k in keys],
+        )
+        kept = pruned.join(upd_keys, anti_cond, "left_anti")
         merged = kept.unionByName(updates)
         v = cur + 1
         new_dir = versioned_path(root, v)
         # overwrite (static partition-overwrite truncates the whole dir)
         # clears any orphan left by a crash before the pointer swap, so
         # a retried merge cannot fail on 'path already exists' — and the
-        # hardlink carry-forward below re-links into the fresh dir
-        merged.write.mode("overwrite").partitionBy("_bkt").parquet(new_dir)
+        # hardlink carry-forward below re-links into the fresh dir.
+        # repartition by bucket first: each touched bucket lands from
+        # ONE task -> one file per touched bucket per merge (the
+        # union's cached+pruned legs otherwise fan out into a file per
+        # task per bucket — cached scans are invisible to AQE
+        # coalescing), keeping read fan-in minimal between compactions
+        merged.repartition("_bkt").write.mode("overwrite").partitionBy(
+            "_bkt"
+        ).parquet(new_dir)
         # carry untouched buckets forward by reference (hardlink)
         old_dir = versioned_path(root, cur)
         for d in os.listdir(old_dir):
