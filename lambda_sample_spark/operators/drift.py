@@ -110,11 +110,95 @@ def drift_psi(
     )
 
 
+def drift_categorical(
+    events: DataFrame,
+    split_ts: str,
+    cat_col: str = "event_type",
+    key_col: str = "cohort",
+    n_bins: int = N_BINS,
+) -> DataFrame:
+    """Categorical frequency-shift twin of :func:`drift_psi` (round-9
+    promotion): Jensen-Shannon divergence per key between the category
+    share vectors before/after ``split_ts``. PSI watches a NUMERIC
+    column's value distribution; this watches a CATEGORICAL column's
+    frequency mix (event-type share, source mix, language mix) — the
+    other column class a training-data pipeline monitors. Returns
+    (key, jsd, n_ref, n_cur); JSD is in [0, ln 2], 0 = identical mix.
+
+    Same shape as PSI: the category grid per key is the UNION of
+    categories seen in either slice (a brand-new category IS
+    frequency shift, unlike a numeric bin grid which only the
+    reference can define), counts fill the grid via left joins,
+    Laplace +0.5 smoothing keeps log terms finite, and the per-term
+    sum is exact DECIMAL so the score is engine-independent. JSD over
+    chi-square because it is bounded and symmetric — a doubling of a
+    rare category can't blow up the score the way the chi-square
+    statistic does.
+
+    100 TB: two (key, category) count aggregates + a grid join on the
+    tiny distinct-category set — one shuffle per slice, nothing
+    driver-side, no UDF. ``n_bins`` is unused (kept for signature
+    symmetry with drift_psi callers that sweep both)."""
+    ref = events.where(F.col("ts") < F.lit(split_ts).cast("timestamp"))
+    cur = events.where(F.col("ts") >= F.lit(split_ts).cast("timestamp"))
+
+    def cat_counts(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(key_col, cat_col).agg(F.count("*").alias(out))
+
+    rc = cat_counts(ref, "r_cnt")
+    cc = cat_counts(cur, "c_cnt")
+    grid = (
+        rc.select(key_col, cat_col)
+        .unionByName(cc.select(key_col, cat_col))
+        .distinct()
+    )
+    counts = (
+        grid.join(rc, [key_col, cat_col], "left")
+        .join(cc, [key_col, cat_col], "left")
+        .select(
+            key_col,
+            cat_col,
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        )
+    )
+    totals = counts.groupBy(key_col).agg(
+        F.sum("r_cnt").alias("n_ref"),
+        F.sum("c_cnt").alias("n_cur"),
+        F.count("*").alias("n_cat"),
+    )
+    half = F.lit(0.5)
+    j = counts.join(F.broadcast(totals), key_col)
+    p = (F.col("r_cnt") + half) / (F.col("n_ref") + half * F.col("n_cat"))
+    q = (F.col("c_cnt") + half) / (F.col("n_cur") + half * F.col("n_cat"))
+    m = (p + q) / F.lit(2.0)
+    term = (half * p * F.log(p / m) + half * q * F.log(q / m)).cast(
+        "decimal(25,15)"
+    )
+    return (
+        j.select(key_col, "n_ref", "n_cur", term.alias("term"))
+        .groupBy(key_col, "n_ref", "n_cur")
+        .agg(F.round(F.sum("term"), 6).cast("double").alias("jsd"))
+        .select(key_col, "jsd", "n_ref", "n_cur")
+    )
+
+
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round-8 promotion): PSI per event_type across a
     mid-January split of the events table — edges, bin censuses,
     smoothing, and the exact-decimal term sum all hash-compared."""
     return drift_psi(load_table(spark, sf_dir, "events"), _SPLIT)
+
+
+def q_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round-9 promotion): JS divergence of the
+    event_type mix per user cohort (user_id % 10) across the same
+    mid-January split — grid, smoothing, and exact-decimal term sum
+    all hash-compared."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cohort", F.pmod(F.col("user_id"), F.lit(10))
+    )
+    return drift_categorical(ev, _SPLIT)
 
 
 ORACLE = {
@@ -170,9 +254,51 @@ SELECT c.event_type,
        t.n_ref, t.n_cur
 FROM counts c JOIN totals t USING (event_type)
 GROUP BY 1, 3, 4
-"""
+""",
+    "q_drift_categorical": f"""
+WITH ev AS (
+  SELECT user_id % 10 AS cohort, event_type, ts FROM events
+), rc AS (
+  SELECT cohort, event_type, count(*) AS r_cnt FROM ev
+  WHERE ts < TIMESTAMP '{_SPLIT}' GROUP BY 1, 2
+), cc AS (
+  SELECT cohort, event_type, count(*) AS c_cnt FROM ev
+  WHERE ts >= TIMESTAMP '{_SPLIT}' GROUP BY 1, 2
+), grid AS (
+  SELECT cohort, event_type FROM rc
+  UNION
+  SELECT cohort, event_type FROM cc
+), counts AS (
+  SELECT g.cohort, g.event_type,
+         coalesce(rc.r_cnt, 0) AS r_cnt, coalesce(cc.c_cnt, 0) AS c_cnt
+  FROM grid g
+  LEFT JOIN rc ON g.cohort = rc.cohort AND g.event_type = rc.event_type
+  LEFT JOIN cc ON g.cohort = cc.cohort AND g.event_type = cc.event_type
+), totals AS (
+  SELECT cohort,
+         CAST(sum(r_cnt) AS BIGINT) AS n_ref,
+         CAST(sum(c_cnt) AS BIGINT) AS n_cur,
+         count(*) AS n_cat
+  FROM counts GROUP BY 1
+), terms AS (
+  SELECT c.cohort, t.n_ref, t.n_cur,
+         (c.r_cnt + 0.5) / (t.n_ref + 0.5 * t.n_cat) AS p,
+         (c.c_cnt + 0.5) / (t.n_cur + 0.5 * t.n_cat) AS q
+  FROM counts c JOIN totals t USING (cohort)
+)
+SELECT cohort,
+       CAST(round(sum(CAST(0.5 * p * ln(p / ((p + q) / 2.0))
+                           + 0.5 * q * ln(q / ((p + q) / 2.0))
+                           AS DECIMAL(25,15))), 6) AS DOUBLE) AS jsd,
+       n_ref, n_cur
+FROM terms
+GROUP BY 1, 3, 4
+""",
 }
 
 QUERIES: dict = {}
 
-QUERIES_TAIL = {"q_drift_psi": q_drift_psi}
+QUERIES_TAIL = {
+    "q_drift_psi": q_drift_psi,
+    "q_drift_categorical": q_drift_categorical,
+}

@@ -123,6 +123,11 @@ BUDGET = {
     # the two bin censuses and the final PSI aggregate; at scale the
     # tiny edges frame is the thing to materialize once
     "q_drift_psi": 10,
+    # round 9 promotion: two (key, category) count aggregates + the
+    # union-distinct grid + grid/totals joins (tiny frames — AQE
+    # broadcasts them at runtime; the initial plan shuffles on the
+    # grid key) + the final term aggregate
+    "q_drift_categorical": 10,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
