@@ -36,8 +36,36 @@ row per node, independent of edge count or round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+
+def unpersist_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint`` frame's storage NOW. For
+    checkpointed frames ``DataFrame.unpersist()`` is a silent no-op —
+    their blocks live as a persisted RDD (LogicalRDD plan node), not
+    in the CacheManager — so without this the blocks linger until the
+    Python object is garbage-collected and the ContextCleaner gets
+    around to them; in a driver's long-lived contract session that
+    reads as a leak. Walks the analyzed plan's leaves, so it also
+    releases checkpoints buried under post-loop lineage (the
+    isolated-node union). Best-effort: falls back to plain unpersist
+    for frames that aren't checkpoints (e.g. scratch-parquet reads)."""
+    found = False
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            if leaf.getClass().getName().endswith("LogicalRDD"):
+                leaf.rdd().unpersist(False)
+                found = True
+    except Exception:
+        pass
+    if not found:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def connected_components(
@@ -47,6 +75,7 @@ def connected_components(
     nodes: DataFrame | None = None,
     max_rounds: int = 20,
     scratch_dir: str | None = None,
+    broadcast_labels: int = 2_000_000,
 ) -> DataFrame:
     """Label every node with the MINIMUM node id of its connected
     component. ``edges`` is an undirected edge list (each pair listed
@@ -61,12 +90,21 @@ def connected_components(
     diameter-d graph the bound needs only O(log d) rounds, so hitting
     it means the input is pathological, not that more rounds would be
     fine to skip.
+
+    ``broadcast_labels``: once a round's observed label count is at or
+    under this, the label table (one (node, comp) row per node — ~16
+    bytes each, so the default 2M rows is ~32 MB) is broadcast into
+    both per-round joins, collapsing each round to a single exchange;
+    above it, both joins shuffle on node id and reuse one partitioning
+    profile round over round.
     """
     spark = edges.sparkSession
     # checkpointed frames superseded during the loop — unpersisted
     # eagerly so a long-lived session (the driver's contract sweep)
     # never accumulates dead round blocks; only the RETURNED frame's
-    # blocks stay (the ContextCleaner reclaims them on dereference)
+    # blocks stay (the ContextCleaner reclaims them on dereference).
+    # The sweep runs in the loop's finally block, so the failure paths
+    # (non-convergence, any mid-loop exception) release blocks too.
     retired: list[DataFrame] = []
 
     def _materialize(df: DataFrame, slot: str) -> DataFrame:
@@ -76,74 +114,127 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    def _materialize_observed(df: DataFrame, slot: str):
+        """Materialize one round's labels AND harvest the convergence
+        signal from the SAME action: sum(comp) is strictly decreasing
+        until the fixpoint (comp(x) <= x and only ever decreases), so
+        "sum unchanged since last round" == "converged" — no second
+        per-round job, no old-label column carried through the joins.
+        decimal(38,0) keeps the sum exact at any node count (1e12
+        nodes x 9e18 max id overflows bigint; decimal does not). The
+        row count rides along to size-gate the next round's broadcast.
+        """
+        obs = Observation()
+        df = df.observe(
+            obs,
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        out = _materialize(df, slot)
+        got = obs.get
+        return out, got["s"], got["n"]
+
     def _retire(df: DataFrame) -> None:
         if scratch_dir is None:
             retired.append(df)
 
-    def _sweep(keep: DataFrame) -> None:
+    def _sweep(keep: DataFrame | None) -> None:
         for df in retired:
             if df is not keep:
-                try:
-                    df.unpersist(blocking=False)
-                except Exception:
-                    pass
+                unpersist_checkpoint(df)
 
     e = edges.select(
         F.col(src).cast("bigint").alias("a"), F.col(dst).cast("bigint").alias("b")
     ).where(F.col("a").isNotNull() & F.col("b").isNotNull())
-    und = _materialize(
-        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b"))),
-        "cc_edges",
+    # materialize the DIRECTED list first, THEN mirror it: a union of
+    # e with swap(e) before the cut would put the (arbitrarily
+    # expensive) upstream pair-generation lineage in the plan twice —
+    # measured 2x the ngram_jaccard pipeline on the contract row. The
+    # observed edge count bounds round 0's label size (<= 2 x edges)
+    # so even the first round can take the broadcast path.
+    obs = Observation()
+    e = _materialize(
+        e.observe(obs, F.count(F.lit(1)).alias("n")), "cc_edges"
     )
-    endpoints = und.select(F.col("a").alias("node"))
-    if nodes is None:
-        universe = endpoints.distinct()
-    else:
-        first = nodes.columns[0]
-        universe = (
-            nodes.select(F.col(first).cast("bigint").alias("node"))
-            .where(F.col(first).isNotNull())
-            .unionByName(endpoints)
-            .distinct()
-        )
-    lab = universe.withColumn("comp", F.col("node"))
+    _retire(e)
+    n_edges = obs.get["n"]
+    und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # the LOOP carries only edge endpoints — isolated nodes can never
+    # change labels, so they rejoin as comp = node at the very end
+    # instead of riding through every round (loop state = active
+    # nodes, not the whole universe). No distinct: duplicate rows all
+    # carry comp = node and round 0's min aggregate collapses them —
+    # every returned frame is post-groupBy, so output uniqueness holds
+    # without the extra up-front shuffle.
+    lab = und.select(F.col("a").alias("node")).withColumn("comp", F.col("node"))
 
-    for rnd in range(max_rounds):
-        # (a) neighbor min: the best label visible across one hop
-        nbr = (
-            und.join(lab, und.b == lab.node)
-            .groupBy(F.col("a").alias("nb_node"))
-            .agg(F.min("comp").alias("nmin"))
+    prev_sum: object = object()  # sentinel: never equals a real sum
+    n_labels: int = 2 * n_edges  # upper bound until round 0 observes
+    try:
+        for rnd in range(max_rounds):
+            # size gate: once the observed label count fits the
+            # broadcast budget, hint both label-side joins — the round
+            # collapses to ONE exchange (the node aggregate). The
+            # label table is 1 row/node; past the budget (billions of
+            # nodes) the hint stays off and both joins shuffle — AQE
+            # still converts them at runtime when stats allow.
+            small = n_labels is not None and n_labels <= broadcast_labels
+            bc = F.broadcast if small else (lambda df: df)
+            # (a) neighbor min fused with self-min: one union + one
+            # hash aggregate replaces the old join+agg+left-join —
+            # min(own label ∪ labels one hop away), partial-aggregated
+            # map-side before the single node shuffle
+            step = (
+                und.join(bc(lab), und.b == lab.node)
+                .select(F.col("a").alias("node"), "comp")
+                .unionByName(lab)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+            )
+            # (b) pointer jump: comp := comp(comp) — doubles the
+            # effective propagation distance per round (log-round
+            # convergence)
+            parent = step.select(
+                F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+            )
+            new = step.join(bc(parent), step.comp == F.col("p_node"), "left").select(
+                "node", F.coalesce("p_comp", "comp").alias("comp")
+            )
+            # alternating slots: round r reads r-1's files while
+            # writing its own — never overwrite a path still feeding
+            # the lineage
+            new, comp_sum, n_labels = _materialize_observed(
+                new, f"cc_round_{rnd % 2}"
+            )
+            _retire(new)
+            lab = new
+            if comp_sum == prev_sum:
+                _sweep(keep=new)
+                retired.clear()
+                if nodes is None:
+                    return lab
+                # fold the isolated nodes back in: comp = own id for
+                # every universe node that never touched an edge (one
+                # anti-join in the consumer's job — no extra
+                # materialize; the loop above never paid for them)
+                first = nodes.columns[0]
+                isolated = (
+                    nodes.select(F.col(first).cast("bigint").alias("node"))
+                    .where(F.col(first).isNotNull())
+                    .distinct()
+                    .join(lab, "node", "left_anti")
+                    .withColumn("comp", F.col("node"))
+                )
+                return lab.unionByName(isolated)
+            prev_sum = comp_sum
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
         )
-        stepped = lab.join(nbr, lab.node == F.col("nb_node"), "left").select(
-            "node",
-            F.col("comp").alias("old_comp"),
-            F.least(F.col("comp"), F.coalesce("nmin", F.col("comp"))).alias("comp"),
-        )
-        # (b) pointer jump: comp := comp(comp) — doubles the effective
-        # propagation distance per round (log-round convergence)
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
-        )
-        new = stepped.join(parent, stepped.comp == parent.p_node, "left").select(
-            "node", "old_comp", F.coalesce("p_comp", "comp").alias("comp")
-        )
-        # alternating slots: round r reads r-1's files while writing
-        # its own — never overwrite a path still feeding the lineage.
-        # The previous label rides along as old_comp, so the
-        # convergence check is a filter-count over the materialized
-        # frame — no new-vs-old join, no extra shuffle per round.
-        new = _materialize(new, f"cc_round_{rnd % 2}")
-        _retire(new)
-        changed = new.where(F.col("comp") != F.col("old_comp")).count()
-        lab = new.select("node", "comp")
-        if changed == 0:
-            _retire(und)
-            _sweep(keep=new)
-            return lab
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds"
-    )
+    finally:
+        # on the failure paths `retired` still holds every round frame
+        # (+ the edge list); the success path cleared it after keeping
+        # the returned frame
+        _sweep(keep=None)
 
 
 def cc_ingest(
@@ -195,10 +286,14 @@ def q_connected_components(spark, sf_dir: str) -> DataFrame:
     (reachability closure + min), so the hash compare pins the FULL
     labeling, independent of how many rounds propagation took.
 
-    Runs in scratch-parquet mode at a DETERMINISTIC per-sf_dir path
-    (overwrite — the q_semantic_dedup pattern): the driver's
-    long-lived session gets zero persistent RDD blocks from this row
-    (test_no_cache_leak), and repeated sweeps reuse one directory."""
+    Rounds run in localCheckpoint mode (the per-round parquet
+    write+read round trip measured ~40% of the loop at sf0.1); only
+    the CONVERGED labels are written once to a DETERMINISTIC
+    per-sf_dir path (overwrite — the q_semantic_dedup pattern) and the
+    checkpoint blocks are unpersisted before returning, so the
+    driver's long-lived session gets zero persistent RDD blocks from
+    this row (test_no_cache_leak) and repeated sweeps reuse one
+    directory."""
     import hashlib
     import os
     import tempfile
@@ -209,11 +304,11 @@ def q_connected_components(spark, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard(spark, sf_dir).select("d1", "d2")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    scratch = os.path.join(tempfile.gettempdir(), f"lss_cc_{tag}")
-    lab = connected_components(
-        pairs, src="d1", dst="d2", nodes=docs, scratch_dir=scratch
-    )
-    return lab.select(
+    path = os.path.join(tempfile.gettempdir(), f"lss_cc_{tag}", "labels")
+    lab = connected_components(pairs, src="d1", dst="d2", nodes=docs)
+    lab.write.mode("overwrite").parquet(path)
+    unpersist_checkpoint(lab)  # drop the returned checkpoint's blocks
+    return spark.read.parquet(path).select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component")
     )
 
