@@ -4,12 +4,14 @@ metadata (SURVEY.md §2.8 X5).
 Design: payloads are ``BinaryType`` columns; metadata travels in a
 struct (modality, width/height or sample rate, codec). Decode /
 feature-extract runs as Arrow-batched ``mapInPandas`` so each Python
-worker touches a whole batch. Decode is REAL for 24-bit BMP images
-and PCM16 mono WAV audio (pure-stdlib parsers — encode_bmp/decode_bmp,
-encode_wav/decode_wav); formats that need codec libraries not present
-in this container (JPEG/PNG/MP4) still fall back to a deterministic
-content-hash fake, clearly marked, while the Spark-side plumbing —
-schema, batching, partitioning — is identical for both.
+worker touches a whole batch. Decode is REAL for 24-bit BMP images,
+8-bit PNG images (zlib inflate + filter reconstruction, all five
+color types — pure stdlib), and PCM16 mono WAV audio
+(encode_bmp/decode_bmp, encode_png/decode_png, encode_wav/decode_wav);
+formats that need codec libraries not present in this container
+(JPEG/MP4) still fall back to a deterministic content-hash fake,
+clearly marked, while the Spark-side plumbing — schema, batching,
+partitioning — is identical for both.
 
 At 100 TB: binary payloads dominate storage; the plumbing keeps them
 out of shuffles (dedup/group on the 16-byte content hash, never the
@@ -114,6 +116,141 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(rgb)
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode top-down row-major RGB bytes (len = w*h*3) as an 8-bit
+    truecolor non-interlaced PNG (IHDR + one zlib IDAT with filter-0
+    rows + IEND). Pure stdlib (zlib + struct); no codec libraries."""
+    import struct
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"need {width * height * 3} RGB bytes, got {len(rgb)}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + rgb[y * width * 3 : (y + 1) * width * 3] for y in range(height)
+    )
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an 8-bit-depth non-interlaced PNG to (width, height,
+    top-down row-major RGB bytes): zlib-inflate the IDAT stream, undo
+    per-row filters 0-4 (None/Sub/Up/Average/Paeth), then map color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and 6 (RGBA)
+    to RGB (alpha dropped). Raises ValueError on other bit depths,
+    Adam7 interlace, missing chunks, or size/dimension mismatches —
+    callers degrade to the deterministic fake."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, b"", []
+    while pos + 8 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, depth, ctype_n, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_n)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG: depth={depth} color={ctype_n} interlace={interlace}"
+        )
+    # mis-sniffs are near-impossible past the 8-byte magic, but corrupt
+    # dims must still not allocate terabytes
+    if not (0 < width <= 1 << 14 and 0 < height <= 1 << 14):
+        raise ValueError("PNG dimensions out of bounds")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (1 + stride):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = bytearray(height * stride)
+    bpp = channels
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        prev = recon[(y - 1) * stride : y * stride] if y else bytes(stride)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (row[x] + row[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                row[x] = (row[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+        recon[y * stride : (y + 1) * stride] = row
+    n = width * height
+    rgb = bytearray(n * 3)
+    if ctype_n == 2:
+        rgb[:] = recon
+    elif ctype_n == 0:
+        rgb[0::3] = recon
+        rgb[1::3] = recon
+        rgb[2::3] = recon
+    elif ctype_n == 4:
+        rgb[0::3] = recon[0::2]
+        rgb[1::3] = recon[0::2]
+        rgb[2::3] = recon[0::2]
+    elif ctype_n == 6:
+        rgb[0::3] = recon[0::4]
+        rgb[1::3] = recon[1::4]
+        rgb[2::3] = recon[2::4]
+    else:  # 3: palette
+        if not plte:
+            raise ValueError("paletted PNG missing PLTE")
+        for i, idx in enumerate(recon):
+            off = idx * 3
+            if off + 3 > len(plte):
+                raise ValueError("palette index out of range")
+            rgb[i * 3 : i * 3 + 3] = plte[off : off + 3]
+    return width, height, bytes(rgb)
+
+
 def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
     """Encode 16-bit signed PCM mono samples as a canonical RIFF/WAVE
     file (fmt + data chunks). Pure stdlib."""
@@ -155,22 +292,26 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
 
 
 def decode_payload(payload: bytes) -> dict:
-    """Decode a media payload by magic-byte sniffing: 24-bit BMP and
-    PCM16 mono WAV decode for real (pure-stdlib parsers above — no
-    codec libraries needed); every other format still raises
-    NotImplementedError (JPEG/PNG/MP4 decode requires codec libraries
-    not present in this container). Returns a dict:
+    """Decode a media payload by magic-byte sniffing: 24-bit BMP,
+    8-bit PNG (all five color types, filters 0-4), and PCM16 mono WAV
+    decode for real (pure-stdlib parsers above — no codec libraries
+    needed); every other format still raises NotImplementedError
+    (JPEG/MP4 decode requires codec libraries not present in this
+    container). Returns a dict:
       image: {"modality": "image", "width", "height", "rgb": bytes}
       audio: {"modality": "audio", "sample_rate", "samples": list[int]}
     """
     if payload[:2] == b"BM":
         w, h, rgb = decode_bmp(payload)
         return {"modality": "image", "width": w, "height": h, "rgb": rgb}
+    if payload[:8] == PNG_MAGIC:
+        w, h, rgb = decode_png(payload)
+        return {"modality": "image", "width": w, "height": h, "rgb": rgb}
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return {"modality": "audio", "sample_rate": rate, "samples": samples}
     raise NotImplementedError(
-        "only BMP and WAV decode without codec libraries; "
+        "only BMP, PNG and WAV decode without codec libraries; "
         "extract_features uses the deterministic fake for other payloads"
     )
 
@@ -257,12 +398,26 @@ def extract_features(media: DataFrame) -> DataFrame:
         import hashlib
         import math
         import struct
+        import zlib
 
         import pandas as pd  # local import: keep the closure self-contained
 
         def fake_features(b: bytes) -> list[float]:
             digest = hashlib.md5(b).digest()
             return [x / 256.0 for x in digest[:feature_dim]]
+
+        def img_feats(w: int, h: int, rgb) -> list[float]:
+            n = max(w * h, 1)
+            mr = sum(rgb[0::3]) / n / 255.0
+            mg = sum(rgb[1::3]) / n / 255.0
+            mb = sum(rgb[2::3]) / n / 255.0
+            gray = [
+                (rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
+                for i in range(0, len(rgb), 3)
+            ]
+            mu = sum(gray) / n
+            std = (sum((g - mu) ** 2 for g in gray) / n) ** 0.5 / 255.0
+            return [mr, mg, mb, std, w / 1024.0, h / 1024.0, (w / max(h, 1)) / 8.0, 1.0]
 
         def bmp_features(b: bytes) -> list[float]:
             off = struct.unpack_from("<I", b, 10)[0]
@@ -293,17 +448,92 @@ def extract_features(media: DataFrame) -> DataFrame:
                 rgb[d + 0 : d + row_raw : 3] = row[2::3]
                 rgb[d + 1 : d + row_raw : 3] = row[1::3]
                 rgb[d + 2 : d + row_raw : 3] = row[0::3]
-            n = max(w * h, 1)
-            mr = sum(rgb[0::3]) / n / 255.0
-            mg = sum(rgb[1::3]) / n / 255.0
-            mb = sum(rgb[2::3]) / n / 255.0
-            gray = [
-                (rgb[i] + rgb[i + 1] + rgb[i + 2]) / 3.0
-                for i in range(0, len(rgb), 3)
-            ]
-            mu = sum(gray) / n
-            std = (sum((g - mu) ** 2 for g in gray) / n) ** 0.5 / 255.0
-            return [mr, mg, mb, std, w / 1024.0, h / 1024.0, (w / max(h, 1)) / 8.0, 1.0]
+            return img_feats(w, h, rgb)
+
+        def png_features(b: bytes) -> list[float]:
+            # inline twin of decode_png: zlib inflate + filter
+            # reconstruction (0-4), color types 0/2/3/4/6 at depth 8
+            pos, ihdr, plte, idat = 8, None, b"", []
+            while pos + 8 <= len(b):
+                clen = struct.unpack_from(">I", b, pos)[0]
+                ct = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + clen]
+                if len(data) != clen:
+                    return fake_features(b)
+                if ct == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ct == b"PLTE":
+                    plte = data
+                elif ct == b"IDAT":
+                    idat.append(data)
+                elif ct == b"IEND":
+                    break
+                pos += 12 + clen
+            if ihdr is None or not idat:
+                return fake_features(b)
+            w, h, depth, ctn, comp, filt, inter = ihdr
+            ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctn)
+            if (
+                depth != 8 or ch is None or comp != 0 or filt != 0 or inter != 0
+                or not (0 < w <= 1 << 14 and 0 < h <= 1 << 14)
+            ):
+                return fake_features(b)
+            raw = zlib.decompress(b"".join(idat))
+            stride = w * ch
+            if len(raw) != h * (1 + stride):
+                return fake_features(b)
+            recon = bytearray(h * stride)
+            for y in range(h):
+                ft = raw[y * (1 + stride)]
+                row = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+                prev = recon[(y - 1) * stride : y * stride] if y else bytes(stride)
+                if ft == 1:
+                    for x in range(ch, stride):
+                        row[x] = (row[x] + row[x - ch]) & 0xFF
+                elif ft == 2:
+                    for x in range(stride):
+                        row[x] = (row[x] + prev[x]) & 0xFF
+                elif ft == 3:
+                    for x in range(stride):
+                        a = row[x - ch] if x >= ch else 0
+                        row[x] = (row[x] + ((a + prev[x]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for x in range(stride):
+                        a = row[x - ch] if x >= ch else 0
+                        up = prev[x]
+                        c = prev[x - ch] if x >= ch else 0
+                        p = a + up - c
+                        pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                        row[x] = (row[x] + pred) & 0xFF
+                elif ft != 0:
+                    return fake_features(b)
+                recon[y * stride : (y + 1) * stride] = row
+            n = w * h
+            rgb = bytearray(n * 3)
+            if ctn == 2:
+                rgb[:] = recon
+            elif ctn == 0:
+                rgb[0::3] = recon
+                rgb[1::3] = recon
+                rgb[2::3] = recon
+            elif ctn == 4:
+                rgb[0::3] = recon[0::2]
+                rgb[1::3] = recon[0::2]
+                rgb[2::3] = recon[0::2]
+            elif ctn == 6:
+                rgb[0::3] = recon[0::4]
+                rgb[1::3] = recon[1::4]
+                rgb[2::3] = recon[2::4]
+            else:
+                if not plte:
+                    return fake_features(b)
+                for i, idx in enumerate(recon):
+                    off = idx * 3
+                    if off + 3 > len(plte):
+                        return fake_features(b)
+                    rgb[i * 3 : i * 3 + 3] = plte[off : off + 3]
+            return img_feats(w, h, rgb)
 
         def wav_features(b: bytes) -> list[float]:
             pos, rate, s = 12, None, None
@@ -346,6 +576,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             try:
                 if b[:2] == b"BM":
                     return bmp_features(b)
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    return png_features(b)
                 if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     return wav_features(b)
             except Exception:
@@ -365,18 +597,20 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def synthesize_decodable_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A multimodal frame whose payloads REALLY decode: even doc_ids
-    become 24-bit BMPs (pixels = repeated md5 keystream of the text),
-    odd doc_ids become PCM16 WAVs (samples = a deterministic byte-
-    derived waveform). Built batch-at-a-time in mapInPandas with
-    inline encoder twins of encode_bmp/encode_wav (the closure must be
-    self-contained — see extract_features); test_multimodal_ops pins
-    the inline encoders byte-equal to the module-level ones."""
+    """A multimodal frame whose payloads REALLY decode: doc_id % 4 ==
+    0 becomes an 8-bit truecolor PNG, other even doc_ids become 24-bit
+    BMPs (pixels = repeated md5 keystream of the text), odd doc_ids
+    become PCM16 WAVs (samples = a deterministic byte-derived
+    waveform). Built batch-at-a-time in mapInPandas with inline
+    encoder twins of encode_bmp/encode_png/encode_wav (the closure
+    must be self-contained — see extract_features); test_multimodal_ops
+    pins the inline encoders byte-equal to the module-level ones."""
     docs = documents(spark, sf_dir).select("doc_id", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
         import struct
+        import zlib
 
         import pandas as pd
 
@@ -413,6 +647,24 @@ def synthesize_decodable_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             body += b"data" + struct.pack("<I", len(data)) + data
             return b"RIFF" + struct.pack("<I", len(body)) + body
 
+        def enc_png(w: int, h: int, rgb: bytes) -> bytes:
+            def chunk(ct: bytes, data: bytes) -> bytes:
+                return (
+                    struct.pack(">I", len(data)) + ct + data
+                    + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + rgb[y * w * 3 : (y + 1) * w * 3] for y in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw, 6))
+                + chunk(b"IEND", b"")
+            )
+
         for pdf in batches:
             payloads, metas = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -420,10 +672,12 @@ def synthesize_decodable_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 2 == 0:
                     w = 4 + int(doc_id) % 13
                     h = 3 + int(doc_id) % 7
-                    payloads.append(enc_bmp(w, h, keystream(seed, w * h * 3)))
+                    enc = enc_png if doc_id % 4 == 0 else enc_bmp
+                    codec = "image/png" if doc_id % 4 == 0 else "image/bmp"
+                    payloads.append(enc(w, h, keystream(seed, w * h * 3)))
                     metas.append(
                         {"modality": "image", "width": w, "height": h,
-                         "codec": "image/bmp"}
+                         "codec": codec}
                     )
                 else:
                     n = 64 + int(doc_id) % 100

@@ -108,8 +108,122 @@ def test_decode_payload_dispatch_and_stub():
     assert img["modality"] == "image" and img["width"] == 2
     aud = decode_payload(encode_wav(8000, [1, -2, 3]))
     assert aud["modality"] == "audio" and aud["samples"] == [1, -2, 3]
+    # JPEG stays behind the documented codec boundary
     with pytest.raises(NotImplementedError):
+        decode_payload(b"\xff\xd8\xff\xe0....")
+    # PNG decodes for real now; a malformed body raises ValueError
+    with pytest.raises(ValueError):
         decode_payload(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_png_roundtrip_rgb():
+    from lambda_sample_spark.operators.multimodal import decode_png, encode_png
+
+    rgb = bytes((i * 37) % 256 for i in range(5 * 3 * 3))
+    w, h, got = decode_png(encode_png(5, 3, rgb))
+    assert (w, h) == (5, 3) and got == rgb
+
+
+def _png_with_filters(w, h, rgb, ftypes, ctype=2, extra=None):
+    """Hand-build a PNG whose rows use the GIVEN filter types, applying
+    the real filter transforms to the raw scanlines — exercises the
+    reconstruction paths encode_png (filter 0 only) never emits."""
+    import struct
+    import zlib
+
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    stride = w * ch
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = rgb[y * stride : (y + 1) * stride]
+        ft = ftypes[y % len(ftypes)]
+        filt = bytearray(stride)
+        for x in range(stride):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([ft]) + bytes(filt)
+        prev = row
+
+    def chunk(ct, data):
+        return (
+            struct.pack(">I", len(data)) + ct + data
+            + struct.pack(">I", zlib.crc32(ct + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if extra:
+        out += chunk(*extra)
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_filter_reconstruction_all_types():
+    from lambda_sample_spark.operators.multimodal import decode_png
+
+    rgb = bytes((i * 73 + 11) % 256 for i in range(6 * 5 * 3))
+    for ftypes in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        payload = _png_with_filters(6, 5, rgb, ftypes)
+        w, h, got = decode_png(payload)
+        assert got == rgb, f"filters {ftypes}"
+
+
+def test_png_color_types_map_to_rgb():
+    from lambda_sample_spark.operators.multimodal import decode_png
+
+    # grayscale (type 0): every pixel expands to (g, g, g)
+    gray = bytes((i * 29) % 256 for i in range(4 * 3))
+    w, h, got = decode_png(_png_with_filters(4, 3, gray, [0, 2], ctype=0))
+    assert got == b"".join(bytes([g, g, g]) for g in gray)
+    # RGBA (type 6): alpha dropped
+    rgb = bytes((i * 31) % 256 for i in range(4 * 3 * 3))
+    rgba = b"".join(rgb[i * 3 : i * 3 + 3] + b"\x80" for i in range(4 * 3))
+    w, h, got = decode_png(_png_with_filters(4, 3, rgba, [1, 4], ctype=6))
+    assert got == rgb
+    # palette (type 3): indices resolve through PLTE
+    plte = bytes((i * 7) % 256 for i in range(9))  # 3 entries
+    idx = bytes([0, 1, 2, 2, 1, 0])
+    w, h, got = decode_png(
+        _png_with_filters(3, 2, idx, [0], ctype=3, extra=(b"PLTE", plte))
+    )
+    assert got == b"".join(plte[i * 3 : i * 3 + 3] for i in idx)
+
+
+def test_png_rejects_unsupported_flavors():
+    import struct
+    import zlib
+
+    import pytest
+
+    from lambda_sample_spark.operators.multimodal import decode_png, encode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+    # interlaced flag
+    good = encode_png(2, 2, bytes(12))
+    ihdr_off = 8 + 8
+    bad = bytearray(good)
+    bad[ihdr_off + 12] = 1  # interlace byte
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # truncated IDAT stream -> zlib/length error, not a crash elsewhere
+    with pytest.raises(Exception):
+        decode_png(good[:-20])
 
 
 def test_extract_features_decodes_real_media(spark, sf_dir):
@@ -143,6 +257,7 @@ def test_synthesizer_inline_encoders_match_module_encoders(spark, sf_dir):
 
     from lambda_sample_spark.operators.multimodal import (
         encode_bmp,
+        encode_png,
         encode_wav,
         synthesize_decodable_media,
     )
@@ -170,7 +285,8 @@ def test_synthesizer_inline_encoders_match_module_encoders(spark, sf_dir):
         seed = (text or "").encode("utf-8")
         if doc_id % 2 == 0:
             w, h = 4 + doc_id % 13, 3 + doc_id % 7
-            want = encode_bmp(w, h, keystream(seed, w * h * 3))
+            enc = encode_png if doc_id % 4 == 0 else encode_bmp
+            want = enc(w, h, keystream(seed, w * h * 3))
         else:
             n = 64 + doc_id % 100
             want = encode_wav(8000, list(struct.unpack(f"<{n}h", keystream(seed, n * 2))))
