@@ -176,6 +176,11 @@ def pq_adc_topk(
         import pandas as _pd
 
         qids, lut = bc.value  # lut: (m, Q, ks)
+        # running per-PARTITION top-k per query, merged across the
+        # batch iterator so the partial output is truly bounded by
+        # partitions x queries x k (not batches x queries x k)
+        best_ids = [np.empty(0, dtype=np.int64) for _ in qids]
+        best_scores = [np.empty(0) for _ in qids]
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -184,7 +189,6 @@ def pq_adc_topk(
             scores = np.zeros((lut.shape[1], codes.shape[0]))
             for i in range(lut.shape[0]):
                 scores += lut[i][:, codes[:, i]]
-            out = []
             ids = pdf[id_col].to_numpy()
             for qi, q in enumerate(qids):
                 # self-exclusion BEFORE the prune (the query's own row
@@ -195,19 +199,21 @@ def pq_adc_topk(
                 # codes) keep exactly the ids the global top-k keeps
                 # (prefix property of a total order)
                 mask = ids != q
-                cand_ids, cand_scores = ids[mask], scores[qi][mask]
+                cand_ids = np.concatenate([best_ids[qi], ids[mask]])
+                cand_scores = np.concatenate([best_scores[qi], scores[qi][mask]])
                 k = min(top_k, cand_ids.shape[0])
                 keep = np.lexsort((cand_ids, -cand_scores))[:k]
-                out.append(
+                best_ids[qi], best_scores[qi] = cand_ids[keep], cand_scores[keep]
+        if any(b.size for b in best_ids):
+            yield _pd.concat(
+                [
                     _pd.DataFrame(
-                        {
-                            "q_id": q,
-                            "c_id": cand_ids[keep],
-                            "adc_score": cand_scores[keep],
-                        }
+                        {"q_id": q, "c_id": best_ids[qi], "adc_score": best_scores[qi]}
                     )
-                )
-            yield _pd.concat(out, ignore_index=True)
+                    for qi, q in enumerate(qids)
+                ],
+                ignore_index=True,
+            )
 
     partial = encoded.mapInPandas(
         scan, "q_id BIGINT, c_id BIGINT, adc_score DOUBLE"

@@ -645,10 +645,23 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
     )
-    target = F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(F.lit(0.0))
+    # exact DECIMAL accumulation (the tpch_q9 pattern): each per-row
+    # volume term is one double multiply (bit-identical across
+    # engines), but the SUM of doubles is accumulation-order-sensitive
+    # and a last-ulp difference at the 6dp rounding boundary would
+    # flake the oracle hash; decimal(18,6) terms make both sums
+    # engine-exact, then the ratio divides as double
+    vol_dec = vol.cast("decimal(18,6)")
+    target = F.when(
+        F.col("supp_nation") == "NATION_1", vol_dec
+    ).otherwise(F.lit(0).cast("decimal(18,6)"))
     return (
         joined.groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg(r6(F.sum(target) / F.sum(vol)).alias("mkt_share"))
+        .agg(
+            r6(
+                F.sum(target).cast("double") / F.sum(vol_dec).cast("double")
+            ).alias("mkt_share")
+        )
     )
 
 
@@ -1031,10 +1044,12 @@ GROUP BY 1
 
 ORACLE["q_tpch_q8"] = """
 SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-       round(sum(CASE WHEN n1.n_name = 'NATION_1'
-                      THEN l.l_extendedprice * (1 - l.l_discount)
-                      ELSE 0.0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+       round(CAST(sum(CASE WHEN n1.n_name = 'NATION_1'
+                      THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                                AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+             / CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE), 6) AS mkt_share
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN supplier s ON l.l_suppkey = s.s_suppkey

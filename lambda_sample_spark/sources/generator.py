@@ -37,8 +37,18 @@ LCG_C, LCG_M = 12345, 2**31
 # (measured on 40k rows before the fix). Distinct classic multipliers
 # make each stream a structurally different map; measured after:
 # anomaly sign 49.7% negative, magnitudes covering all 50 values.
-_LCG_AS = [1103515245, 1566083941, 69069, 1812433253]
+_LCG_AS = [
+    1103515245,  # glibc
+    1566083941,  # Waterman
+    69069,  # VAX MTH$RANDOM
+    1812433253,  # Knuth/MT initializer
+    1664525,  # Numerical Recipes
+    22695477,  # Borland C++
+    134775813,  # Turbo Pascal
+    214013,  # MSVC
+]
 _N_STREAMS = 8  # id*_N_STREAMS + stream never collides across streams
+assert len(_LCG_AS) == _N_STREAMS  # one distinct multiplier per stream
 
 
 def _uniform(stream: int, seed: int) -> Column:

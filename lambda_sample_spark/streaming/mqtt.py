@@ -302,6 +302,13 @@ class MqttFileBridge:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._seq = 0
+        # terminal state of the INBOUND leg: the roller thread keeps
+        # running after the message iterator dies (mid-frame timeout,
+        # malformed frame, broker death), so without this flag a dead
+        # bridge looks healthy while consuming nothing — owners and
+        # tests poll `dead` / `error` to detect it
+        self.dead = False
+        self.error: BaseException | None = None
         self.client = MqttClient(host, port, client_id=f"bridge-{uuid.uuid4().hex[:8]}")
         self.client.subscribe(topic)
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
@@ -312,15 +319,24 @@ class MqttFileBridge:
     def _read_loop(self):
         import time as _time
 
-        for _topic, payload in self.client.messages():
-            entry = (int(_time.time() * 1000), payload)
-            with self._lock:
-                self._buf.append(entry)
-                full = len(self._buf) >= self.max_buffer
-            if full:
-                self.flush()
-            if self._stop.is_set():
-                return
+        try:
+            for _topic, payload in self.client.messages():
+                entry = (int(_time.time() * 1000), payload)
+                with self._lock:
+                    self._buf.append(entry)
+                    full = len(self._buf) >= self.max_buffer
+                if full:
+                    self.flush()
+                if self._stop.is_set():
+                    return
+        except BaseException as exc:  # record, then surface via `dead`
+            self.error = exc
+            raise
+        finally:
+            # messages() returning at all (EOF, malformed frame,
+            # broken pipe) means the inbound leg is gone for good —
+            # a clean stop() is the one deliberate path
+            self.dead = not self._stop.is_set()
 
     def _roll_loop(self):
         while not self._stop.wait(self.roll_secs):

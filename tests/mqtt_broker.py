@@ -99,4 +99,13 @@ class MiniBroker:
         self._srv.close()
         with self._lock:
             for c in list(self._subs):
+                # shutdown BEFORE close: close() alone only drops the
+                # fd refcount while a _serve thread is blocked in recv
+                # on it — no FIN goes out and peers never notice the
+                # broker died; shutdown() tears the connection down
+                # immediately and wakes the blocked thread
+                try:
+                    c.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
                 c.close()

@@ -179,6 +179,32 @@ def test_bridge_to_structured_streaming(spark, broker, tmp_path):
         bridge.stop()
 
 
+def test_bridge_flags_dead_inbound_leg_on_broker_death(tmp_path):
+    b = MiniBroker()
+    bridge = M.MqttFileBridge(
+        b.host, b.port, "sensors/power", str(tmp_path / "land"), roll_secs=0.2
+    )
+    try:
+        assert bridge.dead is False
+        b.stop()  # broker dies underneath the bridge
+        deadline = time.time() + 10
+        while time.time() < deadline and not bridge.dead:
+            time.sleep(0.05)
+        assert bridge.dead, "bridge kept looking healthy after broker death"
+    finally:
+        bridge.stop()
+
+
+def test_bridge_clean_stop_is_not_flagged_dead(broker, tmp_path):
+    bridge = M.MqttFileBridge(
+        broker.host, broker.port, "sensors/power", str(tmp_path / "land"),
+        roll_secs=0.2,
+    )
+    bridge.stop()
+    time.sleep(0.3)  # let the reader thread observe the disconnect
+    assert bridge.dead is False and bridge.error is None
+
+
 def test_mqtt_stream_uses_per_message_receive_ts(spark, tmp_path):
     # the envelope's ts_ms must become each ROW's ts (distinct per
     # message) — a stream-side current_timestamp() would stamp every
