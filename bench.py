@@ -10,14 +10,17 @@ totals, slowest queries, headline) and the detail file carries the
 complete {query: sec} map plus per-repeat maxima and sweep walls.
 
 Isolation: queries run in per-FAMILY subprocess sessions (a fresh JVM
-per ~10-15 queries) instead of one 91-query session. Round 8 measured
-a uniform ~1.2-1.4x per-query inflation when 68 queries + 3 composites
-shared one JVM (heap/GC/code-cache/broadcast-cleanup crowding) — e.g.
-untouched trivial plans like q_tpch_q6 moved +49% round-over-round
-while plan snapshots and shuffle budgets were byte-identical. The
-round-9 A/B (docs/ROUND9.md) quantifies the crowding term; family
-sessions bound it by construction. SPARK_GRAFT_BENCH_SINGLE_SESSION=1
-restores the legacy one-JVM mode for such experiments.
+per ~10-15 queries) instead of one 91-query session. The round-9 A/B
+(docs/ROUND9.md: same 68 queries, same host, single-JVM vs per-family)
+REFUTED the round-8 crowding hypothesis — median single/family ratio
+0.949, i.e. one shared JVM costs <= ~5% at 68 queries — and pinned the
+round-8 "uniform ~1.2-1.4x inflation" on cross-day host drift instead
+(today's numbers are ~1.27x r7 in BOTH modes; this box has measured
+~1.3x zero-source-change drift before). Family sessions are kept
+anyway: they bound JVM state growth as coverage widens (91 rows now)
+for ~2 min of extra unmeasured startup wall, and make per-family walls
+comparable across rounds. SPARK_GRAFT_BENCH_SINGLE_SESSION=1 restores
+the one-JVM mode for future A/Bs.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver materialization) and run REPEATS times interleaved (whole-family

@@ -492,6 +492,68 @@ def ivfpq_write_index(
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
+def ivfpq_append_index(emb: DataFrame, path: str) -> None:
+    """Incrementally extend a persisted IVF-PQ index with new vectors
+    — the nightly-batch maintenance op. Coarse centroids and residual
+    codebooks stay FROZEN (the FAISS steady-state practice: retrain
+    only on periodic full rebuilds); each new vector is assigned to
+    its nearest cell and encoded against the existing books in ONE
+    vectorized mapper, then appended to the cluster-partitioned cells
+    — no shuffle, no touch of existing rows, probe-compatible by
+    construction (the assignment + residual-encode math is the exact
+    twin of ivf_index/_encode_residual, pinned by
+    test_pq.test_append_reencodes_identically). Work is linear in the
+    batch, independent of index size."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    cent_rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = {r["cluster"]: np.asarray(r["cvec"]) for r in cent_rows}
+    ckeys = np.asarray(sorted(cents))
+    cmat = np.stack([cents[c] for c in ckeys])
+    brows = spark.read.parquet(f"{path}/codebook").collect()
+    m = 1 + max(r["m"] for r in brows)
+    ks = 1 + max(r["code"] for r in brows)
+    books = np.zeros((m, ks, len(brows[0]["subvec"])))
+    for r in brows:
+        books[r["m"], r["code"]] = r["subvec"]
+    bc = spark.sparkContext.broadcast((cmat, ckeys, books))
+
+    def run(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cm, ck, b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = _np.array(pdf["vec"].tolist(), dtype=_np.float64)
+            nrm = _np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            unit = mat / nrm
+            idx = (unit @ cm.T).argmax(axis=1)
+            res = unit - cm[idx]
+            mm, kk, dd = b.shape
+            codes = _np.empty((mat.shape[0], mm), dtype=_np.int32)
+            for i in range(mm):
+                sub = res[:, i * dd : (i + 1) * dd]
+                sc = 2.0 * (sub @ b[i].T) - (b[i] ** 2).sum(axis=1)
+                codes[:, i] = sc.argmax(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "vec": pdf["vec"],
+                    "codes": list(codes),
+                    "cluster": ck[idx],
+                }
+            )
+
+    out = emb.select("vec_id", "vec").mapInPandas(
+        run, "vec_id BIGINT, vec ARRAY<DOUBLE>, codes ARRAY<INT>, cluster INT"
+    )
+    out.write.mode("append").partitionBy("cluster").parquet(f"{path}/cells")
+
+
 def ivfpq_probe_index(
     spark: SparkSession,
     path: str,

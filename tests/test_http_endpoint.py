@@ -89,6 +89,44 @@ def test_concurrent_cold_requests_compute_once(spark, entry_dir):
         ep.stop()
 
 
+def test_stress_load_500c10_meets_sla(spark, entry_dir):
+    """The reference's published measurement IS `hey -n 500 -c 10`
+    against `/` and `/stress` (README.md:328-331): replay it over
+    loopback — 500 requests at concurrency 10 per route, cache hot —
+    and assert the 5 s SLA at p95 with the engine's own A8 quantile
+    expression over the latency samples. The load must never trigger
+    a recompute (T7: under load you serve the cache)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    ep = ServingEndpoint(spark, entry_dir, ttl_secs=3600.0)
+    try:
+        _get(ep, "/")  # one Spark job warms the cache
+        assert ep.compute_count == 1
+
+        def hit(path):
+            t0 = _time.perf_counter()
+            status, _, _ = _get(ep, path)
+            return status, _time.perf_counter() - t0
+
+        for path in ("/", "/stress"):
+            with ThreadPoolExecutor(max_workers=10) as pool:
+                out = list(pool.map(hit, [path] * 500))
+            assert all(s == 200 for s, _ in out)
+            # A8 reuse: percentile_cont over the samples via the engine
+            qdf = spark.createDataFrame(
+                [(float(l),) for _, l in out], "sec DOUBLE"
+            )
+            p50, p95 = qdf.agg(
+                F.expr("percentile(sec, array(0.5D, 0.95D))").alias("q")
+            ).collect()[0].q
+            assert p95 < 5.0, f"{path}: p95={p95:.4f}s breaches the 5s SLA"
+            assert p50 < 0.5, f"{path}: p50={p50:.4f}s absurd for a cache hit"
+        assert ep.compute_count == 1  # 1000 requests, zero recomputes
+    finally:
+        ep.stop()
+
+
 def test_health_and_404(endpoint):
     status, body, _ = _get(endpoint, "/health")
     assert status == 200 and json.loads(body) == {"status": "ok"}

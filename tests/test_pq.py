@@ -8,6 +8,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from lambda_sample_spark.operators.pq import (
     ORACLE,
     ivfpq_probe_index,
@@ -109,6 +111,57 @@ def test_persisted_ivfpq_index_probe(spark, clustered, tmp_path):
     got = out.collect()
     recall = sum(1 for r in got if r.c_id in exact[r.q_id]) / 50
     assert recall >= 0.9, f"persisted IVF-PQ recall@10 {recall}"
+
+
+def test_append_reencodes_identically(spark, clustered, tmp_path):
+    # appending a vector the index already holds must reproduce its
+    # (cluster, codes) row EXACTLY — pins the append mapper as a true
+    # twin of ivf_index assignment + _encode_residual
+    from lambda_sample_spark.operators.pq import ivfpq_append_index
+
+    emb, pts, exact, queries = clustered
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, n=3000)
+    dup = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "vec"
+    )
+    ivfpq_append_index(dup, path)
+    cells = spark.read.parquet(f"{path}/cells")
+    a = {
+        r.vec_id: (r.cluster, tuple(r.codes))
+        for r in cells.where(F.col("vec_id") < 50).collect()
+    }
+    b = {
+        r.vec_id - 1_000_000: (r.cluster, tuple(r.codes))
+        for r in cells.where(F.col("vec_id") >= 1_000_000).collect()
+    }
+    assert a == b and len(a) == 50
+
+
+def test_append_extends_probe_results(spark, clustered, tmp_path):
+    # vectors appended after the build are retrievable: an appended
+    # copy of a query vector must surface in that query's top-k, and
+    # recall on the original corpus must not degrade
+    from lambda_sample_spark.operators.pq import ivfpq_append_index
+
+    emb, pts, exact, queries = clustered
+    path = str(tmp_path / "ivfpq")
+    ivfpq_write_index(emb, path, n=3000)
+    clones = spark.createDataFrame(
+        [(2_000_000 + q, v) for q, v in queries],
+        "vec_id BIGINT, vec ARRAY<DOUBLE>",
+    )
+    ivfpq_append_index(clones, path)
+    got = ivfpq_probe_index(spark, path, queries).collect()
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.q_id, []).append(r)
+    for q, _ in queries:
+        ids = {r.c_id for r in by_q[q]}
+        assert 2_000_000 + q in ids, f"appended clone missing for q={q}"
+        # clone of the query is an exact match: rank 1, cosine ~ 1
+        top = min(by_q[q], key=lambda r: r.rank)
+        assert top.c_id == 2_000_000 + q and top.cos_sim > 0.999
 
 
 def test_adc_lane_matches_relational_row(spark, sf_dir):
