@@ -183,6 +183,76 @@ def run_cc_rung(spark, work: str, factor: int) -> None:
     measure(spark, f"connected_components@{n}n/{m}e", run)
 
 
+def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
+    """The sf1 rung (round-8 verdict task 6): inflate sf0.1 to
+    sf1-equivalent row counts (~6M lineitem at factor 10) with
+    JOIN-CONSISTENT key remapping — every copy c rewrites the fact AND
+    dim keys as key*factor + c, so referential integrity and join
+    fan-outs match a real larger scale factor — then run the headline
+    contract queries against the inflated directory unchanged (it
+    mimics an sf dir: <table>.parquet files) and record wall + shuffle
+    bytes for docs/SCALE.md's 10x-rung check of the 100x claims."""
+    import __spark_entry__ as entrymod
+
+    F_ = factor
+    copies = spark.range(F_).select(F.col("id").alias("copy"))
+    src = "/root/testdata/sf0.1"
+
+    def inflate(name: str, keyed: dict[str, bool]):
+        """keyed: column -> remap? (key*F + copy for join keys and ids)"""
+        base = spark.read.parquet(f"{src}/{name}.parquet")
+        cols = [
+            (F.col(c) * F_ + F.col("copy")).alias(c) if keyed.get(c) else F.col(c)
+            for c in base.columns
+        ]
+        t0 = time.perf_counter()
+        base.crossJoin(copies).select(cols).repartition(32).write.parquet(
+            os.path.join(work, f"{name}.parquet")
+        )
+        n = spark.read.parquet(os.path.join(work, f"{name}.parquet")).count()
+        print(f"inflated {name}: {n} rows in {time.perf_counter() - t0:.0f}s")
+
+    def copy_dim(name: str):
+        spark.read.parquet(f"{src}/{name}.parquet").write.parquet(
+            os.path.join(work, f"{name}.parquet")
+        )
+
+    inflate("orders", {"o_orderkey": True, "o_custkey": True})
+    inflate(
+        "lineitem",
+        {"l_orderkey": True, "l_suppkey": True},  # l_partkey stays (part is 1x)
+    )
+    inflate("customer", {"c_custkey": True})
+    inflate("supplier", {"s_suppkey": True})
+    inflate("events", {"event_id": True, "user_id": True})
+    for d in ("region", "nation", "part"):
+        copy_dim(d)
+    base_docs = spark.read.parquet(f"{src}/documents.parquet")
+    t0 = time.perf_counter()
+    _inflate_docs(spark, base_docs, F_).coalesce(16).write.parquet(
+        os.path.join(work, "documents.parquet")
+    )
+    n_docs = spark.read.parquet(os.path.join(work, "documents.parquet")).count()
+    print(f"inflated documents: {n_docs} rows in {time.perf_counter() - t0:.0f}s")
+
+    queries = entrymod.queries()
+    for name in (
+        "q_fast_anomaly",
+        "q_tpch_q18",
+        "q_tpch_q21",
+        "q_dedup_near",
+        "q_contamination",
+    ):
+        def force(_name=name):
+            queries[_name](spark, work).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return "forced"
+
+        measure(spark, f"{name}@sf{factor / 10:g}", force)
+        measure(spark, f"{name}@sf{factor / 10:g}#2", force)  # warm repeat
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     ops = set(
@@ -258,6 +328,9 @@ def main() -> None:
 
     if "pq" in ops:
         run_pq_rung(spark, work, factor)
+
+    if "sf1" in ops:
+        run_sf1_rung(spark, work, factor)
 
     print(f"workdir (delete when done): {work}")
     spark.stop()
