@@ -216,10 +216,25 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3a. deletion-signature join: finds every B = A + {x} pair.
     # Only the larger side needs deletion keys, and only when
     # J = (sz-1)/sz can reach t, i.e. sz >= ceil(1/(1-t)).
+    #
+    # Set identity here is an XOR-fold of per-token hashes (two
+    # independent seeds), NOT a hash of the sorted array: XOR is
+    # order-independent and SELF-INVERSE over a duplicate-free set, so
+    # the key of A \ {x} is xkey(A) ^ h(x) — each deletion key is O(1)
+    # off the precomputed full-set fold, making the whole branch O(s)
+    # per set. The previous formulation re-hashed the remaining sorted
+    # array per position (concat(slice, slice)) — O(s^2) element
+    # copies per set, which grows quadratically with document length
+    # even though at sf0.1's ~100-token docs it was only one cost
+    # among the plan's many (measured ~10% there). Collision odds stay
+    # ~2^-128-grade: two independent 64-bit folds must match AND lang
+    # must match AND the explicit sz1 = sz2 - 1 guard must hold.
     del_min_sz = math.ceil(1.0 / (1.0 - t))
-    _del = "concat(slice(tokset, 1, i-1), slice(tokset, i+1, size(tokset)-i))"
+    _xf = "aggregate(tokset, CAST(0 AS BIGINT), (a, x) -> a ^ xxhash64(x))"
+    _xf2 = "aggregate(tokset, CAST(0 AS BIGINT), (a, x) -> a ^ xxhash64(x, 1))"
+    gx = groups.withColumn("xk1", F.expr(_xf)).withColumn("xk2", F.expr(_xf2))
     del_keys = (
-        groups.where(F.col("sz") >= del_min_sz)
+        gx.where(F.col("sz") >= del_min_sz)
         .select(
             "lang",
             F.col("set_key").alias("k2"),
@@ -227,22 +242,24 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sz").alias("sz2"),
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(tokset)), i -> "
-                    f"named_struct('h1', xxhash64({_del}), "
-                    f"'h2', xxhash64({_del}, 1)))"
+                    "transform(tokset, x -> named_struct("
+                    "'h1', xk1 ^ xxhash64(x), 'h2', xk2 ^ xxhash64(x, 1)))"
                 )
             ).alias("del_key"),
         )
     )
-    full_keys = groups.select(
+    full_keys = gx.select(
         "lang",
         F.col("set_key").alias("k1"),
-        F.col("set_key").alias("del_key"),
+        F.struct(F.col("xk1").alias("h1"), F.col("xk2").alias("h2")).alias(
+            "del_key"
+        ),
         F.col("rep").alias("rep1"),
         F.col("sz").alias("sz1"),
     )
     del_pairs = (
         del_keys.join(full_keys, ["lang", "del_key"])
+        .where(F.col("sz1") == F.col("sz2") - 1)
         .select(
             "lang",
             # normalize the unordered set pair by rep order
