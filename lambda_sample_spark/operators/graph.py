@@ -36,7 +36,7 @@ row per node, independent of edge count or round.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -114,25 +114,31 @@ def connected_components(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    def _materialize_observed(df: DataFrame, slot: str):
-        """Materialize one round's labels AND harvest the convergence
-        signal from the SAME action: sum(comp) is strictly decreasing
-        until the fixpoint (comp(x) <= x and only ever decreases), so
-        "sum unchanged since last round" == "converged" — no second
-        per-round job, no old-label column carried through the joins.
-        decimal(38,0) keeps the sum exact at any node count (1e12
-        nodes x 9e18 max id overflows bigint; decimal does not). The
-        row count rides along to size-gate the next round's broadcast.
-        """
-        obs = Observation()
-        df = df.observe(
-            obs,
+    def _materialize_stats(df: DataFrame, slot: str):
+        """Materialize one round's labels, then harvest the
+        convergence signal with one TINY aggregate job over the
+        materialized frame: sum(comp) is strictly decreasing until the
+        fixpoint (comp(x) <= x and only ever decreases), so "sum
+        unchanged since last round" == "converged" — no old-label
+        column carried through the joins. decimal(38,0) keeps the sum
+        exact at any node count (1e12 nodes x 9e18 max id overflows
+        bigint; decimal does not). The row count rides along to
+        size-gate the next round's broadcast.
+
+        Deliberately a second job, NOT ``df.observe``/``Observation``:
+        the first observe() on a session initializes Spark 4.1's lazy
+        ObservationManager, which is not serializable and breaks every
+        later closure that captures the session (MLlib training
+        summaries die with "Task not serializable" — the documented
+        incremental_dedup hazard, re-confirmed the hard way in round
+        9's full-suite run). The aggregate scans the just-materialized
+        checkpoint/parquet — label-table-sized, pennies per round."""
+        out = _materialize(df, slot)
+        row = out.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
-        )
-        out = _materialize(df, slot)
-        got = obs.get
-        return out, got["s"], got["n"]
+        ).collect()[0]
+        return out, row["s"], row["n"]
 
     def _retire(df: DataFrame) -> None:
         if scratch_dir is None:
@@ -150,14 +156,12 @@ def connected_components(
     # e with swap(e) before the cut would put the (arbitrarily
     # expensive) upstream pair-generation lineage in the plan twice —
     # measured 2x the ngram_jaccard pipeline on the contract row. The
-    # observed edge count bounds round 0's label size (<= 2 x edges)
+    # edge count (a metadata/checkpoint-local count over the
+    # materialized frame) bounds round 0's label size (<= 2 x edges)
     # so even the first round can take the broadcast path.
-    obs = Observation()
-    e = _materialize(
-        e.observe(obs, F.count(F.lit(1)).alias("n")), "cc_edges"
-    )
+    e = _materialize(e, "cc_edges")
     _retire(e)
-    n_edges = obs.get["n"]
+    n_edges = e.count()
     und = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # the LOOP carries only edge endpoints — isolated nodes can never
     # change labels, so they rejoin as comp = node at the very end
@@ -203,7 +207,7 @@ def connected_components(
             # alternating slots: round r reads r-1's files while
             # writing its own — never overwrite a path still feeding
             # the lineage
-            new, comp_sum, n_labels = _materialize_observed(
+            new, comp_sum, n_labels = _materialize_stats(
                 new, f"cc_round_{rnd % 2}"
             )
             _retire(new)
