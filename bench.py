@@ -126,6 +126,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_simhash",
         "q_semantic_dedup",
         "q_contamination",
+        "x_contamination_prod",
         "q_redact_pii",
         "q_source_cap",
         "q_shard_order",
@@ -203,6 +204,25 @@ def bench_winnow_prod(spark, sf_dir: str) -> None:
     force(winnow_fingerprints_fast(docs))
 
 
+def bench_contamination_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION decontamination path (xxhash64 gram
+    hashing, the module default) — q_contamination is the md5
+    oracle-contract twin, which pays a crypto hash + hex-word
+    conversion per gram for DuckDB replayability; this trail records
+    what real callers pay (the same benchmark-broadcast, zero
+    corpus-shuffle plan)."""
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.operators.curation import _DECON_N, contamination_check
+    from lambda_sample_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    force(contamination_check(docs, bench, n=_DECON_N))
+
+
 _STREAM_SRC: dict[str, str] = {}
 
 
@@ -249,6 +269,7 @@ def bench_stream_bottomk(spark, sf_dir: str) -> None:
 # drive their own materialization instead of a noop-sink force)
 COMPOSITES = {
     "x_winnow_prod": bench_winnow_prod,
+    "x_contamination_prod": bench_contamination_prod,
     "x_ingest_batch": bench_ingest_batch,
     "x_stream_bottomk": bench_stream_bottomk,
 }
@@ -380,7 +401,8 @@ def main() -> None:
     # lives in bench_detail.json (COMMITTED — the judge reads it).
     out = {
         "metric": "fast_anomaly_sec",
-        "value": timings["q_fast_anomaly"],
+        # ONLY-filtered experiment runs may exclude the flagship
+        "value": timings.get("q_fast_anomaly", max(timings.values())),
         "unit": "sec",
         "n_queries": len(timings),
         "repeats": repeats,
