@@ -145,8 +145,27 @@ def drift_categorical(
     def cat_counts(df: DataFrame, out: str) -> DataFrame:
         return df.groupBy(key_col, cat_col).agg(F.count("*").alias(out))
 
-    rc = cat_counts(ref, "r_cnt")
-    cc = cat_counts(cur, "c_cnt")
+    return jsd_from_counts(
+        cat_counts(ref, "r_cnt"),
+        cat_counts(cur, "c_cnt"),
+        key_col=key_col,
+        cat_col=cat_col,
+    )
+
+
+def jsd_from_counts(
+    rc: DataFrame,
+    cc: DataFrame,
+    key_col: str = "cohort",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """JSD core over PRE-AGGREGATED category counts: ``rc`` =
+    (key, cat, r_cnt) reference censuses, ``cc`` = (key, cat, c_cnt)
+    current censuses. Split out of :func:`drift_categorical` so the
+    STREAMING leg (streaming/drift.py: per-window counts persisted by
+    the speed layer — counts are mergeable, JSD is not) scores its
+    windows with the same math, term for term. Returns
+    (key, jsd, n_ref, n_cur)."""
     grid = (
         rc.select(key_col, cat_col)
         .unionByName(cc.select(key_col, cat_col))
