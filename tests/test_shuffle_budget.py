@@ -153,8 +153,13 @@ BUDGET = {
     "q_winnowing": 0,
     "q_vocab_topn": 1,
     # round 7 promotion: sketch (0 exchanges) -> fp self-join (one fp
-    # shuffle, second side is a ReusedExchange) + pair aggregate +
-    # sketch-size aggregate; the size joins broadcast
+    # shuffle, second side is a ReusedExchange) + the pinned pair-key
+    # repartition (the high-cardinality pair census aggregates WITHIN
+    # that partitioning — no further exchange) + sketch-size
+    # aggregate; the size joins broadcast. Round 9: the MOSS
+    # stop-fingerprint cap runs as an eager bounded census inlined as
+    # an InSet filter (no plan-side exchange), cutting the sf0.1
+    # self-join from 590M to 48M rows (124 s -> ~5 s)
     "q_winnow_near_dup": 3,
     # kmeans assignment reuse + per-cluster pair window + dup-flag join
     "q_semantic_dedup": 4,
