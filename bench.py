@@ -135,6 +135,7 @@ FAMILIES: dict[str, list[str]] = {
     "similarity": [
         "q_similarity_topk",
         "q_embed_near_dup",
+        "x_embed_prod",
         "q_ann_lsh_topk",
         "q_pq_adc_topk",
         "q_stratified_sample",
@@ -223,6 +224,24 @@ def bench_contamination_prod(spark, sf_dir: str) -> None:
     force(contamination_check(docs, bench, n=_DECON_N))
 
 
+def bench_embed_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION embedding near-dup path
+    (``near_dup_pairs(vectorized=True)`` — one Arrow batch + numpy
+    matmul per label block) — q_embed_near_dup is the oracle-contract
+    twin, which keeps the interpreted JVM fold so scores stay
+    bit-aligned with DuckDB's sequential list_dot_product; this trail
+    records what real callers pay."""
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.similarity import as_double, near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    force(near_dup_pairs(emb, vectorized=True))
+
+
 _STREAM_SRC: dict[str, str] = {}
 
 
@@ -270,6 +289,7 @@ def bench_stream_bottomk(spark, sf_dir: str) -> None:
 COMPOSITES = {
     "x_winnow_prod": bench_winnow_prod,
     "x_contamination_prod": bench_contamination_prod,
+    "x_embed_prod": bench_embed_prod,
     "x_ingest_batch": bench_ingest_batch,
     "x_stream_bottomk": bench_stream_bottomk,
 }

@@ -5,7 +5,7 @@ bytes. NOT part of CI (keep the suite bounded) — run by hand, record
 the numbers in docs/SCALE.md.
 
 Usage: python scripts/scale_oneoff.py [factor] [ops]
-  ops: comma list of ngram,winnow,ingest,semdedup,cc
+  ops: comma list of ngram,winnow,winnowpairs,ingest,semdedup,cc
        (default ngram,winnow,ingest — the round-6/7 ladder);
        semdedup inflates the EMBEDDINGS table by the factor instead
        (sf0.1 has 2k vectors: factor 100 -> 200k, 400 -> 800k) and
@@ -304,6 +304,28 @@ def main() -> None:
                         docs.select("doc_id", "text"), gram_hash=gh
                     ).count(),
                 )
+
+        if "winnowpairs" in ops:
+            # the round-9 capped containment operator at scale. The
+            # stop cap is configured per its own scale guidance: a
+            # FRACTIONAL cap lets per-fingerprint work grow
+            # quadratically with the corpus, so larger corpora pass a
+            # smaller frac holding the ABSOLUTE df bound (~500 docs,
+            # matching the sf0.1 contract row's trunc(0.1*5000)) —
+            # per-fp join work then stays constant and total work
+            # scales with corpus size x output density.
+            from lambda_sample_spark.operators.text import winnow_near_dup
+
+            frac_for_500 = 500.0 / n
+            measure(
+                spark,
+                f"winnow_near_dup[fast,max_df~500]@{n}",
+                lambda: winnow_near_dup(
+                    docs.select("doc_id", "text"),
+                    gram_hash="fast",
+                    max_df_frac=frac_for_500,
+                ).count(),
+            )
 
         if "ingest" in ops:
             idx = os.path.join(work, "mhidx")
