@@ -264,7 +264,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "ingest"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
