@@ -385,9 +385,11 @@ def winnow_near_dup(
     Scale: stop-fingerprint census is one count per distinct
     (fp, doc) — the stop list itself is provably small (at most
     avg_sketch_size / max_df_frac entries regardless of corpus size),
-    so it broadcasts; pair output is bounded by real sketch overlap.
-    One sketch pass, one small-side broadcast anti-join, one
-    equi-join, one count aggregate. Two measured local-mode hazards
+    so it collects to the driver and inlines as an InSet filter (an
+    anti-join would duplicate the census subtree per consumer in the
+    adaptive plan); pair output is bounded by real sketch overlap.
+    One eager census job, then one sketch pass, one equi-join, one
+    count aggregate. Two measured local-mode hazards
     are handled structurally: (a) a single-file input leaves the
     CPU-bound sketch on one core, so under-partitioned inputs fan out
     first (round-robin; a no-op on any real multi-split source); (b)
