@@ -18,6 +18,7 @@ from .operators import (
     curation,
     dedup,
     drift,
+    dsir,
     graph,
     joins,
     joins_ext,
@@ -61,6 +62,7 @@ _MODULES = [
     graph,
     pq,
     drift,
+    dsir,
 ]
 
 

@@ -1,0 +1,96 @@
+"""DSIR data selection: the contract row matches its DuckDB oracle,
+the importance weights actually separate target-like from
+off-distribution documents, Gumbel-top-k selection keeps ~the asked
+fraction and enriches the target, and the two gram-hash paths (md5
+oracle seam vs xxhash64 production) agree on the ranking they induce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lambda_sample_spark.io import load_table
+from lambda_sample_spark.operators.dsir import (
+    ORACLE,
+    dsir_scores,
+    dsir_select,
+    q_dsir_scores,
+)
+from tests.conftest import SMOKE_SF_DIR
+from tests.oracle_harness import compare, duckdb_con
+
+
+def test_contract_matches_oracle(spark):
+    sdf = q_dsir_scores(spark, SMOKE_SF_DIR)
+    con = duckdb_con(SMOKE_SF_DIR)
+    odf = con.execute(ORACLE["q_dsir_scores"]).fetchdf()
+    assert compare("q_dsir_scores", sdf, odf) == []
+
+
+def test_weights_separate_target_from_rest(spark, sf_dir):
+    pdf = q_dsir_scores(spark, sf_dir).toPandas()
+    en = pdf[pdf.lang == "en"].logw
+    rest = pdf[pdf.lang != "en"].logw
+    # the English word mix IS the target distribution (diluted);
+    # other languages draw from different word lists entirely
+    assert en.mean() > rest.mean() + 1.0
+    # and the gap is per-doc, not just on average: medians too
+    assert en.median() > rest.median() + 1.0
+
+
+def test_select_fraction_and_enrichment(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    sel = dsir_select(
+        docs, F.col("lang") == "en", frac=0.3, extra_cols=("lang",)
+    ).toPandas()
+    n = docs.count()
+    # threshold comes from approxQuantile(1e-4) -> near-exact here
+    assert abs(len(sel) - 0.3 * n) <= max(5, 0.02 * n)
+    base_en = (
+        docs.where(F.col("lang") == "en").count() / n
+    )
+    sel_en = (sel.lang == "en").mean()
+    assert sel_en > base_en + 0.2  # selection enriches the target
+
+
+def test_production_hash_path_same_ranking_shape(spark):
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    md5 = (
+        dsir_scores(docs, F.col("lang") == "en", gram_hash="md5")
+        .select("doc_id", "logw")
+        .toPandas()
+        .set_index("doc_id")
+        .logw
+    )
+    xxh = (
+        dsir_scores(docs, F.col("lang") == "en", gram_hash="xxhash64")
+        .select("doc_id", "logw")
+        .toPandas()
+        .set_index("doc_id")
+        .logw
+    )
+    # different hash -> different buckets -> different exact weights
+    # (collision noise is visible at this corpus' tiny vocabulary),
+    # but the induced ordering must still agree strongly: Spearman
+    joined = md5.to_frame("a").join(xxh.to_frame("b"))
+    rho = joined.a.rank().corr(joined.b.rank())
+    assert rho > 0.8
+    # and the production path separates the target on its own
+    langs = docs.select("doc_id", "lang").toPandas().set_index("doc_id").lang
+    by_lang = xxh.groupby(langs)
+    assert by_lang.mean()["en"] > xxh[langs != "en"].mean() + 1.0
+
+
+def test_deterministic_across_runs(spark):
+    a = q_dsir_scores(spark, SMOKE_SF_DIR).toPandas().sort_values("doc_id")
+    b = q_dsir_scores(spark, SMOKE_SF_DIR).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_no_python_udf_in_plan(spark):
+    plan = q_dsir_scores(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

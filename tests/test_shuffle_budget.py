@@ -128,6 +128,10 @@ BUDGET = {
     # broadcasts them at runtime; the initial plan shuffles on the
     # grid key) + the final term aggregate
     "q_drift_categorical": 10,
+    # two passes by design (fit census collects eagerly during plan
+    # construction); the returned score plan is exactly the (doc,
+    # bucket) combine + the per-doc sum
+    "q_dsir_scores": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
