@@ -108,6 +108,14 @@ def dsir_scores(
     without replacement proportional to ``w`` (Vieira 2014); ties at
     the 6dp boundary break by id downstream.
     """
+    # the gram hash is CPU-bound: a single-file input would leave the
+    # whole explode on one core (the winnow_near_dup hazard) — fan
+    # under-partitioned inputs out first (no-op on real multi-split
+    # sources)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     keyed = docs.select(
         F.col(id_col), target_pred.alias("__is_target"), text_col
     )
