@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     aggregates,
     anomaly,
+    bpe,
     curation,
     dedup,
     drift,
@@ -63,6 +64,7 @@ _MODULES = [
     pq,
     drift,
     dsir,
+    bpe,
 ]
 
 

@@ -1,0 +1,301 @@
+"""BPE tokenizer training + application (SURVEY.md §2.8 adjunct):
+learn byte-pair-encoding merges from a corpus and segment documents
+with them — the tokenizer-fitting step of an LLM training pipeline
+(Sennrich et al., ACL 2016; the subword-nmt algorithm).
+
+Where Spark does the work (the 100 TB story): BPE learning never
+iterates over the CORPUS — it iterates over the DISTINCT-WORD
+frequency table, which is vocabulary-sized (Zipf: ~millions of rows
+at 100 TB, further capped by ``min_count``/``max_vocab`` exactly like
+production trainers). So the distributed parts are the two
+corpus-sized passes — the word-frequency census (one explode + one
+map-side-combined shuffle) and the apply pass (segment DISTINCT words
+once, then join the segmentation back; per-doc work is a join, not a
+re-segmentation) — and the merge loop runs driver-side over the
+collected word table with subword-nmt's incremental pair-statistics
+update (O(occurrences touched) per merge, not a full recount).
+Single-node merge loops over word tables are how every production
+trainer works (subword-nmt, HuggingFace tokenizers, sentencepiece);
+the part that must scale with data IS the part Spark runs.
+
+Determinism: pure integer pair counts; best pair = max by
+(count, pair) with the lexicographic tie-break, so learned merges are
+a pure function of the word census. No RNG anywhere.
+
+Contract: iterative merge learning is not SQL-expressible, so
+``q_bpe_tokens`` registers rows-only (the q_rf_train /
+q_semantic_dedup class). The exactness evidence lives in
+tests/test_bpe.py: the classic low/lower/newest fixture reproduces
+the textbook merge sequence, and segmenting the training vocabulary
+with the learned ranks reproduces the learn loop's own final symbol
+sequences word-for-word (the subword-nmt replay property).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+EOW = "</w>"  # end-of-word marker; its merges encode word-final units
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The distributed half of BPE training: (word, cnt) over the
+    corpus — one explode + one map-side-combined shuffle."""
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _pair_stats(vocab):
+    """pair -> total count, and pair -> {word index: occurrences}."""
+    stats: dict = defaultdict(int)
+    index: dict = defaultdict(lambda: defaultdict(int))
+    for wi, (syms, cnt) in enumerate(vocab):
+        for a, b in zip(syms, syms[1:]):
+            stats[(a, b)] += cnt
+            index[(a, b)][wi] += 1
+    return stats, index
+
+
+def _merge_word(syms, pair, joined):
+    out = []
+    i = 0
+    while i < len(syms):
+        if i < len(syms) - 1 and syms[i] == pair[0] and syms[i + 1] == pair[1]:
+            out.append(joined)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def learn_bpe_from_counts(
+    wc: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """subword-nmt's loop with incremental statistics: each merge
+    touches only the words containing the merged pair (their old pairs
+    are subtracted, their new pairs added) — O(occurrences affected)
+    per round, never a vocabulary recount. Stops early when no pair
+    occurs twice (merging a count-1 pair memorizes noise)."""
+    vocab = [(tuple(w) + (EOW,), c) for w, c in wc]
+    stats, index = _pair_stats(vocab)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not stats:
+            break
+        # deterministic argmax: count first, then lexicographic pair
+        best = max(stats.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        if stats[best] < 2:
+            break
+        merges.append(best)
+        joined = best[0] + best[1]
+        for wi in list(index[best]):
+            syms, cnt = vocab[wi]
+            for a, b in zip(syms, syms[1:]):
+                stats[(a, b)] -= cnt
+                index[(a, b)][wi] -= 1
+                if index[(a, b)][wi] <= 0:
+                    del index[(a, b)][wi]
+                if stats[(a, b)] <= 0:
+                    stats.pop((a, b), None)
+                    index.pop((a, b), None)
+            new = _merge_word(syms, best, joined)
+            vocab[wi] = (new, cnt)
+            for a, b in zip(new, new[1:]):
+                stats[(a, b)] += cnt
+                index[(a, b)][wi] += 1
+    return merges
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 100,
+    min_count: int = 2,
+    max_vocab: int | None = 1_000_000,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Fit BPE merges on a corpus. The collect is the word table AFTER
+    the ``min_count`` floor and ``max_vocab`` frequency cap — the same
+    bounds every production trainer applies (rare words can't win a
+    merge anyway: a pair needs count >= 2). Deterministic cap order:
+    (cnt desc, word) so equal-frequency words never flap."""
+    wc = word_counts(docs, text_col).where(F.col("cnt") >= min_count)
+    if max_vocab is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), "word").limit(max_vocab)
+    rows = wc.collect()
+    return learn_bpe_from_counts([(r["word"], r["cnt"]) for r in rows], n_merges)
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Apply learned merges to one word: repeatedly merge the
+    lowest-rank adjacent pair (all its occurrences) — the canonical
+    BPE inference loop. Replays training exactly on training words."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        ranked = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not ranked:
+            break
+        rank = min(r for r, _ in ranked)
+        pair = None
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and ranks.get((syms[i], syms[i + 1])) == rank
+                and (pair is None or (syms[i], syms[i + 1]) == pair)
+            ):
+                pair = (syms[i], syms[i + 1])
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment a corpus with learned merges. Work is proportional to
+    the DISTINCT-word table, not the corpus: each distinct word is
+    segmented once (mapInPandas over the word frame, ranks broadcast),
+    then the (word -> subtokens) map joins back onto the exploded
+    corpus and re-aggregates per doc in token order. Returns
+    (id, n_words, n_subwords, subword string sample via first tokens).
+    """
+    from pyspark.sql import types as T
+
+    spark = docs.sparkSession
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    eow = EOW  # plain closure var — see self-containment note below
+
+    words = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "word"
+        ),
+    ).where(F.col("word") != "")
+    distinct_words = words.select("word").distinct()
+
+    # NB: the closure must be fully self-contained (no references to
+    # module-level functions/globals) so cloudpickle ships it by value
+    # — a call to segment_word here would pickle BY REFERENCE and
+    # require this package on every executor (the lsh_planes /
+    # multimodal idiom). test_apply_matches_per_word_segmentation
+    # pins this inline twin against segment_word.
+    def seg(batches):
+        import pandas as pd  # local import keeps the closure standalone
+
+        r = bc.value
+
+        def seg_word(word):
+            syms = list(word) + [eow]
+            while len(syms) > 1:
+                ranked = [
+                    r[(a, b)]
+                    for a, b in zip(syms, syms[1:])
+                    if (a, b) in r
+                ]
+                if not ranked:
+                    break
+                rank = min(ranked)
+                pair = None
+                out = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i < len(syms) - 1
+                        and r.get((syms[i], syms[i + 1])) == rank
+                        and (pair is None or (syms[i], syms[i + 1]) == pair)
+                    ):
+                        pair = (syms[i], syms[i + 1])
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        for pdf in batches:
+            toks = [seg_word(w) for w in pdf["word"]]
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "subtoks": toks,
+                    "n_sub": [len(t) for t in toks],
+                }
+            )
+
+    seg_schema = T.StructType(
+        [
+            T.StructField("word", T.StringType()),
+            T.StructField("subtoks", T.ArrayType(T.StringType())),
+            T.StructField("n_sub", T.IntegerType()),
+        ]
+    )
+    word_map = distinct_words.mapInPandas(seg, seg_schema)
+    # vocab-sized map; broadcast at test SF, co-keyed shuffle at scale
+    joined = words.join(word_map, "word")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_subwords"),
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "subtoks"))
+                ).subtoks
+            ).alias("tokens"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            "n_subwords",
+            F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head_tokens"),
+        )
+    )
+
+
+N_MERGES = 50
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, rows-only by design — iterative merge learning
+    has no SQL equivalent; exactness is pinned in tests/test_bpe.py):
+    learn 50 merges on the documents table (min_count=2), segment
+    every document, return per-doc word/subword counts + the first 8
+    subword tokens."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = learn_bpe(docs, n_merges=N_MERGES)
+    return apply_bpe(docs, merges)
+
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "q_bpe_tokens": q_bpe_tokens,
+}
+
+ORACLE: dict = {}  # rows-only by design (see module docstring)

@@ -132,6 +132,10 @@ BUDGET = {
     # construction); the returned score plan is exactly the (doc,
     # bucket) combine + the per-doc sum
     "q_dsir_scores": 2,
+    # merge learning collects the capped word census eagerly during
+    # construction; the returned plan is word-map distinct + the
+    # per-doc re-aggregation (the word-map join broadcasts here)
+    "q_bpe_tokens": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
