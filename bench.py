@@ -1,10 +1,10 @@
-"""Benchmark harness: runs EVERY contract query (88) plus the
+"""Benchmark harness: runs EVERY contract query (91) plus the
 composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
 
 Per-query times live WHOLLY in bench_detail.json (committed to the
-repo): 91 query names at ms precision do not fit the driver's ~2000
+repo): 96 query names at ms precision do not fit the driver's ~2000
 char stdout tail window, so stdout carries aggregates (per-family
 totals, slowest queries, headline) and the detail file carries the
 complete {query: sec} map plus per-repeat maxima and sweep walls.
@@ -118,6 +118,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_unigram_logprob",
         "q_vocab_topn",
         "x_winnow_prod",
+        "q_dsir_scores",
+        "q_bpe_tokens",
     ],
     "dedup_curation": [
         "q_dedup_exact",

@@ -12,7 +12,16 @@ lang, source, n_chars) frame:
   4. decontamination     (curation.decontaminate vs a benchmark set)
   5. per-source capping  (curation.cap_per_source)
   6. stratified sampling (training.stratified_sample by lang)
+  6b. DSIR selection     (dsir.dsir_select — importance resampling
+                          toward the target-language distribution;
+                          round 9)
   7. sequence packing    (training.pack_documents into token bins)
+  7b. BPE tokenization   (bpe.learn_bpe + apply_bpe on the final
+                          corpus — merges fit AFTER all filtering, as
+                          a real run fits its tokenizer on the data
+                          it will actually train on; the per-doc
+                          subword counts land next to the packed
+                          assignment; round 9)
   8. training order      (curation.deterministic_shuffle keyed on
                           bin_id: BINS are the unit a training loader
                           reads, so the order shuffle runs after
@@ -49,10 +58,13 @@ def run_pipeline(
     out_dir: str,
     source_cap: int = 20,
     sample_fractions: dict[str, float] | None = None,
+    dsir_frac: float = 0.7,
+    dsir_target_lang: str = "en",
+    n_merges: int = 50,
     token_budget: int = 512,
     seed: int = 7,
 ) -> dict[str, int]:
-    """Run all eight stages; return per-stage survivor counts."""
+    """Run all ten stages; return per-stage survivor counts."""
     from lambda_sample_spark.operators import incremental_dedup as inc
     from lambda_sample_spark.operators.curation import (
         cap_per_source,
@@ -105,9 +117,29 @@ def run_pipeline(
     sampled = stratified_sample(capped, fractions).persist()
     counts["stratified_sample"] = sampled.count()
 
-    # 7. sequence packing into token-budget bins
-    packed = pack_documents(sampled, token_budget=token_budget)
+    # 6b. DSIR importance selection toward the target-language
+    # distribution (threshold cut by gkey — no global sort)
+    from lambda_sample_spark.operators.bpe import apply_bpe, learn_bpe
+    from lambda_sample_spark.operators.dsir import dsir_select
+
+    picked_ids = dsir_select(
+        sampled, F.col("lang") == dsir_target_lang, frac=dsir_frac
+    ).select("doc_id")
+    selected = sampled.join(picked_ids, "doc_id").persist()
+    counts["dsir_select"] = selected.count()
+
+    # 7. sequence packing into token-budget bins (whitespace tokens —
+    # the packer's budget unit; swap in n_subwords for BPE budgets)
+    packed = pack_documents(selected, token_budget=token_budget)
     counts["packed_docs"] = packed.count()
+
+    # 7b. tokenizer fit + tokenization on the FINAL corpus (a real
+    # run fits BPE on the data it will train on, after all filtering);
+    # per-doc subword counts written next to the packed assignment
+    merges = learn_bpe(selected, n_merges=n_merges)
+    tokens = apply_bpe(selected, merges)
+    tokens.write.mode("overwrite").parquet(f"{out_dir}/tokens")
+    counts["bpe_tokenized"] = spark.read.parquet(f"{out_dir}/tokens").count()
 
     # 8. deterministic training order over the BINS (the unit a
     # loader reads): same bin -> same shard, shards contiguous,
@@ -118,7 +150,7 @@ def run_pipeline(
         packed, seed=seed, key_col="bin_id", n_shards=8
     )
     ordered.write.mode("overwrite").parquet(f"{out_dir}/packed")
-    for df in (exact, capped, sampled):
+    for df in (exact, capped, sampled, selected):
         df.unpersist()
     counts.update({f"telemetry_{k}": int(v) for k, v in telemetry.items()})
     return counts

@@ -21,6 +21,7 @@ STAGES = [
     "decontaminate",
     "source_cap",
     "stratified_sample",
+    "dsir_select",
     "packed_docs",
 ]
 
@@ -73,9 +74,26 @@ def test_pipeline_stages_compose_and_are_deterministic(spark, tmp_path):
         == 0
     )
 
+    # DSIR selection kept ~the asked fraction and every token-table
+    # row is a selected doc, tokenized (>= one subword per word)
+    tokens = packed.sparkSession.read.parquet(
+        str(tmp_path / "out_a" / "tokens")
+    )
+    assert counts["bpe_tokenized"] == counts["dsir_select"]
+    assert tokens.count() == counts["dsir_select"]
+    assert tokens.where(F.col("n_subwords") < F.col("n_words")).count() == 0
+    packed_ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    token_ids = {r["doc_id"] for r in tokens.select("doc_id").collect()}
+    assert packed_ids == token_ids  # both artifacts cover the final corpus
+
     # determinism: an independent second run produces the identical
-    # packed assignment (fresh index root, fresh output dir)
+    # packed assignment and token table (fresh index root, fresh
+    # output dir)
     counts2, packed2 = _run(spark, sf, tmp_path, "b")
     assert counts2 == counts
     assert packed.exceptAll(packed2).count() == 0
+    tokens2 = packed.sparkSession.read.parquet(
+        str(tmp_path / "out_b" / "tokens")
+    )
+    assert tokens.exceptAll(tokens2).count() == 0
     assert packed2.exceptAll(packed).count() == 0
