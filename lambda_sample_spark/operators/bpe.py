@@ -196,7 +196,16 @@ def apply_bpe(
             "pos", "word"
         ),
     ).where(F.col("word") != "")
-    distinct_words = words.select("word").distinct()
+    # explicit fan-out: AQE sizes the distinct's output stage by BYTES
+    # and coalesces a million short strings to ~2 tasks, serializing
+    # the CPU-bound Python segmentation below (measured 15.4 s -> ~2 s
+    # at the 50k-doc rung); byte estimates are blind to per-row Python
+    # cost, so pin the parallelism
+    distinct_words = (
+        words.select("word")
+        .distinct()
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     # NB: the closure must be fully self-contained (no references to
     # module-level functions/globals) so cloudpickle ships it by value

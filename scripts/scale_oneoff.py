@@ -264,7 +264,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -326,6 +326,36 @@ def main() -> None:
                     max_df_frac=frac_for_500,
                 ).count(),
             )
+
+        if "dsir" in ops:
+            # round-9 importance-resampling rung: two corpus passes
+            # (fit census + score), production xxhash64 gram hashing
+            from lambda_sample_spark.operators.dsir import dsir_scores
+
+            measure(
+                spark,
+                f"dsir_scores[xxhash64]@{n}",
+                lambda: dsir_scores(
+                    docs.select("doc_id", "lang", "text"),
+                    F.col("lang") == "en",
+                ).count(),
+            )
+
+        if "bpe" in ops:
+            # round-9 tokenizer rung: word census + driver merge loop
+            # + distinct-word segmentation joined back per doc
+            from lambda_sample_spark.operators.bpe import (
+                apply_bpe,
+                learn_bpe,
+            )
+
+            def _bpe():
+                merges = learn_bpe(docs.select("text"), n_merges=50)
+                return apply_bpe(
+                    docs.select("doc_id", "text"), merges
+                ).count()
+
+            measure(spark, f"bpe_learn50_apply@{n}", _bpe)
 
         if "ingest" in ops:
             idx = os.path.join(work, "mhidx")
