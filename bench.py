@@ -1,10 +1,10 @@
-"""Benchmark harness: runs EVERY contract query (91) plus the
+"""Benchmark harness: runs EVERY contract query (92) plus the
 composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
 
 Per-query times live WHOLLY in bench_detail.json (committed to the
-repo): 96 query names at ms precision do not fit the driver's ~2000
+repo): 97 query names at ms precision do not fit the driver's ~2000
 char stdout tail window, so stdout carries aggregates (per-family
 totals, slowest queries, headline) and the detail file carries the
 complete {query: sec} map plus per-repeat maxima and sweep walls.
@@ -120,6 +120,7 @@ FAMILIES: dict[str, list[str]] = {
         "x_winnow_prod",
         "q_dsir_scores",
         "q_bpe_tokens",
+        "q_quality_rules",
     ],
     "dedup_curation": [
         "q_dedup_exact",

@@ -849,6 +849,119 @@ FROM (
 """
 
 
+# --- quality rule pack (round 9) ---------------------------------------
+
+# multilingual function-word list: the stopword-presence rule should
+# pass well-formed text in any of the corpus languages (C4's rule is
+# English-only by design; a multilingual corpus needs the union)
+QUALITY_STOPWORDS = ("the", "a", "of", "de", "la", "le", "und", "der", "el", "y")
+
+
+def quality_rules(
+    docs: DataFrame,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_wl: float = 2.0,
+    max_mean_wl: float = 12.0,
+    max_short_frac: float = 0.4,
+    min_distinct_ratio: float = 0.2,
+    min_stop_hits: int = 1,
+    stopwords: tuple[str, ...] = QUALITY_STOPWORDS,
+) -> DataFrame:
+    """Gopher/C4-style document quality RULE PACK (Rae et al. 2021
+    §A1.1; Raffel et al. 2020 §2.2): the filter a curation pipeline
+    actually runs, with per-rule reason flags so dropped documents are
+    attributable — the Dolma tagger/mixer split in one frame:
+
+    - ``r_word_count``     word count within [min_words, max_words]
+    - ``r_word_len``       mean word length within [min, max] (gibberish
+                           and char-noise screens)
+    - ``r_short_words``    fraction of <=2-char words bounded
+    - ``r_diversity``      distinct-word ratio floor (the cheap
+                           repetition screen; repetition_stats has the
+                           full n-gram version)
+    - ``r_stopwords``      at least ``min_stop_hits`` distinct function
+                           words present (real prose contains them)
+    - ``keep``             conjunction of all rules
+
+    Pure JVM expressions over one token-array projection — no shuffle
+    at all (a per-row map; the 100 TB shape is a bare scan), no UDF.
+    Every emitted column is a boolean or integer, so the oracle
+    hash-compares without float seams; thresholds compare single
+    engine-identical divisions."""
+    base = docs.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("nc"),
+    )
+    n_words = F.size("toks")
+    mean_wl = F.col("nc") / n_words
+    short_frac = (
+        F.size(F.filter("toks", lambda t: F.length(t) <= 2)) / n_words
+    )
+    distinct_ratio = F.size(F.array_distinct("toks")) / n_words
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct("toks"), F.array(*[F.lit(s) for s in stopwords])
+        )
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_word_len": (mean_wl >= min_mean_wl) & (mean_wl <= max_mean_wl),
+        "r_short_words": short_frac <= max_short_frac,
+        "r_diversity": distinct_ratio >= min_distinct_ratio,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return base.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): the quality rule pack over the
+    documents table at default thresholds — per-doc rule flags +
+    keep verdict, every cell boolean/integer (no float seam)."""
+    return quality_rules(documents(spark, sf_dir).select("doc_id", "text"))
+
+
+ORACLE["q_quality_rules"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\s+') AS tk,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nc
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         nc / len(tk) AS mean_wl,
+         len(list_filter(tk, x -> length(x) <= 2)) / len(tk) AS short_frac,
+         len(list_distinct(tk)) / len(tk) AS distinct_ratio,
+         len(list_intersect(list_distinct(tk),
+             ['the','a','of','de','la','le','und','der','el','y'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_words >= 5 AND n_words <= 100000) AS r_word_count,
+       (mean_wl >= 2.0 AND mean_wl <= 12.0) AS r_word_len,
+       (short_frac <= 0.4) AS r_short_words,
+       (distinct_ratio >= 0.2) AS r_diversity,
+       (stop_hits >= 1) AS r_stopwords,
+       ((n_words >= 5 AND n_words <= 100000)
+        AND (mean_wl >= 2.0 AND mean_wl <= 12.0)
+        AND (short_frac <= 0.4)
+        AND (distinct_ratio >= 0.2)
+        AND (stop_hits >= 1)) AS keep
+FROM m
+"""
+
+
 QUERIES_TAIL = {
     "q_winnowing": q_winnowing,
     "q_vocab_topn": q_vocab_topn,
@@ -856,4 +969,5 @@ QUERIES_TAIL = {
     "q_repetition_stats": q_repetition_stats,
     "q_unigram_logprob": q_unigram_logprob,
     "q_tfidf_topterms": q_tfidf_topterms,
+    "q_quality_rules": q_quality_rules,
 }

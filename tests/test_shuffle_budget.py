@@ -136,6 +136,8 @@ BUDGET = {
     # construction; the returned plan is word-map distinct + the
     # per-doc re-aggregation (the word-map join broadcasts here)
     "q_bpe_tokens": 2,
+    # pure per-row rule expressions — a bare scan
+    "q_quality_rules": 0,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
