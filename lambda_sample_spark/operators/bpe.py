@@ -151,16 +151,15 @@ def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
         if not ranked:
             break
         rank = min(r for r, _ in ranked)
-        pair = None
+        # ranks are unique per pair type, so `rank` identifies exactly
+        # one pair — merge all its occurrences this pass
         out: list[str] = []
         i = 0
         while i < len(syms):
             if (
                 i < len(syms) - 1
                 and ranks.get((syms[i], syms[i + 1])) == rank
-                and (pair is None or (syms[i], syms[i + 1]) == pair)
             ):
-                pair = (syms[i], syms[i + 1])
                 out.append(syms[i] + syms[i + 1])
                 i += 2
             else:
@@ -229,16 +228,13 @@ def apply_bpe(
                 if not ranked:
                     break
                 rank = min(ranked)
-                pair = None
                 out = []
                 i = 0
                 while i < len(syms):
                     if (
                         i < len(syms) - 1
                         and r.get((syms[i], syms[i + 1])) == rank
-                        and (pair is None or (syms[i], syms[i + 1]) == pair)
                     ):
-                        pair = (syms[i], syms[i + 1])
                         out.append(syms[i] + syms[i + 1])
                         i += 2
                     else:
@@ -267,22 +263,28 @@ def apply_bpe(
     word_map = distinct_words.mapInPandas(seg, seg_schema)
     # vocab-sized map; broadcast at test SF, co-keyed shuffle at scale
     joined = words.join(word_map, "word")
+    # head sample: the first 8 SUBTOKENS can only come from the first
+    # 8 WORDS (every word yields >= 1 subtoken), so only pos < 8
+    # structs enter the agg buffer (collect_list drops the when()'s
+    # nulls) — shuffling every doc's full token arrays just to slice
+    # 8 out would make the head sample the dominant apply cost
+    head_struct = F.when(
+        F.col("pos") < 8, F.struct("pos", "subtoks")
+    )
     return (
         joined.groupBy(id_col)
         .agg(
             F.count("*").alias("n_words"),
             F.sum("n_sub").cast("bigint").alias("n_subwords"),
             F.flatten(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", "subtoks"))
-                ).subtoks
-            ).alias("tokens"),
+                F.array_sort(F.collect_list(head_struct)).subtoks
+            ).alias("head"),
         )
         .select(
             id_col,
             "n_words",
             "n_subwords",
-            F.concat_ws(" ", F.slice("tokens", 1, 8)).alias("head_tokens"),
+            F.concat_ws(" ", F.slice("head", 1, 8)).alias("head_tokens"),
         )
     )
 

@@ -151,7 +151,6 @@ def dsir_scores(
     )
     r_total = sum(r["rcnt"] for r in census)
     t_total = sum(r["tcnt"] for r in census)
-    spark = docs.sparkSession
     census_df = spark.createDataFrame(
         [(r["bucket"], r["rcnt"], r["tcnt"]) for r in census],
         "bucket BIGINT, rcnt BIGINT, tcnt BIGINT",
@@ -225,7 +224,10 @@ def dsir_select(
     )
     scores = scores.persist()
     try:
-        (thr,) = scores.stat.approxQuantile("gkey", [1.0 - frac], 1e-4)
+        # approxQuantile returns [] on an empty (or all-null) column —
+        # an empty upstream funnel selects nothing rather than crashing
+        q = scores.stat.approxQuantile("gkey", [1.0 - frac], 1e-4)
+        thr = q[0] if q else float("inf")
         return (
             scores.where(F.col("gkey") >= thr)
             .localCheckpoint(eager=True)  # settle before unpersist

@@ -85,6 +85,12 @@ def test_production_hash_path_same_ranking_shape(spark):
     assert by_lang.mean()["en"] > xxh[langs != "en"].mean() + 1.0
 
 
+def test_select_on_empty_input_returns_empty(spark):
+    docs = spark.createDataFrame([], "doc_id BIGINT, lang STRING, text STRING")
+    out = dsir_select(docs, F.col("lang") == "en", frac=0.3)
+    assert out.count() == 0  # approxQuantile [] -> empty selection, no crash
+
+
 def test_deterministic_across_runs(spark):
     a = q_dsir_scores(spark, SMOKE_SF_DIR).toPandas().sort_values("doc_id")
     b = q_dsir_scores(spark, SMOKE_SF_DIR).toPandas().sort_values("doc_id")

@@ -1,5 +1,5 @@
 """The end-to-end pretraining pipeline example (examples/
-pretrain_pipeline.py): all eight stages compose, survivor counts are
+pretrain_pipeline.py): all ten stages compose, survivor counts are
 monotone, and the whole run is deterministic."""
 
 from __future__ import annotations
