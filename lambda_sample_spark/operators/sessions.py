@@ -123,6 +123,108 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+RESAMPLE_STEP_MS = 3_600_000  # 1 h grid
+
+
+def resample_gapfill(
+    ev: DataFrame,
+    step_ms: int = RESAMPLE_STEP_MS,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resampling onto a fixed grid with gap-fill — the
+    sensor-pipeline op between raw ingest and modeling: per key,
+    bucket observations into ``step_ms`` slots (exact-decimal slot
+    means), materialize EVERY slot between the key's first and last
+    observation, and fill gaps two ways:
+
+    - ``v_locf``   last observation carried forward (the monitoring
+                   default; NULL before the first observation)
+    - ``v_interp`` linear interpolation between the neighboring
+                   observed slots; nearest-value at the edges
+
+    Returns (key, slot_ms, n_obs, v_avg, v_locf, v_interp) — one row
+    per grid slot, n_obs = 0 marks filled gaps. NULL values are
+    dropped first (a NULL has no place on a value grid).
+
+    Scale: the slot table is bounded by keys x (time-range / step) —
+    NOT by event count — so everything after the first groupBy is
+    small; one shuffle to slot-aggregate, one window pass per
+    direction over the slot table (same partition key, same ordering:
+    a single sort serves both frames). The slot-aggregate lineage is
+    consumed twice (extent + join) — two passes over the BOUNDED slot
+    table, cheaper than materializing at 100 TB where the raw events
+    behind it are the expensive part and are read once per pass by
+    the same aggregate.
+
+    Determinism/oracle: slot means are DECIMAL(28,10) sums divided by
+    counts (the q_tumbling_window hardening); LOCF copies those
+    doubles; the interpolation is one fixed-shape expression over two
+    such doubles and an integer slot ratio — every arithmetic step
+    mirrors the DuckDB oracle token-for-token, rounded 6dp only at
+    the output edge."""
+    nn = ev.where(F.col(value_col).isNotNull())
+    slot = F.floor(ts_ms() / F.lit(step_ms)).cast("bigint")
+    obs = nn.groupBy(F.col(key_col), slot.alias("slot")).agg(
+        F.count("*").alias("n_obs"),
+        (
+            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double")
+            / F.count(value_col)
+        ).alias("v_raw"),
+    )
+    extent = obs.groupBy(key_col).agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = extent.select(
+        key_col, F.explode(F.sequence("lo", "hi")).alias("slot")
+    )
+    j = grid.join(obs, [key_col, "slot"], "left")
+    wp = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("slot")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    v_prev = F.last("v_raw", ignorenulls=True).over(wp)
+    s_prev = F.last(
+        F.when(F.col("v_raw").isNotNull(), F.col("slot")), ignorenulls=True
+    ).over(wp)
+    v_next = F.first("v_raw", ignorenulls=True).over(wf)
+    s_next = F.first(
+        F.when(F.col("v_raw").isNotNull(), F.col("slot")), ignorenulls=True
+    ).over(wf)
+    interp = (
+        F.when(F.col("v_raw").isNotNull(), F.col("v_raw"))
+        .when(
+            v_prev.isNotNull() & v_next.isNotNull(),
+            v_prev
+            + (v_next - v_prev)
+            * ((F.col("slot") - s_prev) / (s_next - s_prev)),
+        )
+        .otherwise(F.coalesce(v_prev, v_next))
+    )
+    return j.select(
+        key_col,
+        (F.col("slot") * step_ms).alias("slot_ms"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_obs"),
+        r6(F.col("v_raw")).alias("v_avg"),
+        r6(v_prev).alias("v_locf"),
+        r6(interp).alias("v_interp"),
+    )
+
+
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): hourly resample + LOCF + linear
+    interpolation of the events value series per event_type."""
+    return resample_gapfill(events(spark, sf_dir))
+
+
 ORACLE = {
     "q_sessionize": f"""
 WITH flagged AS (
@@ -147,6 +249,48 @@ SELECT user_id, session_id,
        count(*) AS n_events
 FROM numbered
 GROUP BY user_id, session_id
+""",
+    "q_resample_gapfill": """
+WITH obs AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS slot,
+         count(*) AS n_obs,
+         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value)
+           AS v_raw
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2
+), grid AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS slot
+  FROM (SELECT event_type, min(slot) AS lo, max(slot) AS hi
+        FROM obs GROUP BY 1)
+), j AS (
+  SELECT g.event_type, g.slot, o.n_obs, o.v_raw
+  FROM grid g LEFT JOIN obs o USING (event_type, slot)
+), f AS (
+  SELECT event_type, slot, n_obs, v_raw,
+         last_value(v_raw IGNORE NULLS) OVER wp AS v_prev,
+         last_value(CASE WHEN v_raw IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER wp AS s_prev,
+         first_value(v_raw IGNORE NULLS) OVER wf AS v_next,
+         first_value(CASE WHEN v_raw IS NOT NULL THEN slot END IGNORE NULLS)
+           OVER wf AS s_next
+  FROM j
+  WINDOW wp AS (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY event_type ORDER BY slot
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type,
+       slot * 3600000 AS slot_ms,
+       CAST(coalesce(n_obs, 0) AS BIGINT) AS n_obs,
+       round(v_raw, 6) AS v_avg,
+       round(v_prev, 6) AS v_locf,
+       round(CASE WHEN v_raw IS NOT NULL THEN v_raw
+                  WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+                       v_prev + (v_next - v_prev)
+                              * ((slot - s_prev) / (s_next - s_prev))
+                  ELSE coalesce(v_prev, v_next) END, 6) AS v_interp
+FROM f
 """,
     "q_tumbling_window": """
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
@@ -185,4 +329,9 @@ QUERIES = {
     "q_tumbling_window": tumbling_window,
     "q_moving_stats": moving_stats,
     "q_window_funcs": window_funcs,
+}
+
+
+QUERIES_TAIL = {
+    "q_resample_gapfill": q_resample_gapfill,
 }

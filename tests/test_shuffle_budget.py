@@ -138,6 +138,8 @@ BUDGET = {
     "q_bpe_tokens": 2,
     # pure per-row rule expressions — a bare scan
     "q_quality_rules": 0,
+    # slot aggregate + the shared window sort (extent/grid broadcast)
+    "q_resample_gapfill": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
