@@ -225,6 +225,88 @@ def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_gapfill(events(spark, sf_dir))
 
 
+
+
+EWMA_ALPHA = 0.2
+EWMA_K = 16
+
+
+def _ewma_weights(alpha: float = EWMA_ALPHA, k: int = EWMA_K) -> list[float]:
+    """The truncated exponential weight ladder, computed ONCE in
+    Python — both the Spark expression and the DuckDB oracle inline
+    these exact doubles as literals, so the two engines multiply and
+    fold the same bits in the same left-to-right order."""
+    return [alpha * (1.0 - alpha) ** i for i in range(k)]
+
+
+def ewma_smooth(
+    ev: DataFrame,
+    alpha: float = EWMA_ALPHA,
+    k: int = EWMA_K,
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponentially weighted moving average per key — the smoothing
+    pass a sensor pipeline runs before thresholding (pandas
+    ``ewm(adjust=True)`` semantics, truncated at ``k`` lags: the
+    dropped tail weight is (1-alpha)^k ~ 2.8% of mass at the
+    defaults). The true recursion is not window-expressible; the
+    k-lag truncation IS — ``k`` lag() terms over ONE window spec (one
+    sort pass), normalized by the weight mass actually present, so
+    partition heads and NULL gaps renormalize instead of biasing
+    toward zero.
+
+    Scale: one hash shuffle on the key + one ordered pass; the k
+    terms are a single whole-stage-codegen projection, no UDF, state
+    O(k) per partition-stream. Weight literals come from
+    ``_ewma_weights`` on both engines (see its docstring)."""
+    w = Window.partitionBy(key_col).orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i, wt in enumerate(_ewma_weights(alpha, k)):
+        term = F.lag(value_col, i).over(w) if i else F.col(value_col)
+        num_i = F.when(term.isNotNull(), term * F.lit(wt)).otherwise(
+            F.lit(0.0)
+        )
+        den_i = F.when(term.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        num = num_i if num is None else num + num_i
+        den = den_i if den is None else den + den_i
+    return ev.select(
+        "event_id",
+        key_col,
+        ts_ms().alias("ts_ms"),
+        value_col,
+        r6(num / den).alias("ewma"),
+    )
+
+
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): 16-lag EWMA (alpha 0.2) of the events
+    value series per event_type."""
+    return ewma_smooth(events(spark, sf_dir))
+
+
+def _ewma_oracle(alpha: float = EWMA_ALPHA, k: int = EWMA_K) -> str:
+    num_terms = []
+    den_terms = []
+    for i, wt in enumerate(_ewma_weights(alpha, k)):
+        t = "value" if i == 0 else f"lag(value, {i}) OVER w"
+        num_terms.append(
+            f"(CASE WHEN {t} IS NOT NULL THEN {t} * {wt!r} ELSE 0.0 END)"
+        )
+        den_terms.append(
+            f"(CASE WHEN {t} IS NOT NULL THEN {wt!r} ELSE 0.0 END)"
+        )
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+SELECT event_id, event_type, epoch_ms(ts) AS ts_ms, value,
+       round(({num}) / ({den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+"""
+
+
 ORACLE = {
     "q_sessionize": f"""
 WITH flagged AS (
@@ -250,6 +332,7 @@ SELECT user_id, session_id,
 FROM numbered
 GROUP BY user_id, session_id
 """,
+    "q_ewma_smooth": _ewma_oracle(),
     "q_resample_gapfill": """
 WITH obs AS (
   SELECT event_type,
@@ -334,4 +417,5 @@ QUERIES = {
 
 QUERIES_TAIL = {
     "q_resample_gapfill": q_resample_gapfill,
+    "q_ewma_smooth": q_ewma_smooth,
 }

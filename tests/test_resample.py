@@ -73,3 +73,26 @@ def test_contract_matches_oracle(spark):
     pdf = sdf.toPandas()
     assert (pdf.n_obs == 0).sum() > 100
     assert pdf.v_interp.notna().all()
+
+
+def test_ewma_hand_computed(spark):
+    from lambda_sample_spark.operators.sessions import (
+        ewma_smooth,
+        q_ewma_smooth,
+    )
+
+    df = _series(spark, [(0, 10.0), (1, 20.0), (2, 30.0)])
+    out = sorted(
+        (r["ewma"] for r in ewma_smooth(df).collect())
+    )
+    # adjust=True EWMA, alpha 0.2:
+    #   h0: 10
+    #   h1: (20*.2 + 10*.16)/(.2+.16)              = 15.555556
+    #   h2: (30*.2 + 20*.16 + 10*.128)/(.2+.16+.128) = 21.47541
+    assert out == [10.0, 15.555556, 21.47541]
+    # contract row matches its oracle (also in test_contract)
+    sdf = q_ewma_smooth(spark, SMOKE_SF_DIR)
+    odf = duckdb_con(SMOKE_SF_DIR).execute(
+        ORACLE["q_ewma_smooth"]
+    ).fetchdf()
+    assert compare("q_ewma_smooth", sdf, odf) == []

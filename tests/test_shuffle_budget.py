@@ -140,6 +140,8 @@ BUDGET = {
     "q_quality_rules": 0,
     # slot aggregate + the shared window sort (extent/grid broadcast)
     "q_resample_gapfill": 2,
+    # one key shuffle, one ordered pass (all k lags share the window)
+    "q_ewma_smooth": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
