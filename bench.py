@@ -1,10 +1,10 @@
-"""Benchmark harness: runs EVERY contract query (94) plus the
+"""Benchmark harness: runs EVERY contract query (96) plus the
 composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
 
 Per-query times live WHOLLY in bench_detail.json (committed to the
-repo): 99 query names at ms precision do not fit the driver's ~2000
+repo): 101 query names at ms precision do not fit the driver's ~2000
 char stdout tail window, so stdout carries aggregates (per-family
 totals, slowest queries, headline) and the detail file carries the
 complete {query: sec} map plus per-repeat maxima and sweep walls.
@@ -81,6 +81,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_salted_agg",
         "q_resample_gapfill",
         "q_ewma_smooth",
+        "q_funnel",
+        "q_cohort_retention",
     ],
     "tpch_a": [
         "q_tpch_q1",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import (
     aggregates,
     anomaly,
+    behavior,
     bpe,
     curation,
     dedup,
@@ -65,6 +66,7 @@ _MODULES = [
     drift,
     dsir,
     bpe,
+    behavior,
 ]
 
 

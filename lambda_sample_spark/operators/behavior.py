@@ -1,0 +1,180 @@
+"""User-behavior analytics (SURVEY.md §2.8 adjuncts): ordered funnel
+conversion and cohort retention — the two product-analytics staples
+an events engine is expected to answer (Amplitude/Mixpanel-class
+queries), both pure relational algebra with DuckDB oracles.
+
+Scale notes: the funnel is per-user conditional first-occurrence
+chaining — each step is a filtered (user) aggregate joined on the
+SAME key, so all steps co-shuffle once and AQE reuses the exchange;
+the summary is a bounded (n_steps) frame. Cohort retention is two
+grouped passes keyed on user then (cohort, offset) — nothing grows
+beyond users x active-days. Timestamps compare at millisecond
+precision (ts_ms / epoch_ms) on both engines — the nanos-vs-micros
+parquet seam never reaches a comparison (the sessionize idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import events, r6, ts_ms
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_conversion(
+    ev: DataFrame,
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict-order funnel: a user converts step i when their FIRST
+    step-i event strictly follows their first qualifying step-(i-1)
+    event (first-touch semantics, ms precision). Returns one row per
+    step: (step_idx, step, n_users, conv_from_prev, conv_from_first).
+
+    Shape: step 1 is one filtered per-user min; each later step is a
+    filtered join back on the user key + another per-user min — all
+    shuffles share the user hash, and every frame after the first
+    aggregate is at most one row per converted user."""
+    reached = [
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_ms()).alias("t0"))
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        prev = reached[-1].select(user_col, F.col(f"t{i-1}"))
+        reached.append(
+            ev.where(F.col(type_col) == step)
+            .join(prev, user_col)
+            .where(ts_ms() > F.col(f"t{i-1}"))
+            .groupBy(user_col, f"t{i-1}")
+            .agg(F.min(ts_ms()).alias(f"t{i}"))
+        )
+    counts = [df.select(F.count("*").alias("n")) for df in reached]
+    rows = None
+    for i, c in enumerate(counts):
+        row = c.select(
+            F.lit(i + 1).alias("step_idx"),
+            F.lit(steps[i]).alias("step"),
+            F.col("n").cast("bigint").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    # conversion ratios against the previous step and the funnel head;
+    # computed via a tiny self-ordered window over the n_steps rows
+    from pyspark.sql.window import Window
+
+    w_all = Window.orderBy("step_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    head = F.first("n_users").over(w_all)
+    prev_n = F.lag("n_users").over(Window.orderBy("step_idx"))
+    return rows.select(
+        "step_idx",
+        "step",
+        "n_users",
+        r6(
+            F.when(prev_n.isNull(), F.lit(1.0)).otherwise(
+                F.col("n_users") / prev_n
+            )
+        ).alias("conv_from_prev"),
+        r6(F.col("n_users") / head).alias("conv_from_first"),
+    )
+
+
+def cohort_retention(
+    ev: DataFrame,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Day-cohort retention matrix: users grouped by their first-seen
+    day; for each (cohort day, day offset) the count of cohort users
+    active that day and their event volume. Returns
+    (cohort_day_ms, offset_days, n_users, n_events)."""
+    day = F.unix_millis(F.date_trunc("day", "ts"))
+    firsts = ev.groupBy(user_col).agg(F.min(day).alias("cohort_day_ms"))
+    DAY_MS = 86_400_000
+    return (
+        ev.select(user_col, day.alias("d"))
+        .join(firsts, user_col)
+        .groupBy(
+            "cohort_day_ms",
+            ((F.col("d") - F.col("cohort_day_ms")) / DAY_MS)
+            .cast("bigint")
+            .alias("offset_days"),
+        )
+        .agg(
+            F.count_distinct(user_col).alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): the view -> click -> purchase funnel
+    over the events table, strict-order first-touch at ms precision."""
+    return funnel_conversion(events(spark, sf_dir))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): day-cohort retention counts."""
+    return cohort_retention(events(spark, sf_dir))
+
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(epoch_ms(ts)) AS t0
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s1.t0
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > s2.t1
+  GROUP BY 1
+), f AS (
+  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+)
+SELECT step_idx, step, CAST(n_users AS BIGINT) AS n_users,
+       round(CASE WHEN lag(n_users) OVER (ORDER BY step_idx) IS NULL
+                  THEN 1.0
+                  ELSE n_users / lag(n_users) OVER (ORDER BY step_idx) END,
+             6) AS conv_from_prev,
+       round(n_users / first_value(n_users) OVER (ORDER BY step_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS conv_from_first
+FROM f
+"""
+
+_COHORT_ORACLE = """
+WITH d AS (
+  SELECT user_id, epoch_ms(date_trunc('day', ts)) AS d FROM events
+), firsts AS (
+  SELECT user_id, min(d) AS cohort_day_ms FROM d GROUP BY 1
+)
+SELECT cohort_day_ms,
+       CAST((d - cohort_day_ms) / 86400000 AS BIGINT) AS offset_days,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM d JOIN firsts USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+}
+
+ORACLE = {
+    "q_funnel": _FUNNEL_ORACLE,
+    "q_cohort_retention": _COHORT_ORACLE,
+}

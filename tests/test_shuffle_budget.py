@@ -142,6 +142,11 @@ BUDGET = {
     "q_resample_gapfill": 2,
     # one key shuffle, one ordered pass (all k lags share the window)
     "q_ewma_smooth": 1,
+    # per-step filtered user aggregates chained on one key; the step
+    # subtrees re-appear per count leg (bounded by n_steps, and the
+    # summary frame is exactly n_steps rows)
+    "q_funnel": 11,
+    "q_cohort_retention": 6,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
