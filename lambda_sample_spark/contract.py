@@ -27,6 +27,7 @@ from .operators import (
     multidim,
     multimodal,
     pq,
+    rangejoin,
     sessions,
     similarity,
     skew,
@@ -67,6 +68,7 @@ _MODULES = [
     dsir,
     bpe,
     behavior,
+    rangejoin,
 ]
 
 

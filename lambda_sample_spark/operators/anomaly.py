@@ -67,6 +67,53 @@ def clamp_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sensor robust-statistics outlier census: median + MAD
+    (median absolute deviation) per event_type, and the count of
+    events whose |value - median| exceeds 3σ under the normal-
+    consistency scaling (1.4826 · MAD) — the breakdown-resistant twin
+    of the mean/stddev sweep in ``fast_anomaly`` (a single wild value
+    shifts a mean; it cannot shift a median). Cf. reference
+    Analyzer.scala:79-96, which scores against mean ± 3·stddev.
+
+    Shape: two grouped exact-percentile passes over the fact table
+    (median, then MAD on the deviations) + one filtered count; the
+    per-type stats frames are |types| rows, so both join legs
+    broadcast and the fact table never shuffles on anything but its
+    group key. Exact ``percentile`` is the oracle-parity choice at
+    test SF; at 100 TB swap to ``percentile_approx`` exactly as the
+    quantile rows document."""
+    ev = events(spark, sf_dir).select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("ad")
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    flagged = (
+        ev.join(F.broadcast(mad), "event_type")
+        .where(
+            F.abs(F.col("value") - F.col("med")) > 4.4478 * F.col("mad")
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_outliers"))
+    )
+    return (
+        mad.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            r6(F.col("med")).alias("median"),
+            r6(F.col("mad")).alias("mad"),
+            F.coalesce(F.col("n_outliers"), F.lit(0).cast("bigint")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
 ORACLE = {
     "q_fast_anomaly": """
 WITH recent AS (
@@ -100,7 +147,30 @@ FROM events
 """,
 }
 
+ORACLE["q_robust_zscore"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, m.med, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_outliers
+  FROM events e JOIN mad USING (event_type)
+  WHERE abs(e.value - mad.med) > 4.4478 * mad.mad
+  GROUP BY 1
+)
+SELECT mad.event_type,
+       round(mad.med, 6) AS median,
+       round(mad.mad, 6) AS mad,
+       coalesce(flagged.n_outliers, 0) AS n_outliers
+FROM mad LEFT JOIN flagged USING (event_type)
+"""
+
 QUERIES = {
     "q_fast_anomaly": fast_anomaly,
     "q_clamp_score": clamp_score,
 }
+
+QUERIES_TAIL = {"q_robust_zscore": robust_zscore}

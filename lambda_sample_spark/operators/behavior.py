@@ -110,6 +110,43 @@ def cohort_retention(
     )
 
 
+def markov_transitions(
+    ev: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each ordered (src -> dst) event-type pair, the
+    transition count and the probability P(dst | src). The classic
+    "what do users do next" product-analytics query, and the
+    session-path cousin of the funnel above.
+
+    Shape: one lead() window partitioned by user (ordered by ms + the
+    event_id tiebreaker, the deterministic-window idiom), then a
+    grouped count on (src, dst) — a frame bounded by |types|², so the
+    per-src normalisation join broadcasts. Two data-sized shuffles
+    total, both on keys a cluster hashes evenly."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_ms(), "event_id")
+    pairs = (
+        ev.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("bigint").alias("n_trans"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n_trans").alias("tot"))
+    return pairs.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n_trans",
+        r6(F.col("n_trans") / F.col("tot")).alias("prob"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): the view -> click -> purchase funnel
     over the events table, strict-order first-touch at ms precision."""
@@ -119,6 +156,12 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): day-cohort retention counts."""
     return cohort_retention(events(spark, sf_dir))
+
+
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): event-type transition matrix with
+    per-source probabilities."""
+    return markov_transitions(events(spark, sf_dir))
 
 
 _FUNNEL_ORACLE = """
@@ -169,12 +212,31 @@ GROUP BY 1, 2
 
 QUERIES: dict = {}
 
+_MARKOV_ORACLE = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+         ) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+), totals AS (
+  SELECT src, sum(n_trans) AS tot FROM counts GROUP BY 1
+)
+SELECT c.src, c.dst, c.n_trans, round(c.n_trans / t.tot, 6) AS prob
+FROM counts c JOIN totals t USING (src)
+"""
+
 QUERIES_TAIL = {
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
+    "q_markov_transitions": q_markov_transitions,
 }
 
 ORACLE = {
     "q_funnel": _FUNNEL_ORACLE,
     "q_cohort_retention": _COHORT_ORACLE,
+    "q_markov_transitions": _MARKOV_ORACLE,
 }

@@ -971,3 +971,76 @@ QUERIES_TAIL = {
     "q_tfidf_topterms": q_tfidf_topterms,
     "q_quality_rules": q_quality_rules,
 }
+
+
+def inverted_index(
+    docs: DataFrame, min_df: int = 2, k: int = 20
+) -> DataFrame:
+    """Posting-list build — the search-infra adjunct of the text
+    family: per term, the document frequency and the first ``k``
+    doc ids (ascending) that contain it. The scale guard is the
+    ORDER of operations: postings are capped to ``k`` per term with a
+    streaming ``row_number`` BEFORE any list is collected, so the
+    per-group ``collect_list`` input is ≤ k rows by construction —
+    stopword-scale terms (the unbounded-list hazard at 100 TB) never
+    materialize a full list anywhere; their df comes from a plain
+    grouped count that never builds one.
+
+    Shape: distinct (term, doc) pairs via one grouped pass; per-term
+    df via a second; the cap is a sort-based (spill-safe) window on
+    the same term key; every shuffle hashes on the term."""
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(_tokens(F.lower(F.col("text")))).alias("term"),
+    ).where(F.col("term") != "")
+    pairs = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dfreq = pairs.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df")
+    ).where(F.col("df") >= min_df)
+    topk = pairs.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
+    ).where(F.col("rn") <= k)
+    postings = topk.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings")
+    )
+    return dfreq.join(postings, "term").select("term", "df", "postings")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): inverted index over the documents
+    table (df >= 2, first 20 postings per term)."""
+    return inverted_index(documents(spark, sf_dir))
+
+
+ORACLE["q_inverted_index"] = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents
+), pairs AS (
+  SELECT term, doc_id FROM tok WHERE term <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY 1
+  HAVING count(*) >= 2
+), topk AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM pairs
+), postings AS (
+  SELECT term,
+         array_to_string(list_sort(list(doc_id)), ',') AS postings
+  FROM topk WHERE rn <= 20 GROUP BY term
+)
+SELECT d.term, d.df, p.postings
+FROM dfreq d JOIN postings p USING (term)
+"""
+
+QUERIES_TAIL["q_inverted_index"] = q_inverted_index

@@ -147,6 +147,14 @@ BUDGET = {
     # summary frame is exactly n_steps rows)
     "q_funnel": 11,
     "q_cohort_retention": 6,
+    # round 9 additions: interval join's interval side broadcasts at
+    # this SF (bin-bucketed hash join at scale), only the final census
+    # exchanges; the other three are bounded-frame branch fan-outs
+    # that AQE collapses with ReusedExchange at runtime
+    "q_interval_flag": 1,
+    "q_markov_transitions": 5,
+    "q_robust_zscore": 6,
+    "q_inverted_index": 4,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
