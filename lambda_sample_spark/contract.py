@@ -28,6 +28,7 @@ from .operators import (
     multimodal,
     pq,
     rangejoin,
+    rank,
     sessions,
     similarity,
     skew,
@@ -69,6 +70,7 @@ _MODULES = [
     bpe,
     behavior,
     rangejoin,
+    rank,
 ]
 
 

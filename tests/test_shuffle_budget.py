@@ -155,6 +155,12 @@ BUDGET = {
     "q_markov_transitions": 5,
     "q_robust_zscore": 6,
     "q_inverted_index": 4,
+    # 3 unrolled power-iteration rounds over an unmaterialized edge
+    # subtree: plan-time count includes every branch's copy of the
+    # edge derivation (the q_ngram_jaccard situation); AQE collapses
+    # them to ReusedExchange at runtime, and all post-edge frames are
+    # bounded by |nations|^2
+    "q_pagerank_nations": 27,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
