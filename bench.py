@@ -1,10 +1,10 @@
-"""Benchmark harness: runs EVERY contract query (96) plus the
+"""Benchmark harness: runs EVERY contract query (104) plus the
 composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
 
 Per-query times live WHOLLY in bench_detail.json (committed to the
-repo): 101 query names at ms precision do not fit the driver's ~2000
+repo): 109 query names at ms precision do not fit the driver's ~2000
 char stdout tail window, so stdout carries aggregates (per-family
 totals, slowest queries, headline) and the detail file carries the
 complete {query: sec} map plus per-repeat maxima and sweep walls.
@@ -83,6 +83,12 @@ FAMILIES: dict[str, list[str]] = {
         "q_ewma_smooth",
         "q_funnel",
         "q_cohort_retention",
+        "q_markov_transitions",
+        "q_interval_flag",
+        "q_robust_zscore",
+        "q_ohlc_bars",
+        "q_twap",
+        "q_sensor_corr",
     ],
     "tpch_a": [
         "q_tpch_q1",
@@ -121,6 +127,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_repetition_stats",
         "q_unigram_logprob",
         "q_vocab_topn",
+        "q_inverted_index",
         "x_winnow_prod",
         "q_dsir_scores",
         "q_bpe_tokens",
@@ -165,6 +172,7 @@ FAMILIES: dict[str, list[str]] = {
     ],
     "heavy": [
         "q_connected_components",
+        "q_pagerank_nations",
         "q_multimodal_features",
         "x_ingest_batch",
         "x_stream_bottomk",

@@ -33,6 +33,7 @@ from .operators import (
     similarity,
     skew,
     text,
+    timeseries,
     tpch,
     training,
     windows,
@@ -71,6 +72,7 @@ _MODULES = [
     behavior,
     rangejoin,
     rank,
+    timeseries,
 ]
 
 

@@ -161,6 +161,12 @@ BUDGET = {
     # them to ReusedExchange at runtime, and all post-edge frames are
     # bounded by |nations|^2
     "q_pagerank_nations": 27,
+    # timeseries pack: OHLC is one grouped pass (arg-min/max, no
+    # window); TWAP one window-partition shuffle feeding its agg;
+    # correlation = means agg + pair-join (2 branch copies of it)
+    "q_ohlc_bars": 1,
+    "q_twap": 1,
+    "q_sensor_corr": 3,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
