@@ -183,6 +183,66 @@ def run_cc_rung(spark, work: str, factor: int) -> None:
     measure(spark, f"connected_components@{n}n/{m}e", run)
 
 
+def run_pagerank_rung(spark, work: str, factor: int) -> None:
+    """PageRank at scale, isolated from edge derivation: the CC rung's
+    deterministic hash-random graph recipe (n = 5000 * factor nodes,
+    3n weighted directed edges) through 3 fixed power-iteration
+    rounds. Linear-in-|E| per-round shuffle is the claim to check."""
+    from lambda_sample_spark.operators.rank import pagerank
+
+    n = 5000 * factor
+    m = 3 * n
+    edges = (
+        spark.range(m)
+        .select(
+            (F.abs(F.xxhash64(F.col("id"), F.lit("ps"))) % n).alias("src"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit("pd"))) % n).alias("dst"),
+            (1 + F.abs(F.xxhash64(F.col("id"), F.lit("pw"))) % 10)
+            .cast("double")
+            .alias("w"),
+        )
+        .repartition(32)
+    )
+
+    def run():
+        ranks = pagerank(edges, iters=3)
+        row = ranks.agg(
+            F.count("*").alias("n"), F.sum("r").alias("mass")
+        ).collect()[0]
+        return f"{row['n']} nodes, mass={row['mass']:.4f}"
+
+    measure(spark, f"pagerank@{n}n/{m}e", run)
+
+
+def run_interval_rung(spark, work: str, factor: int) -> None:
+    """Bin-bucketed interval join at scale: probe = 100k * factor
+    point events over a ~factor-week span, intervals = probe/50
+    5-minute windows — both sides too big to broadcast at high
+    factors, so this exercises the genuine large×large bin-join path
+    (probe-side rows dominate; expansion bounded at 2 bins/interval)."""
+    from lambda_sample_spark.operators.rangejoin import interval_semi_join
+
+    n = 100_000 * factor
+    m = n // 50
+    span_ms = 14 * 86_400_000 * max(1, factor // 10)
+    probe = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.abs(F.xxhash64(F.col("id"), F.lit("t"))) % span_ms).alias("t"),
+        )
+        .repartition(32)
+    )
+    iv = spark.range(m).select(
+        (F.abs(F.xxhash64(F.col("id"), F.lit("s"))) % span_ms).alias("s")
+    ).withColumn("e", F.col("s") + 300_000)
+
+    def run():
+        return f"{interval_semi_join(probe, iv, 't', 's', 'e').count()} flagged"
+
+    measure(spark, f"interval_join@{n}p/{m}iv", run)
+
+
 def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
     """The sf1 rung (round-8 verdict task 6): inflate sf0.1 to
     sf1-equivalent row counts (~6M lineitem at factor 10) with
@@ -380,6 +440,12 @@ def main() -> None:
 
     if "pq" in ops:
         run_pq_rung(spark, work, factor)
+
+    if "pagerank" in ops:
+        run_pagerank_rung(spark, work, factor)
+
+    if "interval" in ops:
+        run_interval_rung(spark, work, factor)
 
     if "sf1" in ops:
         run_sf1_rung(spark, work, factor)

@@ -155,12 +155,10 @@ BUDGET = {
     "q_markov_transitions": 5,
     "q_robust_zscore": 6,
     "q_inverted_index": 4,
-    # 3 unrolled power-iteration rounds over an unmaterialized edge
-    # subtree: plan-time count includes every branch's copy of the
-    # edge derivation (the q_ngram_jaccard situation); AQE collapses
-    # them to ReusedExchange at runtime, and all post-edge frames are
-    # bounded by |nations|^2
-    "q_pagerank_nations": 27,
+    # power-iteration rounds materialize via localCheckpoint (the CC
+    # lineage-cut idiom), so the returned plan is a checkpoint scan —
+    # the per-round exchanges run eagerly during construction
+    "q_pagerank_nations": 0,
     # timeseries pack: OHLC is one grouped pass (arg-min/max, no
     # window); TWAP one window-partition shuffle feeding its agg;
     # correlation = means agg + pair-join (2 branch copies of it)
