@@ -1098,3 +1098,82 @@ QUERIES = {
 QUERIES_TAIL = {
     "q_semantic_dedup": q_semantic_dedup,  # rows-only: k-means inside
 }
+
+
+def label_centroid_sim(emb: DataFrame) -> DataFrame:
+    """Embedding-space QA: per-label centroids and the pairwise
+    cosine between them — the collapse/contamination monitor a
+    training pipeline runs over labeled embedding corpora (two labels
+    whose centroids converge toward cos ~ 1 are merging; a centroid
+    drifting from its historical position flags upstream encoder or
+    data drift — the embedding-space cousin of the X19 drift family).
+
+    Shape: one posexplode (linear in N×dim) feeding a (label, pos)
+    grouped mean — output bounded by |labels| × dim — then the pair
+    join runs entirely over that bounded centroid table. Per-term
+    DECIMAL(28,10) accumulation at both levels keeps the oracle
+    replay exact; float32 components widen to double losslessly
+    before any arithmetic."""
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("label", "pos", F.col("xf").cast("double").alias("x"))
+    cent = comp.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,10)")).cast("double")
+            / F.count("x")
+        ).alias("c")
+    )
+    a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
+    dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    sums = (
+        a.join(b, "pos")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sum(dec(F.col("ca") * F.col("cb"))).cast("double").alias("dot"),
+            F.sum(dec(F.col("ca") * F.col("ca"))).cast("double").alias("na"),
+            F.sum(dec(F.col("cb") * F.col("cb"))).cast("double").alias("nb"),
+        )
+    )
+    return sums.select(
+        F.col("la").cast("bigint").alias("la"),
+        F.col("lb").cast("bigint").alias("lb"),
+        F.round(
+            F.col("dot") / F.sqrt(F.col("na")) / F.sqrt(F.col("nb")), 6
+        ).alias("cos"),
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): pairwise label-centroid cosines over
+    the embeddings table."""
+    from .common import embeddings as _emb
+
+    return label_centroid_sim(_emb(spark, sf_dir))
+
+
+ORACLE["q_label_centroids"] = """
+WITH comp AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(x) AS c
+  FROM comp GROUP BY 1, 2
+), sums AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(CAST(a.c * b.c AS DECIMAL(28,10))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(a.c * a.c AS DECIMAL(28,10))) AS DOUBLE) AS na,
+         CAST(sum(CAST(b.c * b.c AS DECIMAL(28,10))) AS DOUBLE) AS nb
+  FROM cent a JOIN cent b USING (pos)
+  WHERE a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT CAST(la AS BIGINT) AS la, CAST(lb AS BIGINT) AS lb,
+       round(dot / sqrt(na) / sqrt(nb), 6) AS cos
+FROM sums
+"""
+
+QUERIES_TAIL["q_label_centroids"] = q_label_centroids

@@ -165,6 +165,8 @@ BUDGET = {
     "q_ohlc_bars": 1,
     "q_twap": 1,
     "q_sensor_corr": 3,
+    # centroid agg + pair-join branches over the bounded centroid table
+    "q_label_centroids": 3,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,

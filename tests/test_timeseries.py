@@ -106,3 +106,38 @@ def test_contract_rows_vs_oracle(spark):
         sdf = q(spark, SMOKE_SF_DIR)
         odf = con.execute(ORACLE[name]).fetchdf()
         assert compare(name, sdf, odf) == []
+
+
+def test_label_centroid_cosine_geometry(spark):
+    """Two labels along +x vs +y axes -> cos 0; a third along +x at a
+    different magnitude -> cos 1 with the first (scale-invariant)."""
+    from lambda_sample_spark.operators.similarity import label_centroid_sim
+
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [3.0, 0.0], 0),   # centroid label0 = (2, 0)
+        (3, [0.0, 2.0], 1),   # centroid label1 = (0, 2)
+        (4, [5.0, 0.0], 2),   # centroid label2 = (5, 0)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT"
+    )
+    out = {
+        (r["la"], r["lb"]): r["cos"]
+        for r in label_centroid_sim(emb).collect()
+    }
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0
+    assert out[(1, 2)] == 0.0
+
+
+def test_label_centroids_contract_vs_oracle(spark):
+    from lambda_sample_spark.operators.similarity import (
+        ORACLE as SIM_ORACLE,
+        q_label_centroids,
+    )
+
+    con = duckdb_con(SMOKE_SF_DIR)
+    sdf = q_label_centroids(spark, SMOKE_SF_DIR)
+    odf = con.execute(SIM_ORACLE["q_label_centroids"]).fetchdf()
+    assert compare("q_label_centroids", sdf, odf) == []
