@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.scoring import clamp01, heuristic_score
-from .common import RECENT_N, events, r6
+from .common import RECENT_N, events, r6, ts_ms
 
 def recent_window():
     return Window.partitionBy("event_type").orderBy(
@@ -147,6 +147,119 @@ FROM events
 """,
 }
 
+def seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly census: learn a per-(sensor,
+    hour-of-day) baseline (mean + population stddev) from the FIRST
+    half of the corpus's time range, then count second-half events
+    deviating more than 2σ from their slot's baseline — the
+    diurnal-profile upgrade of the flagship flat mean±3σ sweep
+    (reference Analyzer.scala:79-96): a sensor that legitimately runs
+    hot at noon no longer alarms every noon.
+
+    Determinism: the split point is (min+max)/2 of the epoch-ms range
+    — a single-row aggregate joined in as a scalar (exact BIGINT
+    halving in both engines); baseline mean and variance come from
+    exact DECIMAL sums (Σx, Σx² per-term cast) so the 2σ comparison
+    folds identical doubles on both sides.
+
+    Shape: one scalar aggregate + two grouped passes over the fact
+    table + a broadcast baseline join — |types| × 24 baseline rows,
+    never a data-sized second shuffle."""
+    ev = events(spark, sf_dir).select(
+        "event_type", "value", ts_ms().alias("t")
+    )
+    # floor() explicitly: a bare cast-to-BIGINT truncates in Spark but
+    # ROUNDS in DuckDB — on an odd (min+max) the two engines would
+    # split one ms apart (the hour-bucketing seam, same fix)
+    split = ev.agg(
+        F.floor((F.min("t") + F.max("t")) / F.lit(2))
+        .cast("bigint")
+        .alias("mid")
+    )
+    ev = ev.join(F.broadcast(split))
+    hod = (F.floor(F.col("t") / 3_600_000) % 24).cast("bigint")
+    train = ev.where(F.col("t") < F.col("mid"))
+    base = train.groupBy("event_type", hod.alias("hod")).agg(
+        F.sum(F.col("value").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)"))
+        .cast("double")
+        .alias("sxx"),
+        F.count("value").cast("double").alias("n"),
+    )
+    base = base.select(
+        "event_type",
+        "hod",
+        (F.col("sx") / F.col("n")).alias("mu"),
+        F.sqrt(
+            F.col("sxx") / F.col("n")
+            - (F.col("sx") / F.col("n")) * (F.col("sx") / F.col("n"))
+        ).alias("sigma"),
+    )
+    test = ev.where(F.col("t") >= F.col("mid")).select(
+        "event_type", hod.alias("hod"), "value"
+    )
+    return (
+        test.join(F.broadcast(base), ["event_type", "hod"])
+        .groupBy("event_type", "hod", "mu", "sigma")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mu"))
+                    > 2.0 * F.col("sigma"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_test",
+            "n_flagged",
+            r6(F.col("mu")).alias("mu"),
+            r6(F.col("sigma")).alias("sigma"),
+        )
+    )
+
+
+ORACLE["q_seasonal_baseline"] = """
+WITH ev AS (
+  SELECT event_type, value, epoch_ms(ts) AS t FROM events
+), split AS (
+  SELECT CAST(floor((min(t) + max(t)) / 2) AS BIGINT) AS mid FROM ev
+), base AS (
+  SELECT event_type,
+         CAST(floor(t / 3600000) AS BIGINT) % 24 AS hod,
+         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sxx,
+         CAST(count(value) AS DOUBLE) AS n
+  FROM ev, split WHERE t < mid
+  GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hod, sx / n AS mu,
+         sqrt(sxx / n - (sx / n) * (sx / n)) AS sigma
+  FROM base
+)
+, test AS (
+  SELECT e.event_type,
+         CAST(floor(e.t / 3600000) AS BIGINT) % 24 AS hod,
+         e.value
+  FROM ev e, split WHERE e.t >= split.mid
+)
+SELECT t.event_type, t.hod,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN abs(t.value - s.mu) > 2.0 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(s.mu, 6) AS mu,
+       round(s.sigma, 6) AS sigma
+FROM test t JOIN stats s USING (event_type, hod)
+GROUP BY t.event_type, t.hod, s.mu, s.sigma
+"""
+
 ORACLE["q_robust_zscore"] = """
 WITH med AS (
   SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -173,4 +286,7 @@ QUERIES = {
     "q_clamp_score": clamp_score,
 }
 
-QUERIES_TAIL = {"q_robust_zscore": robust_zscore}
+QUERIES_TAIL = {
+    "q_robust_zscore": robust_zscore,
+    "q_seasonal_baseline": seasonal_baseline,
+}

@@ -92,3 +92,48 @@ def test_contract_rows_vs_oracle(spark):
         sdf = q(spark, SMOKE_SF_DIR)
         odf = con.execute(sql).fetchdf()
         assert compare(name, sdf, odf) == []
+
+
+def test_seasonal_baseline_flags_only_the_off_profile_value(spark, tmp_path):
+    """Train half: hour-10 values tight around 10 (sigma ~ 0.8);
+    test half: one hour-10 event at the baseline mean (not flagged)
+    and one far off profile (flagged)."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    rows = []
+    # train slice (day 1, hour 10): values 9, 10, 11 -> mu=10,
+    # sigma=sqrt(2/3)~0.816; 2 sigma band = [8.37, 11.63]
+    for i, v in enumerate([9.0, 10.0, 11.0]):
+        rows.append((i, t0 + timedelta(minutes=i), 1, "a", v, "{}"))
+    # test slice (day 3, hour 10 — past the midpoint of the range):
+    # 10.0 inside the band, 50.0 far outside
+    t1 = datetime(2024, 1, 3, 10, 0, 0)
+    rows.append((10, t1, 1, "a", 10.0, "{}"))
+    rows.append((11, t1 + timedelta(minutes=1), 1, "a", 50.0, "{}"))
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).to_parquet(tmp_path / "events.parquet")
+
+    from lambda_sample_spark.operators.anomaly import seasonal_baseline
+
+    out = seasonal_baseline(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["hod"] == 10 and r["n_test"] == 2 and r["n_flagged"] == 1
+    assert r["mu"] == 10.0
+
+
+def test_seasonal_baseline_contract_vs_oracle(spark):
+    from lambda_sample_spark.operators.anomaly import (
+        ORACLE as AN_ORACLE,
+        seasonal_baseline as q_sb,
+    )
+
+    con = duckdb_con(SMOKE_SF_DIR)
+    sdf = q_sb(spark, SMOKE_SF_DIR)
+    odf = con.execute(AN_ORACLE["q_seasonal_baseline"]).fetchdf()
+    assert compare("q_seasonal_baseline", sdf, odf) == []

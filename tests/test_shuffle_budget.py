@@ -167,6 +167,8 @@ BUDGET = {
     "q_sensor_corr": 3,
     # centroid agg + pair-join branches over the bounded centroid table
     "q_label_centroids": 3,
+    # baseline agg + test census (scalar split + baseline broadcast)
+    "q_seasonal_baseline": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
