@@ -90,6 +90,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_twap",
         "q_sensor_corr",
         "q_seasonal_baseline",
+        "q_ab_welch",
+        "q_pmi_association",
     ],
     "tpch_a": [
         "q_tpch_q1",

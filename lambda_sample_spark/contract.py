@@ -32,6 +32,7 @@ from .operators import (
     sessions,
     similarity,
     skew,
+    stats,
     text,
     timeseries,
     tpch,
@@ -73,6 +74,7 @@ _MODULES = [
     rangejoin,
     rank,
     timeseries,
+    stats,
 ]
 
 

@@ -169,6 +169,10 @@ BUDGET = {
     "q_label_centroids": 3,
     # baseline agg + test census (scalar split + baseline broadcast)
     "q_seasonal_baseline": 2,
+    # one conditional-moment aggregate; arms share the shuffle
+    "q_ab_welch": 1,
+    # census agg; marginal/total windows stay on the bounded census
+    "q_pmi_association": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
