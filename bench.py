@@ -92,6 +92,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_seasonal_baseline",
         "q_ab_welch",
         "q_pmi_association",
+        "q_data_profile",
     ],
     "tpch_a": [
         "q_tpch_q1",

@@ -27,6 +27,7 @@ from .operators import (
     multidim,
     multimodal,
     pq,
+    profiling,
     rangejoin,
     rank,
     sessions,
@@ -75,6 +76,7 @@ _MODULES = [
     rank,
     timeseries,
     stats,
+    profiling,
 ]
 
 

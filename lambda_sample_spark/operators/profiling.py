@@ -1,0 +1,167 @@
+"""Column profiling / data-quality metrics (SURVEY.md §2.8 adjunct):
+the Deequ-style validation pass a pipeline runs on every ingested
+partition before letting it near training — completeness (null
+share), distinctness, and per-column numeric/string extents, emitted
+as one long-format metrics table.
+
+Reference anchor: the reference validates payloads structurally at
+ingest (Consumer's JSON decode drops malformed entries); this is the
+statistical upgrade of that gate for batch corpora.
+
+Scale notes: ONE wide aggregate over the corpus computes every
+metric (profiled columns are a fixed list, so the aggregate's width
+is constant), then a single stack() unpivots the one-row result —
+the corpus is scanned exactly once and nothing after the aggregate
+exceeds n_profiled_columns rows. Unioning per-column selects instead
+would duplicate the aggregate subtree per column (the adaptive-plan
+multi-consumer trap). The exact count(DISTINCT) metrics expand the
+scan n_distinct-columns-fold before the partial aggregate; the
+production twin swaps them for approx_count_distinct (one pass, no
+expand, ±2%) — the contract row keeps exact counts for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .common import r6
+from ..io import load_table
+
+PROFILE_NUMERIC = ("o_custkey", "o_totalprice")
+PROFILE_STRING = ("o_orderstatus", "o_orderpriority")
+
+
+def profile(
+    df: DataFrame,
+    numeric_cols: tuple[str, ...],
+    string_cols: tuple[str, ...],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Long-format profile: one row per profiled column with
+    (column, n_rows, n_null, n_distinct, completeness, mean,
+    min_num, max_num, min_str, max_str). Numeric columns carry
+    mean/min_num/max_num (string slots NULL) and vice versa. Means
+    accumulate per-term in exact DECIMAL(28,10) (the tpch_q9 idiom)
+    so the double division replays cell-exact cross-engine."""
+    aggs: list = [F.count("*").alias("n_rows")]
+    distinct = (
+        (lambda c: F.count_distinct(F.col(c)))
+        if exact_distinct
+        else (lambda c: F.approx_count_distinct(c))
+    )
+    for c in (*numeric_cols, *string_cols):
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(distinct(c).alias(f"nd_{c}"))
+    for c in numeric_cols:
+        aggs.append(
+            F.sum(F.col(c).cast("decimal(28,10)")).alias(f"s1_{c}")
+        )
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+    for c in string_cols:
+        aggs.append(F.min(F.col(c)).alias(f"mns_{c}"))
+        aggs.append(F.max(F.col(c)).alias(f"mxs_{c}"))
+    wide = df.agg(*aggs)
+
+    parts: list[str] = []
+    for c in numeric_cols:
+        parts.append(
+            f"'{c}', nn_{c}, nd_{c}, "
+            f"round(cast(s1_{c} as double) / nn_{c}, 6), "
+            f"mn_{c}, mx_{c}, cast(null as string), cast(null as string)"
+        )
+    for c in string_cols:
+        parts.append(
+            f"'{c}', nn_{c}, nd_{c}, cast(null as double), "
+            f"cast(null as double), cast(null as double), mns_{c}, mxs_{c}"
+        )
+    n = len(parts)
+    stacked = wide.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(parts)}) as "
+        "(column, n_notnull, n_distinct, mean, min_num, max_num, "
+        "min_str, max_str)",
+    )
+    return stacked.select(
+        "column",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_notnull"))
+        .cast("bigint")
+        .alias("n_null"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        r6(F.col("n_notnull").cast("double") / F.col("n_rows")).alias(
+            "completeness"
+        ),
+        "mean",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
+    )
+
+
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): profile of the orders table over two
+    numeric + two categorical columns."""
+    return profile(
+        load_table(spark, sf_dir, "orders"), PROFILE_NUMERIC, PROFILE_STRING
+    )
+
+
+def _col_select(c: str, numeric: bool) -> str:
+    common = (
+        f"SELECT '{c}' AS \"column\", n_rows, n_rows - nn_{c} AS n_null, "
+        f"nd_{c} AS n_distinct, "
+        f"round(CAST(nn_{c} AS DOUBLE) / n_rows, 6) AS completeness, "
+    )
+    if numeric:
+        return common + (
+            f"round(CAST(s1_{c} AS DOUBLE) / nn_{c}, 6) AS mean, "
+            f"mn_{c} AS min_num, mx_{c} AS max_num, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str FROM a"
+        )
+    return common + (
+        "CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS min_num, "
+        f"CAST(NULL AS DOUBLE) AS max_num, mns_{c} AS min_str, "
+        f"mxs_{c} AS max_str FROM a"
+    )
+
+
+_PROFILE_ORACLE = (
+    """
+WITH a AS (
+  SELECT count(*) AS n_rows,
+"""
+    + ",\n".join(
+        f"         count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}"
+        for c in (*PROFILE_NUMERIC, *PROFILE_STRING)
+    )
+    + ",\n"
+    + ",\n".join(
+        f"         sum(CAST({c} AS DECIMAL(28,10))) AS s1_{c}, "
+        f"CAST(min({c}) AS DOUBLE) AS mn_{c}, "
+        f"CAST(max({c}) AS DOUBLE) AS mx_{c}"
+        for c in PROFILE_NUMERIC
+    )
+    + ",\n"
+    + ",\n".join(
+        f"         min({c}) AS mns_{c}, max({c}) AS mxs_{c}"
+        for c in PROFILE_STRING
+    )
+    + """
+  FROM orders
+)
+"""
+    + "\nUNION ALL\n".join(
+        [_col_select(c, True) for c in PROFILE_NUMERIC]
+        + [_col_select(c, False) for c in PROFILE_STRING]
+    )
+)
+
+QUERIES: dict = {}
+
+QUERIES_TAIL = {"q_data_profile": q_data_profile}
+
+ORACLE = {"q_data_profile": _PROFILE_ORACLE}

@@ -173,6 +173,8 @@ BUDGET = {
     "q_ab_welch": 1,
     # census agg; marginal/total windows stay on the bounded census
     "q_pmi_association": 1,
+    # one wide aggregate (distinct metrics partial-aggregate under it)
+    "q_data_profile": 1,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
