@@ -171,6 +171,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_sampled_quantiles",
         "q_drift_psi",
         "q_drift_categorical",
+        "q_cooccur_lift",
         "q_rf_train",
         "q_rf_predict",
         "q_histogram_models",

@@ -24,6 +24,7 @@ from .operators import (
     graph,
     joins,
     joins_ext,
+    market,
     multidim,
     multimodal,
     pq,
@@ -77,6 +78,7 @@ _MODULES = [
     timeseries,
     stats,
     profiling,
+    market,
 ]
 
 

@@ -175,6 +175,9 @@ BUDGET = {
     "q_pmi_association": 1,
     # one wide aggregate (distinct metrics partial-aggregate under it)
     "q_data_profile": 1,
+    # basket collect_set + in-task pair expansion + pair census;
+    # marginals are driver-inlined literals (no lazy branch)
+    "q_cooccur_lift": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
