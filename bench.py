@@ -93,6 +93,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_ab_welch",
         "q_pmi_association",
         "q_data_profile",
+        "q_entity_match",
     ],
     "tpch_a": [
         "q_tpch_q1",

@@ -21,6 +21,7 @@ from .operators import (
     dedup,
     drift,
     dsir,
+    fuzzy,
     graph,
     joins,
     joins_ext,
@@ -79,6 +80,7 @@ _MODULES = [
     stats,
     profiling,
     market,
+    fuzzy,
 ]
 
 

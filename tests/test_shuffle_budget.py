@@ -178,6 +178,8 @@ BUDGET = {
     # basket collect_set + in-task pair expansion + pair census;
     # marginals are driver-inlined literals (no lazy branch)
     "q_cooccur_lift": 2,
+    # dictionary distinct + per-probe best-match window (probe rows)
+    "q_entity_match": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
