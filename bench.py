@@ -84,6 +84,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_funnel",
         "q_cohort_retention",
         "q_markov_transitions",
+        "q_attribution",
         "q_interval_flag",
         "q_robust_zscore",
         "q_ohlc_bars",
@@ -133,6 +134,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_unigram_logprob",
         "q_vocab_topn",
         "q_inverted_index",
+        "q_bm25_topk",
         "x_winnow_prod",
         "q_dsir_scores",
         "q_bpe_tokens",

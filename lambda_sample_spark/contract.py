@@ -32,6 +32,7 @@ from .operators import (
     profiling,
     rangejoin,
     rank,
+    retrieval,
     sessions,
     similarity,
     skew,
@@ -81,6 +82,7 @@ _MODULES = [
     profiling,
     market,
     fuzzy,
+    retrieval,
 ]
 
 

@@ -147,6 +147,52 @@ def markov_transitions(
     )
 
 
+def last_touch_attribution(
+    ev: DataFrame,
+    conversion: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch conversion attribution: each ``conversion`` event
+    credits the same user's nearest strictly-preceding
+    non-conversion event type ("channel"); conversions with no
+    preceding touch credit '(direct)'. Returns the credit census
+    (channel, n_conversions, share) — the marketing-attribution
+    staple and the as-of-join cousin of the funnel (funnel asks "did
+    they ever", attribution asks "what was last").
+
+    Shape: one per-user sequence window (ms + event_id deterministic
+    order) carrying the last non-conversion type via
+    last(ignorenulls) over UNBOUNDED..-1 — no self-join of the fact
+    table; the census is bounded by |types| so the share
+    normalisation is a window over <= |types| rows."""
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_ms(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
+        ignorenulls=True,
+    ).over(w)
+    credits = (
+        ev.select(F.col(type_col).alias("t"), touch.alias("touch"))
+        .where(F.col("t") == conversion)
+        .groupBy(
+            F.coalesce(F.col("touch"), F.lit("(direct)")).alias("channel")
+        )
+        .agg(F.count("*").alias("n_conversions"))
+    )
+    total = F.sum("n_conversions").over(Window.partitionBy())
+    return credits.select(
+        "channel",
+        F.col("n_conversions").cast("bigint").alias("n_conversions"),
+        r6(F.col("n_conversions").cast("double") / total).alias("share"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): the view -> click -> purchase funnel
     over the events table, strict-order first-touch at ms precision."""
@@ -162,6 +208,12 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): event-type transition matrix with
     per-source probabilities."""
     return markov_transitions(events(spark, sf_dir))
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 9): last-touch credit census for
+    purchase conversions."""
+    return last_touch_attribution(events(spark, sf_dir))
 
 
 _FUNNEL_ORACLE = """
@@ -229,14 +281,36 @@ SELECT c.src, c.dst, c.n_trans, round(c.n_trans / t.tot, 6) AS prob
 FROM counts c JOIN totals t USING (src)
 """
 
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT event_type AS t,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS touch
+  FROM events
+), credits AS (
+  SELECT coalesce(touch, '(direct)') AS channel,
+         count(*) AS n_conversions
+  FROM seq WHERE t = 'purchase' GROUP BY 1
+)
+SELECT channel, CAST(n_conversions AS BIGINT) AS n_conversions,
+       round(CAST(n_conversions AS DOUBLE)
+             / sum(n_conversions) OVER (), 6) AS share
+FROM credits
+"""
+
 QUERIES_TAIL = {
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_markov_transitions": q_markov_transitions,
+    "q_attribution": q_attribution,
 }
 
 ORACLE = {
     "q_funnel": _FUNNEL_ORACLE,
     "q_cohort_retention": _COHORT_ORACLE,
     "q_markov_transitions": _MARKOV_ORACLE,
+    "q_attribution": _ATTRIBUTION_ORACLE,
 }

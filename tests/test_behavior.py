@@ -11,6 +11,8 @@ from lambda_sample_spark.operators.behavior import (
     ORACLE,
     cohort_retention,
     funnel_conversion,
+    last_touch_attribution,
+    q_attribution,
     q_cohort_retention,
     q_funnel,
 )
@@ -68,6 +70,35 @@ def test_cohort_offsets(spark):
     assert out[(d1, 2)]["n_users"] == 1 and out[(d1, 2)]["n_events"] == 1
     assert out[(d2, 0)]["n_users"] == 1 and out[(d2, 0)]["n_events"] == 2
     assert (d2 - d1) == 86_400_000
+
+
+def test_last_touch_credit_and_direct(spark):
+    rows = [
+        # u1: view -> click -> purchase => click credited
+        (1, 1, 1, "view"), (1, 1, 2, "click"), (1, 1, 3, "purchase"),
+        # u2: purchase with NO preceding touch => (direct); later
+        # view -> purchase => view credited
+        (2, 1, 1, "purchase"), (2, 1, 2, "view"), (2, 1, 3, "purchase"),
+        # u3: click then TWO purchases: both credit the same click
+        # (an intervening purchase is not a touch)
+        (3, 1, 1, "click"), (3, 1, 2, "purchase"), (3, 1, 3, "purchase"),
+    ]
+    got = {
+        r["channel"]: r
+        for r in last_touch_attribution(_log(spark, rows)).collect()
+    }
+    assert got["click"]["n_conversions"] == 3
+    assert got["view"]["n_conversions"] == 1
+    assert got["(direct)"]["n_conversions"] == 1
+    assert abs(got["click"]["share"] - 0.6) < 1e-9
+    assert sum(r["n_conversions"] for r in got.values()) == 5
+
+
+def test_attribution_contract_matches_oracle(spark):
+    con = duckdb_con(SMOKE_SF_DIR)
+    got = q_attribution(spark, SMOKE_SF_DIR)
+    want = con.execute(ORACLE["q_attribution"]).fetchdf()
+    assert compare("q_attribution", got, want) == []
 
 
 def test_contract_rows_match_oracles(spark):

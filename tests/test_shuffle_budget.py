@@ -180,6 +180,10 @@ BUDGET = {
     "q_cooccur_lift": 2,
     # dictionary distinct + per-probe best-match window (probe rows)
     "q_entity_match": 2,
+    # inlined-census scoring scan + TakeOrdered top-k: shuffle-free
+    "q_bm25_topk": 0,
+    # user sequence window + bounded credit census
+    "q_attribution": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
