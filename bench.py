@@ -95,6 +95,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_pmi_association",
         "q_data_profile",
         "q_entity_match",
+        "q_pareto_front",
     ],
     "tpch_a": [
         "q_tpch_q1",

@@ -36,6 +36,7 @@ from .operators import (
     sessions,
     similarity,
     skew,
+    skyline,
     stats,
     text,
     timeseries,
@@ -83,6 +84,7 @@ _MODULES = [
     market,
     fuzzy,
     retrieval,
+    skyline,
 ]
 
 

@@ -184,6 +184,8 @@ BUDGET = {
     "q_bm25_topk": 0,
     # user sequence window + bounded credit census
     "q_attribution": 2,
+    # price-level collapse + sweep window; level join broadcasts
+    "q_pareto_front": 2,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,
