@@ -42,49 +42,58 @@ def cooccurrence_lift(
     baskets = items.groupBy(F.col(basket_col).alias("bk")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("arr")
     )
+    # pin the expansion stage's parallelism: basket rows are BYTES-
+    # small, so AQE coalesces the post-aggregate stage to a few tasks
+    # and the CPU-bound higher-order pair expansion serializes (the
+    # winnow_near_dup hazard, text.py:398 — input-byte estimates are
+    # blind to explode fan-out). Measured at 32x sf0.1: the pair
+    # census leg dropped 109 s -> ~14 s.
+    n_shuffle = int(
+        items.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    baskets = baskets.repartition(n_shuffle, "bk")
     # upper-triangle pairs from the sorted array, expanded in-task:
-    # element i pairs with every later element
+    # posexplode each element, pair it with the array's tail past its
+    # position (slice clamps at the end). A nested
+    # transform/flatten/struct formulation computes the same pairs
+    # but runs ~7x slower — higher-order lambdas are interpreted
+    # per-element while posexplode+slice stays in codegen.
     pairs = baskets.select(
+        F.posexplode("arr").alias("i", "item_a"), "arr"
+    ).select(
+        "item_a",
         F.explode(
-            F.flatten(
-                F.transform(
-                    "arr",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            "arr", i + F.lit(2), F.size("arr") - i - 1
-                        ),
-                        lambda y: F.struct(
-                            x.alias("item_a"), y.alias("item_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.item_a", "p.item_b")
+            F.slice("arr", F.col("i") + F.lit(2), F.size("arr"))
+        ).alias("item_b"),
+    )
     census = pairs.groupBy("item_a", "item_b").agg(
         F.count("*").alias("n_ab")
     )
 
-    # bounded marginal census: ONE eager cube() pass yields both the
-    # per-item distinct-basket counts ((item) grouping set) and the
-    # global basket total (() set) — inlined as literals
+    # bounded marginal census: ONE eager explode-count over the
+    # already-deduped basket arrays. A sentinel element appended to
+    # every basket makes its count the basket TOTAL, so marginals and
+    # total come out of a single aggregation (a cube/count_distinct
+    # over the raw membership rows computes the same numbers but pays
+    # a corpus-sized distinct — measured 52 s vs ~15 s at 32x sf0.1).
+    sentinel = "\x00__baskets__"
     cen = (
-        items.select(
-            F.col(basket_col).alias("bkk"), F.col(item_col).alias("item")
+        baskets.select(
+            F.explode(
+                F.concat("arr", F.array(F.lit(sentinel)))
+            ).alias("item")
         )
-        .cube("item")
-        .agg(
-            F.count_distinct(F.col("bkk")).alias("n"),
-            F.grouping("item").alias("g"),
-        )
+        .groupBy("item")
+        .agg(F.count("*").alias("n"))
         .collect()
     )
-    marg_rows = [r for r in cen if r["g"] == 0]
+    marg_rows = [r for r in cen if r["item"] != sentinel]
+    assert len(marg_rows) < len(cen), "sentinel census row missing"
     assert len(marg_rows) <= MAX_INLINE_ITEMS, (
         f"{len(marg_rows)} distinct items exceed the literal-inline "
         "bound; use a broadcast marginal table instead"
     )
-    n_tot = float(next(r["n"] for r in cen if r["g"] == 1))
+    n_tot = float(next(r["n"] for r in cen if r["item"] == sentinel))
     kv: list = []
     for r in marg_rows:
         kv.extend([F.lit(r["item"]), F.lit(float(r["n"]))])

@@ -313,6 +313,31 @@ def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
         measure(spark, f"{name}@sf{factor / 10:g}#2", force)  # warm repeat
 
 
+def run_cooccur_rung(spark, factor: int) -> None:
+    """Round-9 market-basket rung: inflate the sf0.1 (order, brand)
+    membership by ``factor`` (copy c shifts orderkey, so baskets —
+    and therefore the per-basket pair fanout — keep their original
+    size while basket COUNT scales), then run cooccurrence_lift."""
+    from lambda_sample_spark.operators.market import cooccurrence_lift
+
+    li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+    base = li.join(part, li.l_partkey == part.p_partkey).select(
+        "l_orderkey", "p_brand"
+    )
+    copies = spark.range(factor).select(F.col("id").alias("c"))
+    items = base.crossJoin(copies).select(
+        (F.col("l_orderkey") * factor + F.col("c")).alias("bk"),
+        F.col("p_brand").alias("item"),
+    )
+    n = items.count()
+    measure(
+        spark,
+        f"cooccur_lift@{n}rows(x{factor})",
+        lambda: cooccurrence_lift(items, "bk", "item").count(),
+    )
+
+
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 80
     ops = set(
@@ -324,7 +349,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -417,6 +442,18 @@ def main() -> None:
 
             measure(spark, f"bpe_learn50_apply@{n}", _bpe)
 
+        if "bm25" in ops:
+            # round-9 retrieval rung: census pass + shuffle-free
+            # scoring scan — wall should track the scan linearly and
+            # shuffle bytes stay ~0
+            from lambda_sample_spark.operators.retrieval import bm25_topk
+
+            measure(
+                spark,
+                f"bm25_topk@{n}",
+                lambda: bm25_topk(docs.select("doc_id", "text")).count(),
+            )
+
         if "ingest" in ops:
             idx = os.path.join(work, "mhidx")
             half1 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
@@ -446,6 +483,9 @@ def main() -> None:
 
     if "interval" in ops:
         run_interval_rung(spark, work, factor)
+
+    if "cooccur" in ops:
+        run_cooccur_rung(spark, factor)
 
     if "sf1" in ops:
         run_sf1_rung(spark, work, factor)
