@@ -161,6 +161,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_ann_lsh_topk",
         "q_pq_adc_topk",
         "q_stratified_sample",
+        "q_weighted_sample",
         "q_split_assign",
         "q_label_centroids",
     ],

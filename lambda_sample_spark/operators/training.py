@@ -269,6 +269,57 @@ def q_split_assign(spark, sf_dir: str):
     )
 
 
+WEIGHTED_SAMPLE_K = 200
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str,
+    k: int = WEIGHTED_SAMPLE_K,
+    key_col: str = "doc_id",
+    hash: str = "xxhash64",
+    salt: str = "ws",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    A-Res): each row draws u = hash(key) ∈ (0,1) and keeps score
+    ln(u)/w (the monotone form of u^(1/w)); the global top-k by score
+    is exactly a weight-proportional without-replacement sample — the
+    mixture-construction primitive (sample by quality/source weight)
+    that stays DETERMINISTIC across runs and executors (no RNG
+    state, the stratified_sample argument). The +0.5 numerator shift
+    keeps u strictly positive so ln never sees 0.
+
+    Shape: pure per-row expressions + one TakeOrdered top-k — zero
+    shuffles at any corpus size. ``hash='md5'`` is the
+    DuckDB-replayable seam; production keeps xxhash64."""
+    key = F.col(key_col)
+    if hash == "md5":
+        digest = F.md5(F.concat(F.lit(salt), key.cast("string")))
+        word = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    else:
+        word = F.xxhash64(F.lit(salt), key).bitwiseAND(
+            F.lit((1 << 32) - 1)
+        )
+    u = (word + F.lit(0.5)) / F.lit(float(1 << 32))
+    w = F.greatest(F.col(weight_col), F.lit(1)).cast("bigint")
+    score = F.log(u) / w
+    return (
+        docs.select(key, w.alias("w"), score.alias("_s"))
+        .orderBy(F.desc("_s"), key)
+        .limit(k)
+        .select(key_col, "w", F.round("_s", 6).alias("ares_score"))
+    )
+
+
+def q_weighted_sample(spark, sf_dir: str):
+    """Contract (tail, round 9): length-weighted A-Res sample of the
+    documents table (md5 oracle seam), top-200 by score."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", hash="md5")
+
+
 def q_pack_documents(spark, sf_dir: str):
     """Contract (tail): GPT-style concat-and-split sequence packing of
     the documents table (256-token bins, 8 shards) — the full
@@ -324,6 +375,19 @@ SELECT grp, CAST(shard + 8 * (cum_before // 256) AS BIGINT) AS bin_id,
        doc_id, n_tokens, CAST(cum_before % 256 AS BIGINT) AS "offset"
 FROM c
 """,
+    "q_weighted_sample": """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(greatest(n_chars, 1) AS BIGINT) AS w,
+         ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE))
+           / CAST(greatest(n_chars, 1) AS BIGINT) AS s
+  FROM documents
+)
+SELECT doc_id, w, round(s, 6) AS ares_score
+FROM keyed ORDER BY s DESC, doc_id LIMIT 200
+""",
 }
 
 QUERIES: dict = {}
@@ -332,4 +396,5 @@ QUERIES_TAIL = {
     "q_stratified_sample": q_stratified_sample,
     "q_split_assign": q_split_assign,
     "q_pack_documents": q_pack_documents,
+    "q_weighted_sample": q_weighted_sample,
 }

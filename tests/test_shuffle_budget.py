@@ -186,6 +186,8 @@ BUDGET = {
     "q_attribution": 2,
     # price-level collapse + sweep window; level join broadcasts
     "q_pareto_front": 2,
+    # per-row A-Res scores + TakeOrdered top-k: shuffle-free
+    "q_weighted_sample": 0,
     "q_text_stats": 1,
     "q_token_count": 0,
     "q_doc_profile": 0,

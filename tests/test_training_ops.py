@@ -127,3 +127,44 @@ def test_unigram_logprob_ranks_gibberish_low(spark, sf_dir):
     assert scores[900001] > scores[900002]
     # and both are finite negatives
     assert all(-100 < v < 0 for v in scores.values())
+
+
+def test_weighted_sample_matches_python_twin_and_favors_weight(spark):
+    # deterministic A-Res: the exact top-k is reproducible in pure
+    # Python from the same md5 seam — assert set equality, not just
+    # statistics
+    import hashlib
+    import math
+
+    from lambda_sample_spark.operators.training import weighted_sample
+
+    rows = [(i, (i % 7 + 1) * 100) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, n_chars BIGINT")
+
+    def score(i, w):
+        word = int(hashlib.md5(f"ws{i}".encode()).hexdigest()[:8], 16)
+        u = (word + 0.5) / 2**32
+        return math.log(u) / max(w, 1)
+
+    want = sorted(rows, key=lambda r: (-score(*r), r[0]))[:10]
+    got = weighted_sample(docs, "n_chars", k=10, hash="md5").collect()
+    assert [(r["doc_id"], r["w"]) for r in got] == want
+    # weight-proportional selection: the sampled mean weight must sit
+    # well above the population mean (weights span 100..700)
+    pop_mean = sum(w for _, w in rows) / len(rows)
+    got_mean = sum(r["w"] for r in got) / len(got)
+    assert got_mean > pop_mean
+
+
+def test_weighted_sample_production_twin_same_shape(spark):
+    # xxhash64 path: same contract (k rows, deterministic repeat),
+    # different draw
+    from lambda_sample_spark.operators.training import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 100) for i in range(50)], "doc_id BIGINT, n_chars BIGINT"
+    )
+    a = weighted_sample(docs, "n_chars", k=20).collect()
+    b = weighted_sample(docs, "n_chars", k=20).collect()
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert len(a) == 20
