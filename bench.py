@@ -1,4 +1,4 @@
-"""Benchmark harness: runs EVERY contract query (106) plus the
+"""Benchmark harness: runs EVERY contract query plus the
 composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
@@ -417,12 +417,16 @@ def main() -> None:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--worker", str(spec), str(out)],
                     cwd=REPO,
-                    stdout=subprocess.DEVNULL,
-                    stderr=subprocess.STDOUT,
+                    capture_output=True,
+                    text=True,
                     timeout=3600,
                 )
                 if proc.returncode != 0 or not out.exists():
-                    raise RuntimeError(f"bench family {fam} worker failed")
+                    tail = (proc.stderr or proc.stdout or "")[-2000:]
+                    raise RuntimeError(
+                        f"bench family {fam} worker failed "
+                        f"(rc={proc.returncode}); output tail:\n{tail}"
+                    )
                 payload = json.loads(out.read_text())
             all_runs.update(payload["runs"])
             family_sweeps[fam] = payload["sweeps"]

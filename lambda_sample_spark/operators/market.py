@@ -88,11 +88,14 @@ def cooccurrence_lift(
         .collect()
     )
     marg_rows = [r for r in cen if r["item"] != sentinel]
-    assert len(marg_rows) < len(cen), "sentinel census row missing"
-    assert len(marg_rows) <= MAX_INLINE_ITEMS, (
-        f"{len(marg_rows)} distinct items exceed the literal-inline "
-        "bound; use a broadcast marginal table instead"
-    )
+    # runtime input bounds, not test invariants — must survive python -O
+    if len(marg_rows) >= len(cen):
+        raise RuntimeError("sentinel census row missing")
+    if len(marg_rows) > MAX_INLINE_ITEMS:
+        raise ValueError(
+            f"{len(marg_rows)} distinct items exceed the literal-inline "
+            "bound; use a broadcast marginal table instead"
+        )
     n_tot = float(next(r["n"] for r in cen if r["item"] == sentinel))
     kv: list = []
     for r in marg_rows:

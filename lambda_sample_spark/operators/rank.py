@@ -65,6 +65,10 @@ def pagerank(
     from .graph import unpersist_checkpoint
 
     retired: list[DataFrame] = []
+    # bound before the try: if nodes.count()/localCheckpoint fails
+    # mid-setup, the finally's `df is not ranks` test must not raise
+    # UnboundLocalError and mask the real exception
+    ranks: DataFrame | None = None
     try:
         nodes = (
             edges.select(F.col(src).alias("node"))

@@ -141,3 +141,24 @@ def test_label_centroids_contract_vs_oracle(spark):
     sdf = q_label_centroids(spark, SMOKE_SF_DIR)
     odf = con.execute(SIM_ORACLE["q_label_centroids"]).fetchdf()
     assert compare("q_label_centroids", sdf, odf) == []
+
+
+def test_ord_tiebreaker_headroom_on_contract_inputs():
+    """_ord() packs ts_ms*1e6 + event_id into one bigint; the packing
+    is collision-free only while event_id < 1e6. Fail loudly if the
+    test generator ever scales event ids past that assumption (the
+    OHLC oracle hash would otherwise flake nondeterministically)."""
+    import duckdb
+
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        hi = duckdb.sql(
+            f"SELECT max(event_id) FROM '{sf}/events.parquet'"
+        ).fetchone()[0]
+        assert hi < 1_000_000, (
+            f"{sf}: max event_id {hi} >= 1e6 — _ord() tiebreaker "
+            "packing in timeseries.py would collide"
+        )
