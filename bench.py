@@ -153,6 +153,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_source_cap",
         "q_shard_order",
         "q_pack_documents",
+        "q_substring_dedup",
+        "x_substring_prod",
     ],
     "similarity": [
         "q_similarity_topk",
@@ -310,10 +312,24 @@ def bench_stream_bottomk(spark, sf_dir: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_substring_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION exact-substring dedup path
+    (xxhash64 gram hashing — 8 B/position shuffle) — q_substring_dedup
+    is the oracle-contract twin, which ships the gram STRINGS so DuckDB
+    can replay substr() cell-exactly; this trail records what real
+    callers pay for the same 2-exchange plan."""
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.substring import substring_dedup_census
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    force(substring_dedup_census(docs, gram_col="hash"))
+
+
 # non-contract composites timed alongside the contract queries (they
 # drive their own materialization instead of a noop-sink force)
 COMPOSITES = {
     "x_winnow_prod": bench_winnow_prod,
+    "x_substring_prod": bench_substring_prod,
     "x_contamination_prod": bench_contamination_prod,
     "x_embed_prod": bench_embed_prod,
     "x_ingest_batch": bench_ingest_batch,

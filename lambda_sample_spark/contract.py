@@ -38,6 +38,7 @@ from .operators import (
     skew,
     skyline,
     stats,
+    substring,
     text,
     timeseries,
     tpch,
@@ -85,6 +86,7 @@ _MODULES = [
     fuzzy,
     retrieval,
     skyline,
+    substring,
 ]
 
 

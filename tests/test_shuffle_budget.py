@@ -198,6 +198,9 @@ BUDGET = {
     # through only the first aggregate
     "q_ngram_jaccard": 23,
     "q_dedup_near": 8,  # banding + 2 min-propagation rounds
+    # gram-count window (gram key) + span-merge window (doc_id);
+    # census aggregates reuse the doc_id clustering
+    "q_substring_dedup": 2,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
