@@ -352,12 +352,39 @@ def winnow_fingerprints_fast(docs: DataFrame) -> DataFrame:
     )
 
 
+def _stop_cap(
+    n_docs: int, max_df_frac: float | None, max_df_abs: int | None
+) -> int | None:
+    """Stop-fingerprint document-frequency cap: min of the fractional
+    and absolute bounds (floor 2 keeps df=2 — the minimal pair signal
+    — alive on tiny corpora), or None when both are disabled.
+
+    The fractional cap alone is NOT scale-closed: at 0.1·n docs per
+    fingerprint the pair fan-out is O((0.1n)²) — quadratic again in
+    the adversarial limit. The absolute bound makes per-fingerprint
+    join work CONSTANT as the corpus grows (docs/SCALE.md addendum 2
+    measured the df≈500 configuration at 10×: 3.2× wall, output-bound)
+    — so the library default keeps both, switching from fractional to
+    absolute at n_docs = max_df_abs / max_df_frac (5k docs at the
+    defaults). int() truncation matches the oracle's trunc(); both
+    engines see an exact product for n ≤ 2^52."""
+    if max_df_frac is None and max_df_abs is None:
+        return None
+    cands = []
+    if max_df_frac is not None:
+        cands.append(int(n_docs * max_df_frac))
+    if max_df_abs is not None:
+        cands.append(max_df_abs)
+    return max(2, min(cands))
+
+
 def winnow_near_dup(
     docs: DataFrame,
     min_shared: int = 5,
     min_overlap: float = 0.5,
     gram_hash: str = "xxhash64",
     max_df_frac: float | None = 0.1,
+    max_df_abs: int | None = 500,
 ) -> DataFrame:
     """Containment near-dup via winnowing sketches: pairs sharing at
     least ``min_shared`` fingerprints AND whose shared count covers at
@@ -381,6 +408,15 @@ def winnow_near_dup(
     passage. The floor of 2 keeps df=2 fingerprints (the minimal pair
     signal) alive on tiny corpora. ``None`` disables (exact but
     quadratic on template-heavy corpora).
+
+    ``max_df_abs``: the scale-closing absolute bound — the effective
+    cap is ``max(2, min(trunc(n·frac), max_df_abs))`` (see
+    :func:`_stop_cap`). A fractional cap alone re-admits O((frac·n)²)
+    pair fan-out as n grows; the absolute bound keeps per-fingerprint
+    join work constant at any corpus size (measured at 10× in
+    docs/SCALE.md addendum 2). Defaults switch from fractional to
+    absolute at n = 5k docs; the contract row pins ``max_df_abs=None``
+    because its frozen oracle encodes the pure fractional cap.
 
     Scale: stop-fingerprint census is one count per distinct
     (fp, doc) — the stop list itself is provably small (at most
@@ -409,11 +445,12 @@ def winnow_near_dup(
         fps = winnow_fingerprints_fast(docs)
     else:
         fps = winnow_fingerprints(docs, gram_hash=gram_hash)
-    if max_df_frac is not None:
-        # int() truncation matches the oracle's trunc(); both engines
-        # see an exact product at contract scales (n * 0.1 carries no
-        # sub-ulp integer crossings for n <= 2^52)
-        cap = max(2, int(docs.count() * max_df_frac))
+    cap = _stop_cap(
+        docs.count() if (max_df_frac or max_df_abs) else 0,
+        max_df_frac,
+        max_df_abs,
+    )
+    if cap is not None:
         # The stop list is materialized EAGERLY and inlined as an
         # InSet filter rather than anti-joined: the census subtree
         # would otherwise appear once per downstream consumer (both
@@ -523,8 +560,14 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     production callers take the xxhash64 default. Runs the default
     10% stop-fingerprint cap (mirrored in the oracle) — the uncapped
     shape is degenerate on template-heavy corpora (see
-    winnow_near_dup)."""
-    return winnow_near_dup(documents(spark, sf_dir), gram_hash="md5").select(
+    winnow_near_dup). max_df_abs is explicitly disabled HERE only:
+    the oracle SQL encodes the pure fractional trunc(n*0.1) cap, and
+    the frozen contract row must stay that way; the library default
+    (min(frac·n, 500)) is the scale-closed configuration real callers
+    get."""
+    return winnow_near_dup(
+        documents(spark, sf_dir), gram_hash="md5", max_df_abs=None
+    ).select(
         "d1",
         "d2",
         F.col("n_shared").cast("bigint").alias("n_shared"),

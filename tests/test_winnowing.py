@@ -236,3 +236,39 @@ def test_fast_overlong_doc_fails_loudly(spark):
     df = spark.createDataFrame([(1, too_long)], "doc_id BIGINT, text STRING")
     with pytest.raises(Exception, match="winnowing"):
         winnow_fingerprints_fast(df).collect()
+
+
+def test_stop_cap_switches_from_fractional_to_absolute():
+    from lambda_sample_spark.operators.text import _stop_cap
+
+    # below the switch point (n < abs/frac) the fractional cap rules
+    assert _stop_cap(500, 0.1, 500) == 50       # sf0.01 contract value
+    assert _stop_cap(5_000, 0.1, 500) == 500    # the switch point
+    # past it the ABSOLUTE bound holds: per-fingerprint join work is
+    # constant no matter how big the corpus gets
+    assert _stop_cap(50_000, 0.1, 500) == 500
+    assert _stop_cap(10_000_000, 0.1, 500) == 500
+    # floor of 2 on tiny corpora; None+None disables
+    assert _stop_cap(10, 0.1, 500) == 2
+    assert _stop_cap(10**9, None, None) is None
+    # single-sided configurations
+    assert _stop_cap(50_000, None, 500) == 500
+    assert _stop_cap(50_000, 0.1, None) == 5_000
+
+
+def test_contract_row_keeps_pure_fractional_cap(spark):
+    """q_winnow_near_dup pins max_df_abs=None (its frozen oracle
+    encodes trunc(n*0.1)); the library default differs only past 5k
+    docs, so at contract SFs results are identical either way."""
+    from lambda_sample_spark.operators.common import documents
+    from lambda_sample_spark.operators.text import winnow_near_dup
+
+    docs = documents(spark, "/root/testdata/sf0.001")
+    a = sorted(map(tuple, winnow_near_dup(docs, gram_hash="md5").collect()))
+    b = sorted(
+        map(
+            tuple,
+            winnow_near_dup(docs, gram_hash="md5", max_df_abs=None).collect(),
+        )
+    )
+    assert a == b
