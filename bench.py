@@ -166,6 +166,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_weighted_sample",
         "q_split_assign",
         "q_label_centroids",
+        "q_image_dhash",
+        "q_image_phash_dedup",
     ],
     "sketch_ml": [
         "q_rollup_day",

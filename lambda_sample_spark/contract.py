@@ -28,6 +28,7 @@ from .operators import (
     market,
     multidim,
     multimodal,
+    phash,
     pq,
     profiling,
     rangejoin,
@@ -87,6 +88,7 @@ _MODULES = [
     retrieval,
     skyline,
     substring,
+    phash,
 ]
 
 

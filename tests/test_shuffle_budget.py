@@ -201,6 +201,11 @@ BUDGET = {
     # gram-count window (gram key) + span-merge window (doc_id);
     # census aggregates reuse the doc_id clustering
     "q_substring_dedup": 2,
+    # src-text self-join collapses to broadcast; hashing is one
+    # mapInPandas pass, no shuffle at all
+    "q_image_dhash": 0,
+    # band equi-join + candidate distinct
+    "q_image_phash_dedup": 3,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
