@@ -311,6 +311,124 @@ def weighted_sample(
     )
 
 
+def build_mixture(
+    docs: DataFrame,
+    targets: dict[str, float],
+    total_tokens: int,
+    hash: str = "xxhash64",
+    salt: str = "mix",
+    pack_budget: int | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Data-mixture builder: the top-level "assemble the training mix"
+    operator — given per-source target proportions in TOKENS (the unit
+    mixtures are specified in; doc counts are the wrong currency when
+    sources have different length distributions), select a
+    deterministic weight-proportional subset of each source that meets
+    its token budget, and optionally emit the packed sequence layout.
+
+    Composition of this module's primitives: per-source integer token
+    budgets ``int(total_tokens * prop)`` are fixed on the driver (no
+    float seam — both engines see literal integers); within a source,
+    docs are ranked by the A-Res key of :func:`weighted_sample`
+    (weight = n_tokens, so selection is token-proportional and
+    without-replacement); the rank order is cut at the token budget
+    the way :func:`cap_per_source` cuts at a doc cap — keep while the
+    running token sum BEFORE the doc is under budget, so the boundary
+    doc is included (per-source overshoot < one doc; a source with
+    fewer tokens than its budget contributes everything it has).
+    Sources absent from ``targets`` are dropped. With ``pack_budget``
+    the selection feeds :func:`pack_documents` (grouped by source) and
+    the packed (grp, bin_id, doc_id, n_tokens, offset) layout is
+    returned; otherwise the selected docs with their mixture
+    bookkeeping (source, n_tokens, sel_rank).
+
+    Scale: one window shuffle on ``source`` (the cap_per_source
+    argument: a skewed mega-source is the hot key the budget bounds),
+    plus pack_documents' sharded window when packing. Deterministic
+    end to end — re-running on any cluster reproduces the mix."""
+    budgets = {s: int(total_tokens * p) for s, p in targets.items()}
+    kv: list = []
+    for s, b in budgets.items():
+        kv.extend([F.lit(s), F.lit(b)])
+    budget_for = F.create_map(*kv)[F.col("source")]
+    if hash == "md5":
+        digest = F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+        word = F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+    else:
+        word = F.xxhash64(F.lit(salt), F.col("doc_id")).bitwiseAND(
+            F.lit((1 << 32) - 1)
+        )
+    # +0.5 keeps u strictly positive so ln never sees 0 (the
+    # weighted_sample convention, replayed verbatim in the oracle)
+    u = (word + F.lit(0.5)) / F.lit(float(1 << 32))
+    n_tokens = (
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    sized = docs.where(
+        F.col("source").isin(list(budgets))
+    ).select("doc_id", "source", "text", n_tokens)
+    w = F.greatest(F.col("n_tokens"), F.lit(1)).cast("bigint")
+    scored = sized.withColumn("_s", F.log(u) / w)
+    win = Window.partitionBy("source").orderBy(F.desc("_s"), "doc_id")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(win.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    sel = (
+        scored.withColumn("cum_before", cum_before)
+        .withColumn("sel_rank", F.row_number().over(win))
+        .where(F.col("cum_before") < budget_for)
+    )
+    if pack_budget is not None:
+        return pack_documents(
+            sel.select("doc_id", "source", "text"),
+            pack_budget,
+            group_col="source",
+            n_shards=n_shards,
+        )
+    return sel.select("doc_id", "source", "n_tokens", "sel_rank")
+
+
+def mixture_census(
+    docs: DataFrame,
+    targets: dict[str, float],
+    total_tokens: int,
+    hash: str = "xxhash64",
+) -> DataFrame:
+    """Per-source audit of :func:`build_mixture` — what a 100 TB run
+    reports before training starts: docs selected, tokens selected,
+    and the integer token budget the selection was cut at."""
+    budgets = {s: int(total_tokens * p) for s, p in targets.items()}
+    kv: list = []
+    for s, b in budgets.items():
+        kv.extend([F.lit(s), F.lit(b)])
+    sel = build_mixture(docs, targets, total_tokens, hash=hash)
+    return sel.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sel_tokens"),
+        F.max(F.create_map(*kv)[F.col("source")]).cast("bigint").alias(
+            "target_tokens"
+        ),
+    )
+
+
+MIXTURE_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIXTURE_TOTAL = 2000
+
+
+def q_data_mixture(spark, sf_dir: str):
+    """Contract (tail, round 10): token-proportioned mixture census
+    over four sources (40/30/20/10 of a 2000-token mix; md5 seam for
+    the A-Res key) — per-source docs/tokens/budget, integer-exact."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return mixture_census(docs, MIXTURE_TARGETS, MIXTURE_TOTAL, hash="md5")
+
+
 def q_weighted_sample(spark, sf_dir: str):
     """Contract (tail, round 9): length-weighted A-Res sample of the
     documents table (md5 oracle seam), top-200 by score."""
@@ -375,6 +493,34 @@ SELECT grp, CAST(shard + 8 * (cum_before // 256) AS BIGINT) AS bin_id,
        doc_id, n_tokens, CAST(cum_before % 256 AS BIGINT) AS "offset"
 FROM c
 """,
+    # integer token budgets (int(2000*p)) inlined as literals in BOTH
+    # engines — the proportions never touch cross-engine float math
+    "q_data_mixture": r"""
+WITH scored AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    ln((CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT AS DOUBLE)
+        + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE))
+      / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+             AS BIGINT) AS s
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), c AS (
+  SELECT source, n_tokens,
+    CAST(COALESCE(sum(n_tokens) OVER (
+        PARTITION BY source ORDER BY s DESC, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      AS cum_before,
+    CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 600
+                WHEN 'src2' THEN 400 WHEN 'src3' THEN 200 END AS budget
+  FROM scored
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS sel_tokens,
+       max(budget)::BIGINT AS target_tokens
+FROM c WHERE cum_before < budget GROUP BY source
+""",
     "q_weighted_sample": """
 WITH keyed AS (
   SELECT doc_id,
@@ -397,4 +543,5 @@ QUERIES_TAIL = {
     "q_split_assign": q_split_assign,
     "q_pack_documents": q_pack_documents,
     "q_weighted_sample": q_weighted_sample,
+    "q_data_mixture": q_data_mixture,
 }

@@ -206,6 +206,8 @@ BUDGET = {
     "q_image_dhash": 0,
     # band equi-join + candidate distinct
     "q_image_phash_dedup": 3,
+    # one window on source; the census groupBy reuses its clustering
+    "q_data_mixture": 1,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label

@@ -168,3 +168,72 @@ def test_weighted_sample_production_twin_same_shape(spark):
     b = weighted_sample(docs, "n_chars", k=20).collect()
     assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
     assert len(a) == 20
+
+
+def test_build_mixture_proportion_accuracy(spark, sf_dir):
+    """Per-source selected tokens land in [budget, budget + one doc)
+    when the source has enough material — the mixture actually hits
+    its proportions in token space."""
+    from lambda_sample_spark.operators.training import (
+        MIXTURE_TARGETS,
+        MIXTURE_TOTAL,
+        build_mixture,
+    )
+
+    docs = documents(spark, sf_dir).select("doc_id", "source", "text")
+    sel = build_mixture(docs, MIXTURE_TARGETS, MIXTURE_TOTAL).collect()
+    per_src: dict = {}
+    max_doc: dict = {}
+    for r in sel:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_tokens"]
+        max_doc[r["source"]] = max(max_doc.get(r["source"], 0), r["n_tokens"])
+    for s, p in MIXTURE_TARGETS.items():
+        budget = int(MIXTURE_TOTAL * p)
+        assert budget <= per_src[s] < budget + max_doc[s], (
+            s, per_src[s], budget
+        )
+
+
+def test_build_mixture_exhausted_source_contributes_everything(spark):
+    from lambda_sample_spark.operators.training import build_mixture
+
+    rows = [(i, "tiny" if i < 3 else "big", "w " * 50) for i in range(40)]
+    docs = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id bigint, source string, text string",
+    )
+    sel = build_mixture(docs, {"tiny": 0.5, "big": 0.5}, 2000).collect()
+    tiny = [r for r in sel if r["source"] == "tiny"]
+    # 'tiny' has 3 docs x 50 tokens = 150 < its 1000-token budget:
+    # everything it has is taken, nothing borrowed from elsewhere
+    assert len(tiny) == 3 and sum(r["n_tokens"] for r in tiny) == 150
+    big = sum(r["n_tokens"] for r in sel if r["source"] == "big")
+    assert 1000 <= big < 1050
+
+
+def test_build_mixture_untargeted_source_dropped_and_packs(spark):
+    from lambda_sample_spark.operators.training import build_mixture
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}", "tok " * 20) for i in range(30)],
+        "doc_id bigint, source string, text string",
+    )
+    sel = build_mixture(docs, {"s0": 0.6, "s1": 0.4}, 400)
+    assert sel.where("source = 's2'").count() == 0
+    packed = build_mixture(
+        docs, {"s0": 0.6, "s1": 0.4}, 400, pack_budget=64, n_shards=2
+    )
+    rows = packed.collect()
+    assert set(packed.columns) == {"grp", "bin_id", "doc_id", "n_tokens", "offset"}
+    assert {r["grp"] for r in rows} == {"s0", "s1"}
+    assert all(0 <= r["offset"] < 64 for r in rows)
+
+
+def test_mixture_census_contract_vs_oracle(spark, sf_dir):
+    from lambda_sample_spark.operators.training import ORACLE, q_data_mixture
+    from tests.oracle_harness import compare, duckdb_con
+
+    con = duckdb_con(sf_dir)
+    sdf = q_data_mixture(spark, sf_dir)
+    odf = con.execute(ORACLE["q_data_mixture"]).fetchdf()
+    assert compare("q_data_mixture", sdf, odf) == []
