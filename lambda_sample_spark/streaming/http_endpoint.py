@@ -46,6 +46,7 @@ class ServingEndpoint:
         ttl_secs: float = 5.0,
         host: str = "127.0.0.1",
         port: int = 0,
+        metrics_dir: str | None = None,
     ):
         self._spark = spark
         self._entry_dir = entry_dir
@@ -55,6 +56,14 @@ class ServingEndpoint:
         self._cached: str | None = None
         self._cached_at = 0.0
         self.compute_count = 0  # observability + test hook
+        # request metrics: every handled request is buffered and
+        # flushed as a micro-batch into the parquet metrics table
+        # (streaming/perf.py); /perf is then a QUERY over that table —
+        # the reference's Dashboard /perf row with the load-generator
+        # CSV replaced by the endpoint's own log
+        self._metrics_dir = metrics_dir
+        self._metrics_lock = threading.Lock()
+        self._metrics_buf: list[tuple] = []
 
         endpoint = self
 
@@ -71,6 +80,8 @@ class ServingEndpoint:
                 self.wfile.write(data)
 
             def do_GET(self):
+                t0 = time.perf_counter()
+                status = 200
                 try:
                     if self.path == "/":
                         self._send(200, endpoint.fresh_json())
@@ -78,10 +89,17 @@ class ServingEndpoint:
                         self._send(200, endpoint.cached_json())
                     elif self.path == "/health":
                         self._send(200, json.dumps({"status": "ok"}))
+                    elif self.path == "/perf":
+                        self._send(200, endpoint.perf_json())
                     else:
+                        status = 404
                         self._send(404, json.dumps({"error": "not found"}))
                 except Exception as exc:  # surface, don't kill the thread
+                    status = 500
                     self._send(500, json.dumps({"error": str(exc)}))
+                endpoint._record(
+                    self.path, status, (time.perf_counter() - t0) * 1000.0
+                )
 
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.host, self.port = self._server.server_address
@@ -121,6 +139,45 @@ class ServingEndpoint:
             if self._cached is not None:
                 return self._cached
             return self._refresh()
+
+    def _record(self, route: str, status: int, dur_ms: float) -> None:
+        if self._metrics_dir is None:
+            return
+        from datetime import datetime, timezone
+
+        row = (
+            datetime.now(timezone.utc).replace(tzinfo=None),
+            route,
+            status,
+            round(dur_ms, 3),
+        )
+        with self._metrics_lock:
+            self._metrics_buf.append(row)
+
+    def flush_metrics(self) -> int:
+        """Write the buffered request records as one micro-batch
+        (raw rows + mergeable profile partials) to the metrics table;
+        returns rows flushed. A deployment calls this on a timer; the
+        /perf route calls it first so its answer is current."""
+        if self._metrics_dir is None:
+            return 0
+        from .perf import flush_requests
+
+        with self._metrics_lock:
+            rows, self._metrics_buf = self._metrics_buf, []
+        return flush_requests(self._spark, rows, self._metrics_dir)
+
+    def perf_json(self) -> str:
+        """GET /perf: box-plot stats (A8 quantiles + A9 whiskers —
+        the aggregates the reference's dashboard computes browser-side
+        over its load-generator CSV) as a query over the persisted
+        request log."""
+        if self._metrics_dir is None:
+            return json.dumps({"error": "metrics_dir not configured"})
+        from .perf import perf_report
+
+        self.flush_metrics()
+        return json.dumps({"routes": perf_report(self._spark, self._metrics_dir)})
 
     def stop(self):
         self._server.shutdown()

@@ -31,16 +31,24 @@ def windowed_profile_partials(
     window: str = "10 minutes",
     watermark: str = "10 minutes",
     ts_col: str = "ts",
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Watermarked tumbling-window profile partials: one row per
     closed window with (win_start, n_rows, n_val, s1, mn, mx,
     sk) — every column mergeable (sums add, extents min/max, the
     DataSketches HLL unions). ``n_val`` counts non-null values, so
-    completeness falls out at finalize time."""
+    completeness falls out at finalize time. ``extra_keys`` adds
+    grouping columns alongside the window (e.g. the serving route in
+    streaming/perf.py); on a BATCH frame the watermark node is
+    optimized away (EliminateEventTimeWatermark), so the same function
+    profiles micro-batch flushes."""
     v = F.col(value_col)
     return (
         stream.withWatermark(ts_col, watermark)
-        .groupBy(F.window(ts_col, window).alias("win"))
+        .groupBy(
+            F.window(ts_col, window).alias("win"),
+            *[F.col(k) for k in extra_keys],
+        )
         .agg(
             F.count("*").alias("n_rows"),
             F.count(v).alias("n_val"),
@@ -51,6 +59,7 @@ def windowed_profile_partials(
         )
         .select(
             F.col("win.start").alias("win_start"),
+            *extra_keys,
             "n_rows",
             "n_val",
             "s1",
