@@ -6,6 +6,9 @@ lang, source, n_chars) frame:
 
   1. quality gate        (training.quality_gate — filter + telemetry)
   2. exact dedup         (dedup.dedup_exact_keep_first)
+  2b. substring scrub    (substring.duplicated_spans +
+                          remove_dup_spans — excise duplicated
+                          passages inside surviving docs; round 10)
   3. near-dup dedup      (incremental_dedup.ingest_batch, day-one
                           commit — leaves a reusable minhash index for
                           tomorrow's batch)
@@ -92,6 +95,34 @@ def run_pipeline(
     # turns the funnel's quadratic re-scan into one pass per stage)
     exact = dedup_exact_keep_first(gated).persist()
     counts["exact_dedup"] = exact.count()
+
+    # 2b. exact substring scrub (Lee et al. 2022; round 10): excise
+    # every corpus passage of >= 20 chars occurring >= 2 times —
+    # whole-doc dedup keeps one copy of a duplicated DOC, this removes
+    # duplicated PASSAGES inside surviving docs (license headers,
+    # boilerplate). Row count is unchanged (texts shrink), so the
+    # funnel stays monotone; docs_touched is reported separately.
+    from lambda_sample_spark.operators.substring import (
+        duplicated_spans,
+        remove_dup_spans,
+    )
+
+    spans = duplicated_spans(exact.select("doc_id", "text"), min_len=20)
+    scrubbed = (
+        remove_dup_spans(exact.select("doc_id", "text"), spans)
+        # a doc that was ENTIRELY duplicated material scrubs to empty
+        # — drop it (it has no training value and downstream stages
+        # assume at least one token)
+        .where(F.length(F.trim("text")) > 0)
+        .join(exact.drop("text"), "doc_id")
+        .persist()
+    )
+    counts["substring_scrub_docs_touched"] = (
+        spans.select("doc_id").distinct().count()
+    )
+    counts["substring_scrub"] = scrubbed.count()
+    exact.unpersist()
+    exact = scrubbed
 
     # 3. near-dup dedup — day-one ingest against an empty index; the
     # committed index is tomorrow's broadcast-semi-join target.

@@ -243,7 +243,9 @@ def run_interval_rung(spark, work: str, factor: int) -> None:
     measure(spark, f"interval_join@{n}p/{m}iv", run)
 
 
-def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
+def run_sf1_rung(
+    spark, work: str, factor: int = 10, names: tuple = None
+) -> None:
     """The sf1 rung (round-8 verdict task 6): inflate sf0.1 to
     sf1-equivalent row counts (~6M lineitem at factor 10) with
     JOIN-CONSISTENT key remapping — every copy c rewrites the fact AND
@@ -254,6 +256,8 @@ def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
     bytes for docs/SCALE.md's 10x-rung check of the 100x claims."""
     import __spark_entry__ as entrymod
 
+    if names is None:
+        names = SF1_NAMES
     F_ = factor
     copies = spark.range(F_).select(F.col("id").alias("copy"))
     src = "/root/testdata/sf0.1"
@@ -296,13 +300,7 @@ def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
     print(f"inflated documents: {n_docs} rows in {time.perf_counter() - t0:.0f}s")
 
     queries = entrymod.queries()
-    for name in (
-        "q_fast_anomaly",
-        "q_tpch_q18",
-        "q_tpch_q21",
-        "q_dedup_near",
-        "q_contamination",
-    ):
+    for name in names:
         def force(_name=name):
             queries[_name](spark, work).write.format("noop").mode(
                 "overwrite"
@@ -311,6 +309,69 @@ def run_sf1_rung(spark, work: str, factor: int = 10) -> None:
 
         measure(spark, f"{name}@sf{factor / 10:g}", force)
         measure(spark, f"{name}@sf{factor / 10:g}#2", force)  # warm repeat
+
+
+# the round-8 headline set
+SF1_NAMES = (
+    "q_fast_anomaly",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_dedup_near",
+    "q_contamination",
+)
+
+# round-10 task: the round-9 operator families added AFTER the sf1
+# addendum (behavior/timeseries/stats/profiling/market/fuzzy/
+# retrieval/skyline) had no >=10x measurement — run their most
+# expensive contract rows, plus the new round-10 substring-dedup op
+SF1_R9_NAMES = (
+    "q_data_profile",
+    "q_ewma_smooth",
+    "q_seasonal_baseline",
+    "q_funnel",
+    "q_sensor_corr",
+    "q_entity_match",
+    "q_pareto_front",
+    "q_substring_dedup",
+)
+
+
+def run_partops_rung(spark, work: str, factor: int) -> None:
+    """Round-10 rung for the two part-catalog operators the sf1 rung
+    can't exercise (it copies `part` 1x as a fixed dim): inflate part
+    ``factor``x with remapped keys and per-copy name perturbation
+    (` v<copy>` suffix — distinct catalog entries, realistic near-miss
+    spellings for the Levenshtein band), then run the fuzzy
+    entity-match and Pareto-frontier contract rows against it."""
+    import __spark_entry__ as entrymod
+
+    base = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+    copies = spark.range(factor).select(F.col("id").alias("copy"))
+    cols = []
+    for c in base.columns:
+        if c == "p_partkey":
+            cols.append((F.col(c) * factor + F.col("copy")).alias(c))
+        elif c == "p_name":
+            cols.append(
+                F.concat(F.col(c), F.lit(" v"), F.col("copy")).alias(c)
+            )
+        else:
+            cols.append(F.col(c))
+    base.crossJoin(copies).select(cols).repartition(16).write.parquet(
+        os.path.join(work, "part.parquet")
+    )
+    n = spark.read.parquet(os.path.join(work, "part.parquet")).count()
+    print(f"inflated part: {n} rows")
+    queries = entrymod.queries()
+    for name in ("q_entity_match", "q_pareto_front"):
+        def force(_name=name):
+            queries[_name](spark, work).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            return "forced"
+
+        measure(spark, f"{name}@part x{factor}", force)
+        measure(spark, f"{name}@part x{factor}#2", force)
 
 
 def run_cooccur_rung(spark, factor: int) -> None:
@@ -349,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -454,6 +515,22 @@ def main() -> None:
                 lambda: bm25_topk(docs.select("doc_id", "text")).count(),
             )
 
+        if "substr" in ops:
+            # round-10 exact-substring-dedup rung: production hash
+            # path (8 B/position shuffle) — the contract row's
+            # gram-STRING seam pays ~L bytes/position instead
+            from lambda_sample_spark.operators.substring import (
+                substring_dedup_census,
+            )
+
+            measure(
+                spark,
+                f"substring_census[hash]@{n}",
+                lambda: substring_dedup_census(
+                    docs.select("doc_id", "text"), gram_col="hash"
+                ).count(),
+            )
+
         if "ingest" in ops:
             idx = os.path.join(work, "mhidx")
             half1 = docs.select("doc_id", "text").where(F.col("doc_id") % 2 == 0)
@@ -488,7 +565,13 @@ def main() -> None:
         run_cooccur_rung(spark, factor)
 
     if "sf1" in ops:
-        run_sf1_rung(spark, work, factor)
+        run_sf1_rung(spark, work, factor, SF1_NAMES)
+
+    if "sf1r9" in ops:
+        run_sf1_rung(spark, work, factor, SF1_R9_NAMES)
+
+    if "partops" in ops:
+        run_partops_rung(spark, work, factor)
 
     print(f"workdir (delete when done): {work}")
     spark.stop()

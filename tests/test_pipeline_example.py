@@ -17,6 +17,7 @@ STAGES = [
     "input",
     "quality_gate",
     "exact_dedup",
+    "substring_scrub",
     "near_dedup",
     "decontaminate",
     "source_cap",
@@ -56,6 +57,9 @@ def test_pipeline_stages_compose_and_are_deterministic(spark, tmp_path):
     assert counts["decontaminate"] < counts["near_dedup"]
     # telemetry consistency: the observe() pass saw every input row
     assert counts["telemetry_n_input"] == counts["input"]
+    # the substring scrub fired on this boilerplate-heavy corpus but
+    # removed PASSAGES, not docs (the funnel row count is untouched)
+    assert 0 < counts["substring_scrub_docs_touched"] <= counts["exact_dedup"]
 
     # every surviving doc is packed exactly once, with sane bins, and
     # the training-order stage actually materialized its shard column
