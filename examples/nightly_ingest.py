@@ -7,6 +7,10 @@ by batch size (never corpus size):
                         batch, match vs the PERSISTED band index +
                         within-batch, commit survivors' bands as the
                         next index version
+  1b. substring scrub   incremental_substring.scrub_batch — excise
+                        passages duplicated vs the persisted
+                        gram-count index (+ within batch), commit the
+                        batch's counts (round 10)
   2. cluster upkeep     graph.cc_ingest — fold the batch's (doc, rep)
                         near-dup edges into the persisted (node, comp)
                         labeling; new isolated docs registered first
@@ -49,6 +53,12 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from lambda_sample_spark.operators import incremental_dedup as inc  # noqa: E402
+from lambda_sample_spark.operators.incremental_substring import (  # noqa: E402
+    scrub_batch,
+)
+from lambda_sample_spark.operators.substring import (  # noqa: E402
+    remove_dup_spans,
+)
 from lambda_sample_spark.operators.graph import (  # noqa: E402
     cc_ingest,
     connected_components,
@@ -87,6 +97,20 @@ def nightly_ingest(
     survivors = docs_batch.join(
         flags.where(~F.col("is_near_dup")).select("doc_id"), "doc_id"
     )
+
+    # 1b. exact-substring scrub at ingest (round 10): flag passages of
+    # the survivors duplicated against everything ingested so far (+
+    # within batch) via the persisted gram-count index, excise them
+    # before the corpus upsert, and commit the batch's gram counts so
+    # tomorrow's copy of the same passage is caught on arrival. Doc
+    # ids are untouched (texts shrink; a fully-boilerplate doc stores
+    # as empty rather than vanishing — downstream stages own the drop
+    # decision).
+    spans = scrub_batch(
+        spark, os.path.join(state_dir, "substr_index"), survivors
+    )
+    n_scrubbed_docs = spans.select("doc_id").distinct().count()
+    survivors = remove_dup_spans(survivors, spans)
 
     # 2. cluster-label upkeep: register the batch's nodes, then fold
     # the night's (doc -> kept rep) edges in. The labeling is a
@@ -129,6 +153,7 @@ def nightly_ingest(
 
     return {
         "batch": flags.count(),
+        "scrubbed_docs": n_scrubbed_docs,
         "survivors": survivors.count(),
         "clusters": labels.select("comp").distinct().count(),
         "corpus": read_versioned(spark, corpus_root).count(),
