@@ -170,6 +170,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_label_centroids",
         "q_image_dhash",
         "q_image_phash_dedup",
+        "q_audio_fingerprint",
+        "q_audio_near_dup",
     ],
     "sketch_ml": [
         "q_rollup_day",

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import (
+    afp,
     aggregates,
     anomaly,
     behavior,
@@ -89,6 +90,7 @@ _MODULES = [
     skyline,
     substring,
     phash,
+    afp,
 ]
 
 

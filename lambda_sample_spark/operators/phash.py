@@ -264,7 +264,9 @@ def dhash_images(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=HASH_SCHEMA)
 
 
-def phash_near_dup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 7, hash_col: str = "dhash"
+) -> DataFrame:
     """Hamming-radius image pairs via 8×8 banding (the SimHash idiom,
     dedup.py:453): explode the 8 hash bytes as (band_idx, band_val)
     keys, equi-join, distinct the candidate pairs, then filter by
@@ -278,17 +280,17 @@ def phash_near_dup(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
             "re-band (more/narrower bands) for a wider radius"
         )
     b = hashes.select(
-        "doc_id", "dhash", F.posexplode("bands").alias("band_idx", "band_val")
+        "doc_id", hash_col, F.posexplode("bands").alias("band_idx", "band_val")
     )
     left = b.select(
         F.col("doc_id").alias("d1"),
-        F.col("dhash").alias("h1"),
+        F.col(hash_col).alias("h1"),
         "band_idx",
         "band_val",
     )
     right = b.select(
         F.col("doc_id").alias("d2"),
-        F.col("dhash").alias("h2"),
+        F.col(hash_col).alias("h2"),
         "band_idx",
         "band_val",
     )

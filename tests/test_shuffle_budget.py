@@ -208,6 +208,10 @@ BUDGET = {
     "q_image_phash_dedup": 3,
     # one window on source; the census groupBy reuses its clustering
     "q_data_mixture": 1,
+    # the audio twins of the image rows: hash pass shuffle-free,
+    # band join + candidate distinct
+    "q_audio_fingerprint": 0,
+    "q_audio_near_dup": 3,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
