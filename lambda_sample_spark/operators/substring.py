@@ -24,11 +24,16 @@ spans.
 
 100 TB shape: one pass emits (doc_id, pos, gram-hash) — the shuffle
 is hash-sized (8 B/position on the production path), never document
-text; duplicated positions come from a single count-over-gram window
-(ONE exchange on the gram key — no groupBy+join double-scan of the
-gram lineage); span merge is a per-doc lag window (state bounded by
-doc length) and both downstream aggregates reuse the doc_id
-clustering (HashPartitioning on doc_id satisfies the (doc_id,
+text; duplicated positions come (default) from a partial-aggregated
+gram count joined back over the positions — the skew-safe choice: a
+boilerplate gram collapses to one row per map partition before the
+shuffle, and AQE broadcasts or skew-splits the join back (the
+alternative count-over-gram window saves one exchange but funnels
+every position of a hot gram into a single sorting reducer — kept as
+``count_mode="window"`` for the frozen contract row and measured-
+no-hot-gram corpora). Span merge is a per-doc lag window (state
+bounded by doc length) and both downstream aggregates reuse the
+doc_id clustering (HashPartitioning on doc_id satisfies the (doc_id,
 run_id) ClusteredDistribution — zero further exchanges). Total
 duplicated-position state is bounded by the duplicated bytes, not by
 doc pairs — no all-pairs anywhere. The known cost is the L-gram
@@ -81,19 +86,47 @@ def duplicated_spans(
     min_len: int = 20,
     min_count: int = 2,
     gram_col: str = "hash",
+    count_mode: str = "join",
 ) -> DataFrame:
     """Maximal duplicated spans: (doc_id, span_start, span_end),
     1-based char positions inclusive. A span is a maximal run of
     characters each covered by some corpus-repeated ``min_len``-gram
     (occurrences counted across the whole corpus, within-doc repeats
-    included — the Lee et al. 2022 semantic)."""
+    included — the Lee et al. 2022 semantic).
+
+    ``count_mode`` picks how duplicated grams are detected; results
+    are identical, skew behavior is not:
+
+    - ``"join"`` (default, the 100 TB choice): groupBy the gram counts
+      (map-side partial combine collapses a hot gram to ONE row per
+      map partition before the shuffle) and join the qualifying gram
+      set back over the positions — AQE broadcasts the dup set when it
+      is small and skew-splits the probe otherwise. Costs a second
+      evaluation of the gram pass on the probe side (the steady-state
+      path, incremental_substring.scrub_batch, materializes grams once
+      and pays this exactly nowhere).
+    - ``"window"`` (the contract row's pick: one fewer exchange, and
+      the frozen plan/budget): count-over-gram window — NO partial
+      aggregation, so every position of a boilerplate gram (a license
+      header in 1% of a 100 TB corpus) lands on a single reducer and
+      sorts there. Fine at test SFs and on corpora without hot grams.
+    """
     grams = _grams(docs, min_len, gram_col)
-    wg = Window.partitionBy("gram")
-    cov = (
-        grams.withColumn("cnt", F.count("*").over(wg))
-        .where(F.col("cnt") >= min_count)
-        .select("doc_id", "pos")
-    )
+    if count_mode == "window":
+        wg = Window.partitionBy("gram")
+        cov = (
+            grams.withColumn("cnt", F.count("*").over(wg))
+            .where(F.col("cnt") >= min_count)
+            .select("doc_id", "pos")
+        )
+    else:
+        dup = (
+            grams.groupBy("gram")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") >= min_count)
+            .select("gram")
+        )
+        cov = grams.join(dup, "gram").select("doc_id", "pos")
     wd = Window.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(wd)
     # equal-length extents [pos, pos+L-1]: covered chars stay
@@ -117,12 +150,13 @@ def substring_dedup_census(
     min_len: int = 20,
     min_count: int = 2,
     gram_col: str = "hash",
+    count_mode: str = "join",
 ) -> DataFrame:
     """Per-doc removal census over :func:`duplicated_spans` — the
     auditable summary a 100 TB run reports before committing removal:
     (doc_id, n_spans, dup_chars, max_span), docs with no duplicated
     span omitted."""
-    spans = duplicated_spans(docs, min_len, min_count, gram_col)
+    spans = duplicated_spans(docs, min_len, min_count, gram_col, count_mode)
     span_len = F.col("span_end") - F.col("span_start") + 1
     return spans.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_spans"),
@@ -173,7 +207,13 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared as strings (gram_col="text") so DuckDB replays substr()
     byte-for-byte; the production path ships xxhash64 instead."""
     return substring_dedup_census(
-        documents(spark, sf_dir), min_len=20, min_count=2, gram_col="text"
+        documents(spark, sf_dir),
+        min_len=20,
+        min_count=2,
+        gram_col="text",
+        # the frozen plan/budget: one fewer exchange, no hot gram at
+        # contract SFs; the library default is the skew-safe join
+        count_mode="window",
     )
 
 

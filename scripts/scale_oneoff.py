@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -523,13 +523,46 @@ def main() -> None:
                 substring_dedup_census,
             )
 
-            measure(
-                spark,
-                f"substring_census[hash]@{n}",
-                lambda: substring_dedup_census(
-                    docs.select("doc_id", "text"), gram_col="hash"
-                ).count(),
+            for rep in ("", "#2"):
+                measure(
+                    spark,
+                    f"substring_census[hash]@{n}{rep}",
+                    lambda: substring_dedup_census(
+                        docs.select("doc_id", "text"), gram_col="hash"
+                    ).count(),
+                )
+
+        if "substrskew" in ops:
+            # round-10 skew A/B: plant ONE hot passage in 30% of the
+            # inflated docs, then run the census in both count modes —
+            # the window funnels every hot-gram position into one
+            # sorting reducer; the join partial-aggregates it away
+            from lambda_sample_spark.operators.substring import (
+                substring_dedup_census,
             )
+
+            hot = docs.select(
+                "doc_id",
+                F.when(
+                    F.col("doc_id") % 10 < 3,
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" the quick brown fox jumps over the lazy dog"),
+                    ),
+                ).otherwise(F.col("text")).alias("text"),
+            )
+            hot.write.parquet(os.path.join(work, "hotdocs.parquet"))
+            hotr = spark.read.parquet(os.path.join(work, "hotdocs.parquet"))
+            for mode in ("window", "join"):
+                measure(
+                    spark,
+                    f"substring_census[{mode},hot30%]@{n}",
+                    lambda mode=mode: substring_dedup_census(
+                        hotr.select("doc_id", "text"),
+                        gram_col="hash",
+                        count_mode=mode,
+                    ).count(),
+                )
 
         if "ingest" in ops:
             idx = os.path.join(work, "mhidx")
