@@ -120,6 +120,16 @@ def duplicated_spans(
             .select("doc_id", "pos")
         )
     else:
+        # NOTE a pinned repartition before this groupBy would widen
+        # the AQE-coalesced reducer stage but it replaces the agg's
+        # own exchange and thereby DISCARDS map-side partial
+        # aggregation — the exact mechanism that makes this mode
+        # skew-safe (the hot gram must collapse per map task BEFORE
+        # the shuffle). The bounded cost of keeping it: on
+        # near-unique-gram corpora partial agg reduces little and AQE
+        # sizes the final agg by bytes (32x rung: 1.75x slower than
+        # the window) — a constant, versus the window's unbounded
+        # hot-reducer loss.
         dup = (
             grams.groupBy("gram")
             .agg(F.count("*").alias("cnt"))
