@@ -172,6 +172,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_image_phash_dedup",
         "q_audio_fingerprint",
         "q_audio_near_dup",
+        "q_video_frame_hashes",
+        "q_video_near_dup",
     ],
     "sketch_ml": [
         "q_rollup_day",

@@ -45,6 +45,7 @@ from .operators import (
     timeseries,
     tpch,
     training,
+    video,
     windows,
 )
 from .ml import forest
@@ -91,6 +92,7 @@ _MODULES = [
     substring,
     phash,
     afp,
+    video,
 ]
 
 

@@ -212,6 +212,13 @@ BUDGET = {
     # band join + candidate distinct
     "q_audio_fingerprint": 0,
     "q_audio_near_dup": 3,
+    # video: container parse + frame decode + hash is one mapInPandas
+    # pass (broadcast src-text join at the scan); the near-dup row
+    # reads the scratch-materialized distinct frame-hash table, so
+    # the plan is stop census + hash equi-join (ReusedExchange on the
+    # second side) + pair census
+    "q_video_frame_hashes": 0,
+    "q_video_near_dup": 3,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
