@@ -18,6 +18,7 @@ from .operators import (
     anomaly,
     behavior,
     bpe,
+    ccnet,
     curation,
     dedup,
     drift,
@@ -93,6 +94,7 @@ _MODULES = [
     phash,
     afp,
     video,
+    ccnet,
 ]
 
 

@@ -219,6 +219,11 @@ BUDGET = {
     # second side) + pair census
     "q_video_frame_hashes": 0,
     "q_video_near_dup": 3,
+    # CCNet buckets: LM tables and doc scores are scratch-materialized
+    # (train -> persist model -> score); the returned plan is just the
+    # per-lang percentile cutoffs + a broadcast join over the tiny
+    # perdoc table
+    "q_ccnet_buckets": 1,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
