@@ -108,6 +108,12 @@ def synthesize_afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
+    par = spark.sparkContext.defaultParallelism
+    if joined.rdd.getNumPartitions() < par:
+        # single-file parquet input leaves the CPU-bound encode/decode
+        # mapInPandas passes on 1-2 cores (playbook hazard); round-
+        # robin fan-out, no-op on real multi-split sources
+        joined = joined.repartition(par)
     return joined.mapInPandas(run, schema=MEDIA_SCHEMA)
 
 

@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -450,6 +450,35 @@ def main() -> None:
                         docs.select("doc_id", "text"), gram_hash=gh
                     ).count(),
                 )
+
+        if "video" in ops:
+            # full contract pipeline against the inflated workdir:
+            # synthesize + container parse + per-frame decode/dHash
+            # (the CPU-bound mapInPandas pass), then the pair join
+            # over the scratch-materialized distinct hash table
+            from lambda_sample_spark.operators import video as vd
+
+            measure(
+                spark,
+                f"video_frame_hashes@{n}",
+                lambda: vd.q_video_frame_hashes(spark, work).count(),
+            )
+            measure(
+                spark,
+                f"video_near_dup@{n}",
+                lambda: vd.q_video_near_dup(spark, work).count(),
+            )
+
+        if "ccnet" in ops:
+            # train (2 corpus passes) + persist LM + score (1 pass) +
+            # bucket; staging writes included in the wall
+            from lambda_sample_spark.operators import ccnet as cn
+
+            measure(
+                spark,
+                f"ccnet_buckets@{n}",
+                lambda: cn.q_ccnet_buckets(spark, work).count(),
+            )
 
         if "winnowpairs" in ops:
             # the round-9 capped containment operator at scale. The
