@@ -135,6 +135,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_repetition_stats",
         "q_unigram_logprob",
         "q_ccnet_buckets",
+        "q_nb_quality",
         "q_vocab_topn",
         "q_inverted_index",
         "q_bm25_topk",

@@ -19,6 +19,7 @@ from .operators import (
     behavior,
     bpe,
     ccnet,
+    classifier,
     curation,
     dedup,
     drift,
@@ -95,6 +96,7 @@ _MODULES = [
     afp,
     video,
     ccnet,
+    classifier,
 ]
 
 

@@ -224,6 +224,10 @@ BUDGET = {
     # per-lang percentile cutoffs + a broadcast join over the tiny
     # perdoc table
     "q_ccnet_buckets": 1,
+    # NB classifier scoring: the (doc,bucket) census exchange + the
+    # per-doc sum (superset hash keys don't satisfy the subset
+    # distribution); model side is broadcast-only
+    "q_nb_quality": 2,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
