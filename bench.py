@@ -152,6 +152,8 @@ FAMILIES: dict[str, list[str]] = {
         "q_semantic_dedup",
         "q_contamination",
         "x_contamination_prod",
+        "q_bloom_contamination",
+        "x_bloom_prod",
         "q_redact_pii",
         "q_source_cap",
         "q_shard_order",
@@ -211,6 +213,7 @@ SEAM_TWINS = {
     "q_embed_near_dup": "x_embed_prod",
     "q_contamination": "x_contamination_prod",
     "q_substring_dedup": "x_substring_prod",
+    "q_bloom_contamination": "x_bloom_prod",
 }
 
 
@@ -271,6 +274,23 @@ def bench_contamination_prod(spark, sf_dir: str) -> None:
         F.col("doc_id").alias("bench_id"), "text"
     )
     force(contamination_check(docs, bench, n=_DECON_N))
+
+
+def bench_bloom_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION Bloom decontamination path (xxhash64
+    K-M pair, inline bitmap) — q_bloom_contamination is the md5
+    oracle twin; this trail records the real build+inline+probe cost
+    (the build/collect is part of the op, so it is timed too)."""
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.bloom import bloom_build, bloom_probe
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") < 20).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    force(bloom_probe(docs, bloom_build(bench)))
 
 
 def bench_embed_prod(spark, sf_dir: str) -> None:
@@ -366,6 +386,7 @@ COMPOSITES = {
     "x_winnow_neardup_prod": bench_winnow_neardup_prod,
     "x_substring_prod": bench_substring_prod,
     "x_contamination_prod": bench_contamination_prod,
+    "x_bloom_prod": bench_bloom_prod,
     "x_embed_prod": bench_embed_prod,
     "x_ingest_batch": bench_ingest_batch,
     "x_stream_bottomk": bench_stream_bottomk,

@@ -17,6 +17,7 @@ from .operators import (
     aggregates,
     anomaly,
     behavior,
+    bloom,
     bpe,
     ccnet,
     classifier,
@@ -97,6 +98,7 @@ _MODULES = [
     video,
     ccnet,
     classifier,
+    bloom,
 ]
 
 

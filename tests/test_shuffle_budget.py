@@ -228,6 +228,9 @@ BUDGET = {
     # per-doc sum (superset hash keys don't satisfy the subset
     # distribution); model side is broadcast-only
     "q_nb_quality": 2,
+    # Bloom probe (inline mode): the bitmap is a plan literal, so the
+    # corpus plan is scan -> probe projection -> per-doc aggregate
+    "q_bloom_contamination": 1,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
