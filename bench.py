@@ -136,6 +136,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_unigram_logprob",
         "q_ccnet_buckets",
         "q_nb_quality",
+        "q_chunk_windows",
         "q_vocab_topn",
         "q_inverted_index",
         "q_bm25_topk",

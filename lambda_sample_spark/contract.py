@@ -20,6 +20,7 @@ from .operators import (
     bloom,
     bpe,
     ccnet,
+    chunking,
     classifier,
     curation,
     dedup,
@@ -99,6 +100,7 @@ _MODULES = [
     ccnet,
     classifier,
     bloom,
+    chunking,
 ]
 
 

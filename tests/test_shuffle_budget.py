@@ -231,6 +231,8 @@ BUDGET = {
     # Bloom probe (inline mode): the bitmap is a plan literal, so the
     # corpus plan is scan -> probe projection -> per-doc aggregate
     "q_bloom_contamination": 1,
+    # chunking is a pure projection: sequence + posexplode + slice
+    "q_chunk_windows": 0,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
