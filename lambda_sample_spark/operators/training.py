@@ -413,6 +413,143 @@ def mixture_census(
     )
 
 
+TEMP_TOTAL = 1_000_000  # contract-row mixture size (tokens)
+
+
+def temperature_shares(
+    docs: DataFrame,
+    temperature: float = 2.0,
+    total_tokens: int = TEMP_TOTAL,
+    key_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled mixture sizing (the mT5/XLM-R rule: sample
+    key ``i`` proportional to ``c_i^(1/T)`` where ``c_i`` is its
+    available token count — T=1 keeps natural proportions, T→∞ goes
+    uniform, intermediate T up-weights low-resource keys). One row per
+    key: available ``tokens``, the normalized ``share`` (6dp), and the
+    integer token ``budget`` = floor(total · share) ready for
+    :func:`build_mixture`.
+
+    All relational, so the census replays in DuckDB: T=2.0 (the
+    contract pin) evaluates the power as ``sqrt`` — the one float
+    kernel both engines share bit-for-bit (the P5/P6 equivalence);
+    other temperatures use ``pow`` (library path, no oracle claim).
+    The share denominator is a per-term DECIMAL(25,15) sum
+    (accumulation-order independence) and the budget floor is written
+    explicitly on both engines (casts round in DuckDB, truncate in
+    Spark — the playbook rule).
+
+    100 TB: the doc scan partial-aggregates into a #keys-row census;
+    everything after is arithmetic on that census."""
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    census = (
+        docs.select(F.col(key_col).alias("key"), n_tokens.alias("nt"))
+        .groupBy("key")
+        .agg(F.sum("nt").cast("bigint").alias("tokens"))
+    )
+    if temperature == 2.0:
+        w = F.sqrt(F.col("tokens").cast("double"))
+    else:
+        w = F.pow(
+            F.col("tokens").cast("double"), F.lit(1.0 / temperature)
+        )
+    weighted = census.select("key", "tokens", w.alias("w"))
+    # the denominator is a global window over the #keys-row census —
+    # NOT a separate agg + crossJoin, which would make the corpus
+    # census a two-consumer lineage and re-scan the docs per consumer;
+    # the single-partition funnel holds #keys rows, and the per-term
+    # DECIMAL sum is accumulation-order independent
+    tot = (
+        F.sum(F.col("w").cast("decimal(25,15)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    return weighted.select(
+        "key",
+        "tokens",
+        F.round(F.col("w") / tot, 6).alias("share"),
+        F.floor(F.lit(total_tokens) * F.col("w") / tot)
+        .cast("bigint")
+        .alias("budget"),
+    )
+
+
+def unimax_budgets(
+    available: dict[str, int], total_tokens: int, max_epochs: float = 1.0
+) -> dict[str, int]:
+    """UNIMAX (Chung et al. 2023) budget allocation: split
+    ``total_tokens`` as uniformly as possible across keys, except no
+    key may be asked for more than ``max_epochs`` passes over its
+    available tokens — the standard fix for temperature sampling's
+    failure mode of epoch-ing tiny languages into memorization.
+
+    Water-filling on the (driver-side, #keys-row) census: repeatedly
+    give every unsaturated key an equal slice of what remains; keys
+    whose cap is below the slice saturate at the cap and drop out.
+    Deterministic, O(#keys²) worst case — #keys is mixture-sized
+    (tens), never corpus-sized."""
+    if total_tokens < 0 or max_epochs <= 0:
+        raise ValueError("need total_tokens >= 0 and max_epochs > 0")
+    caps = {k: int(max_epochs * c) for k, c in available.items()}
+    out = {k: 0 for k in available}
+    remaining = min(total_tokens, sum(caps.values()))
+    live = {k for k, c in caps.items() if c > 0}
+    while remaining > 0 and live:
+        slice_ = remaining // len(live)
+        if slice_ == 0:
+            # hand out the last few tokens deterministically (sorted)
+            for k in sorted(live)[:remaining]:
+                out[k] += 1
+            break
+        saturated = set()
+        for k in sorted(live):
+            take = min(slice_, caps[k] - out[k])
+            out[k] += take
+            remaining -= take
+            if out[k] >= caps[k]:
+                saturated.add(k)
+        live -= saturated
+        if not saturated and slice_ > 0 and remaining < len(live):
+            for k in sorted(live)[:remaining]:
+                out[k] += 1
+            break
+    return out
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    temperature: float,
+    total_tokens: int,
+    key_col: str = "source",
+    hash: str = "xxhash64",
+    **kwargs,
+) -> DataFrame:
+    """Derive temperature-scaled targets from the OBSERVED per-source
+    token counts and hand them to :func:`build_mixture` — the
+    composition a real run uses when proportions aren't hand-picked.
+    The census collect is #sources rows (bounded by construction)."""
+    shares = temperature_shares(
+        docs, temperature, total_tokens, key_col=key_col
+    ).collect()
+    tot = sum(r["budget"] for r in shares)
+    targets = {
+        r["key"]: (r["budget"] / tot if tot else 0.0) for r in shares
+    }
+    return build_mixture(docs, targets, total_tokens, hash=hash, **kwargs)
+
+
+def q_temperature_shares(spark, sf_dir: str):
+    """Contract (tail, round 10): T=2 temperature mixture sizing over
+    the per-language token census — available tokens, normalized
+    share, and the floor()'d integer budget of a 1M-token mix, all
+    replayed cell-exactly (sqrt/decimal-sum/floor seams)."""
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    return temperature_shares(docs)
+
+
 MIXTURE_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 MIXTURE_TOTAL = 2000
 
@@ -544,4 +681,25 @@ QUERIES_TAIL = {
     "q_pack_documents": q_pack_documents,
     "q_weighted_sample": q_weighted_sample,
     "q_data_mixture": q_data_mixture,
+    "q_temperature_shares": q_temperature_shares,
 }
+
+ORACLE["q_temperature_shares"] = rf"""
+WITH census AS (
+  SELECT lang AS key,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+              AS BIGINT) AS tokens
+  FROM documents GROUP BY 1
+),
+weighted AS (
+  SELECT key, tokens, sqrt(CAST(tokens AS DOUBLE)) AS w FROM census
+),
+tot AS (
+  SELECT CAST(sum(CAST(w AS DECIMAL(25,15))) AS DOUBLE) AS tot
+  FROM weighted
+)
+SELECT key, tokens,
+       round(w / tot, 6) AS share,
+       CAST(floor({TEMP_TOTAL} * w / tot) AS BIGINT) AS budget
+FROM weighted, tot
+"""

@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -542,6 +542,66 @@ def main() -> None:
                 spark,
                 f"bm25_topk@{n}",
                 lambda: bm25_topk(docs.select("doc_id", "text")).count(),
+            )
+
+        if "nbq" in ops:
+            # round-10 classifier rung: NB train (gram census + prior
+            # scan) + broadcast-model scoring, production xxhash64
+            from lambda_sample_spark.operators.classifier import (
+                score_nb,
+                train_nb,
+            )
+
+            def _nbq():
+                w, c = train_nb(
+                    docs.where(F.col("doc_id") % 10 < 8).select(
+                        "doc_id", "lang", "text"
+                    ),
+                    F.col("lang") == "en",
+                )
+                wp = os.path.join(work, "nbq_model")
+                w.write.mode("overwrite").parquet(wp + "/w")
+                c.write.mode("overwrite").parquet(wp + "/c")
+                return score_nb(
+                    docs.select("doc_id", "text"),
+                    spark.read.parquet(wp + "/w"),
+                    spark.read.parquet(wp + "/c"),
+                ).count()
+
+            measure(spark, f"nb_train_score@{n}", _nbq)
+
+        if "bloom" in ops:
+            # round-10 Bloom decontamination rung: benchmark build +
+            # inline collect + zero-join corpus probe (the wall is
+            # probe-dominated; shuffle is the per-doc aggregate only)
+            from lambda_sample_spark.operators.bloom import (
+                bloom_build,
+                bloom_probe,
+            )
+
+            def _bloom():
+                bench = docs.where(F.col("doc_id") < 20).select(
+                    F.col("doc_id").alias("bench_id"), "text"
+                )
+                return bloom_probe(
+                    docs.select("doc_id", "text"), bloom_build(bench)
+                ).count()
+
+            measure(spark, f"bloom_probe@{n}", _bloom)
+
+        if "chunk" in ops:
+            # round-10 chunking rung: pure projection — wall should be
+            # scan-linear and shuffle bytes exactly 0
+            from lambda_sample_spark.operators.chunking import (
+                chunk_documents,
+            )
+
+            measure(
+                spark,
+                f"chunk_windows@{n}",
+                lambda: chunk_documents(
+                    docs.select("doc_id", "text")
+                ).count(),
             )
 
         if "substr" in ops:

@@ -233,6 +233,9 @@ BUDGET = {
     "q_bloom_contamination": 1,
     # chunking is a pure projection: sequence + posexplode + slice
     "q_chunk_windows": 0,
+    # temperature sizing: one census groupBy; the share denominator is
+    # a global window over the #keys census (SinglePartition, uncounted)
+    "q_temperature_shares": 1,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label

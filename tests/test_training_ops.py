@@ -237,3 +237,62 @@ def test_mixture_census_contract_vs_oracle(spark, sf_dir):
     sdf = q_data_mixture(spark, sf_dir)
     odf = con.execute(ORACLE["q_data_mixture"]).fetchdf()
     assert compare("q_data_mixture", sdf, odf) == []
+
+
+def test_unimax_budgets_waterfill():
+    from lambda_sample_spark.operators.training import unimax_budgets
+
+    # uniform when nobody saturates
+    assert unimax_budgets({"a": 100, "b": 100}, 100) == {"a": 50, "b": 50}
+    # tiny key caps at max_epochs * available, surplus redistributes
+    out = unimax_budgets({"a": 1000, "b": 1000, "c": 10}, 600, max_epochs=1.0)
+    assert out["c"] == 10
+    assert out["a"] == out["b"] == 295
+    assert sum(out.values()) == 600
+    # total above the cap sum returns everything available
+    out = unimax_budgets({"a": 5, "b": 7}, 1000, max_epochs=2.0)
+    assert out == {"a": 10, "b": 14}
+    # epoch cap below 1 shrinks each key's ceiling
+    out = unimax_budgets({"a": 100, "b": 100}, 1000, max_epochs=0.5)
+    assert out == {"a": 50, "b": 50}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        unimax_budgets({"a": 1}, -1)
+    with _pytest.raises(ValueError):
+        unimax_budgets({"a": 1}, 1, max_epochs=0)
+
+
+def test_temperature_mixture_composes(spark):
+    from lambda_sample_spark.operators.training import (
+        temperature_mixture,
+        temperature_shares,
+    )
+
+    # 3 sources with 10x token skew; T=2 must pull shares toward
+    # uniform relative to the natural proportions
+    docs = spark.createDataFrame(
+        [
+            (i, "big" if i < 100 else ("mid" if i < 130 else "small"),
+             "tok " * (20 if i < 100 else 10))
+            for i in range(140)
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    shares = {
+        r["key"]: r["share"]
+        for r in temperature_shares(docs, key_col="source").collect()
+    }
+    nat_big = 2000 / (2000 + 300 + 100)
+    assert shares["big"] < nat_big  # flattened toward uniform
+    assert shares["small"] > 100 / 2400
+    sel = temperature_mixture(docs, 2.0, 600, key_col="source")
+    got = {
+        r["source"]: r["cnt"]
+        for r in sel.groupBy("source")
+        .agg(F.sum("n_tokens").alias("cnt"))
+        .collect()
+    }
+    # every source lands within one doc of its temperature budget
+    assert set(got) == {"big", "mid", "small"}
+    assert sum(got.values()) <= 600 + 3 * 20
