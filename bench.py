@@ -160,6 +160,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_shard_order",
         "q_pack_documents",
         "q_temperature_shares",
+        "q_span_corruption",
         "q_substring_dedup",
         "x_substring_prod",
         "q_data_mixture",

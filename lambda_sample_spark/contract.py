@@ -22,6 +22,7 @@ from .operators import (
     ccnet,
     chunking,
     classifier,
+    corruption,
     curation,
     dedup,
     drift,
@@ -101,6 +102,7 @@ _MODULES = [
     classifier,
     bloom,
     chunking,
+    corruption,
 ]
 
 

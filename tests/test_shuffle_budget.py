@@ -236,6 +236,8 @@ BUDGET = {
     # temperature sizing: one census groupBy; the share denominator is
     # a global window over the #keys census (SinglePartition, uncounted)
     "q_temperature_shares": 1,
+    # span corruption is per-row array algebra: zero shuffles
+    "q_span_corruption": 0,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
