@@ -25,6 +25,9 @@ lang, source, n_chars) frame:
                           it will actually train on; the per-doc
                           subword counts land next to the packed
                           assignment; round 9)
+  7c. span corruption    (corruption.span_corrupt — deterministic
+                          T5 masked-span (input, target) pairs for
+                          encoder-decoder objectives; round 10)
   8. training order      (curation.deterministic_shuffle keyed on
                           bin_id: BINS are the unit a training loader
                           reads, so the order shuffle runs after
@@ -171,6 +174,20 @@ def run_pipeline(
     tokens = apply_bpe(selected, merges)
     tokens.write.mode("overwrite").parquet(f"{out_dir}/tokens")
     counts["bpe_tokenized"] = spark.read.parquet(f"{out_dir}/tokens").count()
+
+    # 7c. span-corruption pairs (T5 objective; round 10): the
+    # masked-span (input, target) construction over the selected
+    # corpus — deterministic hash-grid spans, so the pairs are a pure
+    # function of the data (resumed shards and re-runs agree). Written
+    # beside the packed assignment; an encoder-decoder run packs THESE
+    # instead of the raw docs.
+    from lambda_sample_spark.operators.corruption import span_corrupt
+
+    pairs = span_corrupt(selected.select("doc_id", "text"))
+    pairs.write.mode("overwrite").parquet(f"{out_dir}/span_pairs")
+    counts["span_pairs"] = spark.read.parquet(
+        f"{out_dir}/span_pairs"
+    ).count()
 
     # 8. deterministic training order over the BINS (the unit a
     # loader reads): same bin -> same shard, shards contiguous,

@@ -90,6 +90,16 @@ def test_pipeline_stages_compose_and_are_deterministic(spark, tmp_path):
     token_ids = {r["doc_id"] for r in tokens.select("doc_id").collect()}
     assert packed_ids == token_ids  # both artifacts cover the final corpus
 
+    # span-corruption pairs cover the final corpus too (stage 7c)
+    pairs = packed.sparkSession.read.parquet(
+        str(tmp_path / "out_a" / "span_pairs")
+    )
+    assert counts["span_pairs"] == counts["dsir_select"]
+    assert {r["doc_id"] for r in pairs.select("doc_id").collect()} == packed_ids
+    assert set(pairs.columns) == {
+        "doc_id", "n_tokens", "n_spans", "input_text", "target_text"
+    }
+
     # determinism: an independent second run produces the identical
     # packed assignment and token table (fresh index root, fresh
     # output dir)
