@@ -178,6 +178,14 @@ def bloom_probe(
     k bits are all set), ``hit`` (BIGINT flag). ``bitmap`` is the
     dense word list from ``bloom_inline`` (probe_mode='inline') or the
     ``bloom_build`` DataFrame (probe_mode='join')."""
+    # the gram hash is CPU-bound: fan under-partitioned inputs out
+    # first (the dsir/playbook gate; no-op on real multi-split
+    # sources) — measured 54.2s → 9.4s on the 50k-doc rung whose
+    # parquet read packed into 2 partitions
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     pairs = _gram_hash_pairs(docs, id_col, text_col, n, gram_hash)
     positions = _positions(m_bits, k)
 

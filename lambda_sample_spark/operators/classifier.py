@@ -62,6 +62,7 @@ def train_nb(
     n: int = GRAM_N,
     n_buckets: int = N_BUCKETS,
     gram_hash: str = "xxhash64",
+    materialize=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Multinomial NB over hashed n-gram bags. ``label`` is a boolean
     Column over ``train_docs`` (True = positive / keep class).
@@ -81,7 +82,23 @@ def train_nb(
     the same IEEE ops in Spark and DuckDB. Persist both frames
     (parquet) to get a model artifact scoring can broadcast later —
     the contract row does exactly that.
+
+    ``materialize``, if given, is ``fn(df, name) -> df`` applied to
+    the ≤B-row gram census: weights AND consts both descend from it,
+    so without a cut each one re-runs the corpus gram pass (measured
+    2× at the 10× rung); the ccnet idiom. Callers that persist the
+    returned frames separately should pass it.
     """
+    # the gram hash is CPU-bound (interpreted HOF over the token
+    # array): a few-file input would leave the whole pass on a couple
+    # of cores — fan under-partitioned inputs out first (the dsir
+    # gate; no-op on real multi-split sources). With the census cut
+    # below, the full train+persist+score rung at 50k docs (read as 2
+    # partitions) measured 75.7s → 9.2s.
+    spark = train_docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if train_docs.rdd.getNumPartitions() < par:
+        train_docs = train_docs.repartition(par)
     lab = train_docs.select(
         F.col(id_col), label.cast("boolean").alias("__pos"), text_col
     )
@@ -92,6 +109,8 @@ def train_nb(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("c0"),
     )
+    if materialize is not None:
+        cnts = materialize(cnts, "nb_census")
     totals = cnts.agg(
         F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
     )
@@ -142,6 +161,11 @@ def score_nb(
     table (miss ⇒ ``w_def``) → per-doc sum. The model side never
     shuffles.
     """
+    # fan-out gate for the CPU-bound gram pass (see train_nb)
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     grams = _bucketed_grams(
         docs, id_col, text_col, n, n_buckets, gram_hash, carry_cols=extra_cols
     )
@@ -286,6 +310,7 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 10 < 8),
         F.col("lang") == "en",
         gram_hash="md5",
+        materialize=mat,
     )
     weights, consts = mat(weights, "weights"), mat(consts, "consts")
     scored = score_nb(

@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk", "corrupt"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -553,20 +553,30 @@ def main() -> None:
             )
 
             def _nbq():
+                wp = os.path.join(work, "nbq_model")
+
+                def mat(df, name):
+                    p = os.path.join(wp, name)
+                    df.write.mode("overwrite").parquet(p)
+                    return spark.read.parquet(p)
+
                 w, c = train_nb(
                     docs.where(F.col("doc_id") % 10 < 8).select(
                         "doc_id", "lang", "text"
                     ),
                     F.col("lang") == "en",
+                    materialize=mat,
                 )
-                wp = os.path.join(work, "nbq_model")
                 w.write.mode("overwrite").parquet(wp + "/w")
                 c.write.mode("overwrite").parquet(wp + "/c")
-                return score_nb(
+                scored = score_nb(
                     docs.select("doc_id", "text"),
                     spark.read.parquet(wp + "/w"),
                     spark.read.parquet(wp + "/c"),
-                ).count()
+                )
+                # noop-force: count() would prune the decimal score sum
+                scored.write.format("noop").mode("overwrite").save()
+                return "forced"
 
             measure(spark, f"nb_train_score@{n}", _nbq)
 
@@ -583,9 +593,10 @@ def main() -> None:
                 bench = docs.where(F.col("doc_id") < 20).select(
                     F.col("doc_id").alias("bench_id"), "text"
                 )
-                return bloom_probe(
+                bloom_probe(
                     docs.select("doc_id", "text"), bloom_build(bench)
-                ).count()
+                ).write.format("noop").mode("overwrite").save()
+                return "forced"
 
             measure(spark, f"bloom_probe@{n}", _bloom)
 
@@ -596,12 +607,32 @@ def main() -> None:
                 chunk_documents,
             )
 
+            # noop-force: count() over a projection prunes the window
+            # text assembly entirely (the playbook count() hazard)
             measure(
                 spark,
                 f"chunk_windows@{n}",
-                lambda: chunk_documents(
-                    docs.select("doc_id", "text")
-                ).count(),
+                lambda: chunk_documents(docs.select("doc_id", "text"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+        if "corrupt" in ops:
+            # round-10 span-corruption rung: per-row array algebra —
+            # wall scan-linear, shuffle exactly 0
+            from lambda_sample_spark.operators.corruption import (
+                span_corrupt,
+            )
+
+            # noop-force (same count()-pruning hazard as chunk)
+            measure(
+                spark,
+                f"span_corrupt@{n}",
+                lambda: span_corrupt(docs.select("doc_id", "text"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
             )
 
         if "substr" in ops:
