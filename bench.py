@@ -136,6 +136,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_unigram_logprob",
         "q_ccnet_buckets",
         "q_nb_quality",
+        "x_nbq_prod",
         "q_chunk_windows",
         "q_vocab_topn",
         "q_inverted_index",
@@ -217,6 +218,7 @@ SEAM_TWINS = {
     "q_contamination": "x_contamination_prod",
     "q_substring_dedup": "x_substring_prod",
     "q_bloom_contamination": "x_bloom_prod",
+    "q_nb_quality": "x_nbq_prod",
 }
 
 
@@ -277,6 +279,36 @@ def bench_contamination_prod(spark, sf_dir: str) -> None:
         F.col("doc_id").alias("bench_id"), "text"
     )
     force(contamination_check(docs, bench, n=_DECON_N))
+
+
+def bench_nbq_prod(spark, sf_dir: str) -> None:
+    """Composite: the PRODUCTION NB-classifier path (xxhash64 gram
+    buckets, scratch-staged census/model — train_nb's materialize
+    hook) — q_nb_quality is the md5 oracle twin."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.classifier import score_nb, train_nb
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    base = tempfile.mkdtemp(prefix="bench_nbq_")
+
+    def mat(df, name):
+        p = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(p)
+        return spark.read.parquet(p)
+
+    w, c = train_nb(
+        docs.where(F.col("doc_id") % 10 < 8),
+        F.col("lang") == "en",
+        materialize=mat,
+    )
+    force(score_nb(docs.select("doc_id", "text"), mat(w, "w"), mat(c, "c")))
 
 
 def bench_bloom_prod(spark, sf_dir: str) -> None:
@@ -390,6 +422,7 @@ COMPOSITES = {
     "x_substring_prod": bench_substring_prod,
     "x_contamination_prod": bench_contamination_prod,
     "x_bloom_prod": bench_bloom_prod,
+    "x_nbq_prod": bench_nbq_prod,
     "x_embed_prod": bench_embed_prod,
     "x_ingest_batch": bench_ingest_batch,
     "x_stream_bottomk": bench_stream_bottomk,

@@ -180,7 +180,7 @@ def bloom_probe(
     ``bloom_build`` DataFrame (probe_mode='join')."""
     # the gram hash is CPU-bound: fan under-partitioned inputs out
     # first (the dsir/playbook gate; no-op on real multi-split
-    # sources) — measured 54.2s → 9.4s on the 50k-doc rung whose
+    # sources) — measured 54.2s → 7.3s on the 50k-doc rung whose
     # parquet read packed into 2 partitions
     spark = docs.sparkSession
     par = spark.sparkContext.defaultParallelism
@@ -192,7 +192,13 @@ def bloom_probe(
     if probe_mode == "inline":
         if not isinstance(bitmap, list):
             bitmap = bloom_inline(bitmap, m_bits)
-        arr = F.array(*[F.lit(w).cast("bigint") for w in bitmap])
+        # ONE array Literal, not F.array(*2048 lits): the probe
+        # references the bitmap once per probe (k times), and a
+        # CreateArray tree re-evaluates per reference while a Literal
+        # is free — measured 4.7s -> 2.0s on the sf0.1 row (join mode
+        # is 1.1s there but pays a corpus-sized per-gram shuffle;
+        # inline stays the 100 TB default)
+        arr = F.lit([int(w) for w in bitmap])
         ok = F.lit(True)
         for pos in positions:
             word = F.shiftright(pos, 5)
