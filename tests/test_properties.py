@@ -146,3 +146,75 @@ def test_gen_regimes_invariants(spark):
         assert again.exceptAll(df).count() == 0
     finally:
         df.unpersist()
+
+
+# --- round-10 session-5 driver-side pure functions ----------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    caps=st.dictionaries(
+        st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                min_size=1, max_size=4),
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1, max_size=12,
+    ),
+    total=st.integers(min_value=0, max_value=50_000),
+    epochs=st.floats(min_value=0.1, max_value=4.0, allow_nan=False),
+)
+def test_unimax_budget_invariants(caps, total, epochs):
+    from lambda_sample_spark.operators.training import unimax_budgets
+
+    out = unimax_budgets(caps, total, max_epochs=epochs)
+    hard = {k: int(epochs * c) for k, c in caps.items()}
+    # never over any key's epoch cap
+    assert all(0 <= out[k] <= hard[k] for k in caps)
+    # exactly the spendable budget is spent
+    assert sum(out.values()) == min(total, sum(hard.values()))
+    # uniform among unsaturated keys (water level +- the remainder unit)
+    live = [out[k] for k in caps if out[k] < hard[k]]
+    assert not live or max(live) - min(live) <= 1
+    # deterministic
+    assert out == unimax_budgets(caps, total, max_epochs=epochs)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=10_000_000),
+    fpp=st.floats(min_value=1e-6, max_value=0.5, allow_nan=False),
+)
+def test_bloom_params_realized_fpp(n, fpp):
+    from lambda_sample_spark.operators.bloom import bloom_params
+
+    m, k = bloom_params(n, fpp)
+    assert m > 0 and m % 32 == 0 and k >= 1
+    # realized rate of the (m, k) actually returned stays near target
+    # (k is rounded, m is ceil'd — both can only move the rate a bit)
+    realized = (1.0 - math.exp(-k * n / m)) ** k
+    assert realized <= fpp * 2.0
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=5_000),
+    max_t=st.integers(min_value=2, max_value=512),
+    ov_frac=st.floats(min_value=0.0, max_value=0.9, allow_nan=False),
+)
+def test_chunk_window_rule_coverage(n, max_t, ov_frac):
+    # python twin of chunking's window rule (the Spark expression is
+    # pinned cell-exactly by the oracle; this pins the RULE itself on
+    # the whole parameter space)
+    ov = min(int(max_t * ov_frac), max_t - 1)
+    stride = max_t - ov
+    n_chunks = 1 if n <= max_t else 1 + math.ceil((n - max_t) / stride)
+    starts = [i * stride for i in range(n_chunks)]
+    # every start is a real window (never past the end)
+    assert all(s < n for s in starts)
+    # the last window reaches the final token; none before it does
+    assert starts[-1] + max_t >= n
+    assert n_chunks == 1 or starts[-2] + max_t < n
+    # coverage of every token position
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + max_t, n)))
+    assert covered == set(range(n))
