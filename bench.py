@@ -157,6 +157,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_bloom_contamination",
         "x_bloom_prod",
         "q_redact_pii",
+        "q_blocklist_hits",
         "q_source_cap",
         "q_shard_order",
         "q_pack_documents",

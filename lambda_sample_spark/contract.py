@@ -17,6 +17,7 @@ from .operators import (
     aggregates,
     anomaly,
     behavior,
+    blocklist,
     bloom,
     bpe,
     ccnet,
@@ -103,6 +104,7 @@ _MODULES = [
     bloom,
     chunking,
     corruption,
+    blocklist,
 ]
 
 

@@ -238,6 +238,10 @@ BUDGET = {
     "q_temperature_shares": 1,
     # span corruption is per-row array algebra: zero shuffles
     "q_span_corruption": 0,
+    # blocklist: matching gram rows union -> distinct-hit census (the
+    # count_distinct expand pair) + the all-docs audit left join; only
+    # MATCHING grams and doc ids ever shuffle, never the gram stream
+    "q_blocklist_hits": 4,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
