@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk", "corrupt"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk", "corrupt", "blocklist"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -613,6 +613,26 @@ def main() -> None:
                 spark,
                 f"chunk_windows@{n}",
                 lambda: chunk_documents(docs.select("doc_id", "text"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
+
+        if "blocklist" in ops:
+            # round-10 phrase-scrub rung: per-length gram probes
+            # against the broadcast phrase set; only matching grams
+            # shuffle
+            from lambda_sample_spark.operators.blocklist import (
+                BLOCKLIST,
+                blocklist_hits,
+            )
+
+            measure(
+                spark,
+                f"blocklist_hits@{n}",
+                lambda: blocklist_hits(
+                    docs.select("doc_id", "text"), BLOCKLIST
+                )
                 .write.format("noop")
                 .mode("overwrite")
                 .save(),
