@@ -89,12 +89,34 @@ def train_nb(
     2× at the 10× rung); the ccnet idiom. Callers that persist the
     returned frames separately should pass it.
     """
+    census, priors = nb_census(
+        train_docs, label, id_col, text_col, n, n_buckets, gram_hash
+    )
+    if materialize is not None:
+        census = materialize(census, "nb_census")
+    return nb_derive(census, priors, n_buckets)
+
+
+def nb_census(
+    train_docs: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = GRAM_N,
+    n_buckets: int = N_BUCKETS,
+    gram_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The model's SUFFICIENT STATISTICS: the per-bucket class gram
+    census ``(bucket, c1, c0)`` (≤ B rows) and the doc-count prior
+    census ``(n1, n0)`` (1 row). Exact integers, so two censuses over
+    disjoint batches MERGE by addition into exactly the full-corpus
+    census — the property :func:`nb_update` builds on."""
     # the gram hash is CPU-bound (interpreted HOF over the token
     # array): a few-file input would leave the whole pass on a couple
     # of cores — fan under-partitioned inputs out first (the dsir
-    # gate; no-op on real multi-split sources). With the census cut
-    # below, the full train+persist+score rung at 50k docs (read as 2
-    # partitions) measured 75.7s → 9.2s.
+    # gate; no-op on real multi-split sources). With the census cut in
+    # train_nb, the full train+persist+score rung at 50k docs (read as
+    # 2 partitions) measured 75.7s → 9.2s.
     spark = train_docs.sparkSession
     par = spark.sparkContext.defaultParallelism
     if train_docs.rdd.getNumPartitions() < par:
@@ -105,21 +127,47 @@ def train_nb(
     grams = _bucketed_grams(
         lab, id_col, text_col, n, n_buckets, gram_hash, carry_cols=("__pos",)
     )
-    cnts = grams.groupBy("bucket").agg(
+    census = grams.groupBy("bucket").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("c0"),
-    )
-    if materialize is not None:
-        cnts = materialize(cnts, "nb_census")
-    totals = cnts.agg(
-        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
     )
     priors = lab.agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n1"),
         F.sum(F.when(~F.col("__pos"), 1).otherwise(0)).alias("n0"),
     )
+    return census, priors
+
+
+def nb_merge_census(
+    a: tuple[DataFrame, DataFrame], b: tuple[DataFrame, DataFrame]
+) -> tuple[DataFrame, DataFrame]:
+    """Merge two (census, priors) pairs by exact integer addition —
+    censuses over disjoint batches compose into the full-corpus
+    census, so the merged-then-derived model EQUALS full retraining
+    bit-for-bit (pinned in tests)."""
+    census = (
+        a[0].unionByName(b[0])
+        .groupBy("bucket")
+        .agg(F.sum("c1").alias("c1"), F.sum("c0").alias("c0"))
+    )
+    priors = (
+        a[1].unionByName(b[1])
+        .agg(F.sum("n1").alias("n1"), F.sum("n0").alias("n0"))
+    )
+    return census, priors
+
+
+def nb_derive(
+    census: DataFrame, priors: DataFrame, n_buckets: int = N_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """Derive (weights, consts) from the sufficient statistics — pure
+    arithmetic over the bounded census, identical IEEE ops in both
+    engines (the expressions the oracle replays)."""
+    totals = census.agg(
+        F.sum("c1").alias("t1"), F.sum("c0").alias("t0")
+    )
     b = F.lit(float(n_buckets))
-    weights = cnts.crossJoin(F.broadcast(totals)).select(
+    weights = census.crossJoin(F.broadcast(totals)).select(
         "bucket",
         (
             F.log((F.col("c1") + 1) / (F.col("t1") + b))
@@ -190,6 +238,94 @@ def score_nb(
         "n_grams",
         F.round(score, 6).alias("logodds"),
         (score > 0).cast("bigint").alias("pred"),
+    )
+
+
+def nb_commit(
+    spark: SparkSession,
+    model_dir: str,
+    census: DataFrame,
+    priors: DataFrame,
+    n_buckets: int = N_BUCKETS,
+) -> None:
+    """Commit a model version: the sufficient statistics AND the
+    derived scoring tables, each as a versioned parquet table
+    (sources/warehouse pointer-swap layout — a reader resolves the old
+    or the new version, never a torn one, so scoring and updating can
+    interleave). Layout: ``{model_dir}/{census,priors,weights,consts}``.
+    """
+    from ..sources.warehouse import write_versioned
+    from .graph import unpersist_checkpoint
+
+    # census/priors each feed TWO consumers (their own committed copy
+    # + the derived tables): localCheckpoint cuts the batch gram pass
+    # to one run; released via unpersist_checkpoint (plain unpersist()
+    # is a silent no-op for checkpoint frames — graph.py:43)
+    census = census.localCheckpoint(eager=True)
+    try:
+        priors = priors.localCheckpoint(eager=True)
+        try:
+            weights, consts = nb_derive(census, priors, n_buckets)
+            write_versioned(census, f"{model_dir}/census")
+            write_versioned(priors, f"{model_dir}/priors")
+            write_versioned(weights, f"{model_dir}/weights")
+            write_versioned(consts, f"{model_dir}/consts")
+        finally:
+            unpersist_checkpoint(priors)
+    finally:
+        unpersist_checkpoint(census)
+
+
+def nb_update(
+    spark: SparkSession,
+    model_dir: str,
+    new_docs: DataFrame,
+    label,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = GRAM_N,
+    n_buckets: int = N_BUCKETS,
+    gram_hash: str = "xxhash64",
+) -> None:
+    """Steady-state model refresh (the X14 incremental story applied
+    to the classifier): census the NEW batch only, merge into the
+    persisted sufficient statistics by exact integer addition, commit
+    the next version. Incrementally-updated model ≡ full retrain over
+    everything ever ingested, bit-for-bit (integer counts → identical
+    derived doubles; pinned in tests). The batch is the only thing
+    scanned — yesterday's corpus never re-reads. Caller discipline:
+    (n, n_buckets, gram_hash) must match the committed model's
+    (document them with the model dir)."""
+    from ..sources.warehouse import read_versioned
+
+    old = (
+        read_versioned(spark, f"{model_dir}/census"),
+        read_versioned(spark, f"{model_dir}/priors"),
+    )
+    new = nb_census(
+        new_docs, label, id_col, text_col, n, n_buckets, gram_hash
+    )
+    census, priors = nb_merge_census(old, new)
+    nb_commit(spark, model_dir, census, priors, n_buckets)
+
+
+def load_nb_model(
+    spark: SparkSession, model_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read the current (weights, consts) version — the frames
+    :func:`score_nb` takes. Falls back to plain parquet dirs for
+    models persisted without the versioned layout (the contract row's
+    scratch staging)."""
+    from ..sources.warehouse import current_version, read_versioned
+
+    if current_version(f"{model_dir}/weights") is not None:
+        return (
+            read_versioned(spark, f"{model_dir}/weights"),
+            read_versioned(spark, f"{model_dir}/consts"),
+        )
+    return (
+        spark.read.parquet(f"{model_dir}/weights"),
+        spark.read.parquet(f"{model_dir}/consts"),
     )
 
 

@@ -45,19 +45,21 @@ def quality_sink(
     ``logodds > threshold`` land under ``out_dir/keep/batch=<id>``,
     the rest under ``out_dir/quarantine/batch=<id>``, and one audit
     row (batch_id, n_docs, n_keep, mean_logodds) under
-    ``out_dir/metrics/batch=<id>``. The model (weights + consts
-    parquet, the train_nb artifact layout) is loaded once per batch
-    from ``model_dir`` — tiny reads, and hot-swappable: drop a newer
-    model in place and the next batch scores with it."""
-    from ..operators.classifier import score_nb
+    ``out_dir/metrics/batch=<id>``. The model is loaded once per batch
+    through ``classifier.load_nb_model`` — the versioned pointer-swap
+    layout ``nb_commit``/``nb_update`` write (a concurrent refresh is
+    safe: the batch resolves the old or the new version, never a torn
+    one), with a plain-parquet fallback for hand-persisted models.
+    Hot-swappable either way: commit a newer model and the next batch
+    scores with it."""
+    from ..operators.classifier import load_nb_model, score_nb
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         docs = batch_df.select("doc_id", "text")
         if not docs.take(1):
             return
-        weights = spark.read.parquet(f"{model_dir}/weights")
-        consts = spark.read.parquet(f"{model_dir}/consts")
+        weights, consts = load_nb_model(spark, model_dir)
         scored = score_nb(
             docs, weights, consts, n=n, n_buckets=n_buckets,
             gram_hash=gram_hash,

@@ -96,3 +96,53 @@ def test_lr_planted_auc_and_roundtrip(spark, planted, tmp_path):
     a = {r["doc_id"]: r["prediction"] for r in pred.collect()}
     b = {r["doc_id"]: r["prediction"] for r in again.collect()}
     assert a == b
+
+
+def test_incremental_update_equals_full_retrain(spark, planted, tmp_path):
+    """The X14 steady-state story for the classifier: censuses are
+    exact integers, so batch-merged sufficient statistics derive the
+    IDENTICAL model a full retrain over everything produces."""
+    model_dir = str(tmp_path / "inc_model")
+    b1 = planted.where("doc_id < 100")
+    b2 = planted.where("doc_id >= 100 AND doc_id < 200")
+    b3 = planted.where("doc_id >= 200")
+
+    C.nb_commit(spark, model_dir, *C.nb_census(b1, F.col("y") == 1, n=1))
+    C.nb_update(spark, model_dir, b2, F.col("y") == 1, n=1)
+    C.nb_update(spark, model_dir, b3, F.col("y") == 1, n=1)
+
+    w_inc, c_inc = C.load_nb_model(spark, model_dir)
+    w_full, c_full = C.train_nb(planted, F.col("y") == 1, n=1)
+    key = lambda r: r["bucket"]  # noqa: E731
+    assert sorted(w_inc.collect(), key=key) == sorted(
+        w_full.collect(), key=key
+    )
+    assert c_inc.collect() == c_full.collect()
+    # three commits -> version 3 of every table
+    from lambda_sample_spark.sources.warehouse import current_version
+
+    assert current_version(f"{model_dir}/weights") == 3
+
+    # scoring through the versioned loader equals scoring the frames
+    a = C.score_nb(planted, w_inc, c_inc, n=1).collect()
+    b = C.score_nb(planted, w_full, c_full, n=1).collect()
+    k2 = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(a, key=k2) == sorted(b, key=k2)
+
+
+def test_quality_sink_reads_versioned_model(spark, planted, tmp_path):
+    from lambda_sample_spark.streaming.quality import quality_sink
+
+    model_dir = str(tmp_path / "v_model")
+    C.nb_commit(
+        spark, model_dir, *C.nb_census(planted, F.col("y") == 1, n=1)
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    planted.select("doc_id", "text").write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = quality_sink(stream, model_dir, out, str(tmp_path / "ckpt"), n=1)
+    q.awaitTermination(120)
+    kept = spark.read.parquet(f"{out}/keep/*")
+    quar = spark.read.parquet(f"{out}/quarantine/*")
+    assert kept.count() + quar.count() == planted.count()
