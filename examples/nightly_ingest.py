@@ -21,6 +21,11 @@ by batch size (never corpus size):
                         pq.ivfpq_append_index — frozen centroids +
                         codebooks, append-only cluster cells (retrain
                         on periodic full rebuilds, the FAISS practice)
+  5. model refresh      classifier.nb_update — the night's survivors
+                        fold into the quality model's exact-integer
+                        sufficient statistics; refreshed ≡ full
+                        retrain, versioned pointer-swap commit
+                        (round 10)
 
 Each stage is idempotent-ish state machinery a real pipeline keeps:
 the minhash index, the cluster labels, the corpus table and the ANN
@@ -150,6 +155,25 @@ def nightly_ingest(
         else:
             ivfpq_append_index(emb_surv, ann_root)
         n_appended = emb_surv.count()
+
+    # 5. quality-model refresh (round 10): fold the night's survivors
+    # into the NB classifier's sufficient statistics — exact-integer
+    # census merge, so the refreshed model equals a full retrain over
+    # every night so far; the streaming/quality.py filter hot-swaps to
+    # the committed version on its next batch. Weak label: the even
+    # doc_id split (stands in for provenance labels a real run has).
+    from lambda_sample_spark.operators.classifier import (
+        nb_census,
+        nb_commit,
+        nb_update,
+    )
+
+    model_root = os.path.join(state_dir, "quality_model")
+    lbl = F.col("doc_id") % 2 == 0
+    if current_version(os.path.join(model_root, "census")) is None:
+        nb_commit(spark, model_root, *nb_census(survivors, lbl, n=1))
+    else:
+        nb_update(spark, model_root, survivors, lbl, n=1)
 
     return {
         "batch": flags.count(),

@@ -145,3 +145,32 @@ def test_incremental_index_rows_equal_incremental_corpus(spark, state):
         r.doc_id for r in corpus.select("doc_id").collect()
     }
     assert cells.count() == corpus.count()
+
+
+def test_quality_model_refresh_equals_full_retrain(spark, state):
+    """Stage 5: the nightly-folded NB model's sufficient statistics
+    equal one training pass over the full corpus store (exact integer
+    censuses merge losslessly), so the derived weights are identical."""
+    import os
+
+    from lambda_sample_spark.operators.classifier import (
+        load_nb_model,
+        train_nb,
+    )
+    from lambda_sample_spark.sources.warehouse import current_version
+
+    inc_dir, _, nightly_stats, _ = state
+    model_root = os.path.join(inc_dir, "quality_model")
+    assert current_version(os.path.join(model_root, "weights")) == len(
+        nightly_stats
+    )
+    corpus = read_versioned(spark, os.path.join(inc_dir, "corpus"))
+    w_full, c_full = train_nb(
+        corpus.select("doc_id", "text"), F.col("doc_id") % 2 == 0, n=1
+    )
+    w_inc, c_inc = load_nb_model(spark, model_root)
+    key = lambda r: r["bucket"]  # noqa: E731
+    assert sorted(w_inc.collect(), key=key) == sorted(
+        w_full.collect(), key=key
+    )
+    assert c_inc.collect() == c_full.collect()
