@@ -46,6 +46,12 @@ SNAPSHOT_QUERIES = [
     "q_tpch_q16",
     "q_contamination",
     "q_pq_adc_topk",
+    # round-10 additions: the classifier's broadcast-model scoring and
+    # the Bloom probe's zero-join corpus plan (a broadcast degrading to
+    # a shuffle join, or the inline literal degrading to a join, are
+    # exactly the strategy flips this suite exists to catch)
+    "q_nb_quality",
+    "q_bloom_contamination",
 ]
 
 
