@@ -1,0 +1,136 @@
+"""Streaming curation gate: the ingest-path filter chain composed in
+ONE foreachBatch handler — what a live corpus intake runs on every
+micro-batch before anything lands in the training store:
+
+  a. blocklist       operators/blocklist.blocklist_filter — drop docs
+                     containing banned phrases (stateless)
+  b. PII redaction   operators/curation.redact_pii — rewrite emails/
+                     IPs/phones/SSNs to typed tokens (stateless)
+  c. substring scrub incremental_substring.scrub_batch — excise
+                     passages duplicated against everything ingested
+                     so far (+ within batch); the persisted gram-count
+                     index is the cross-batch state, with the
+                     checkpoint-scoped marker making the count MERGE
+                     idempotent across replays (the scrub_sink recipe)
+  d. quality route   classifier.score_nb via load_nb_model — keep vs
+                     quarantine under batch=<id> overwrite sinks
+                     (structurally idempotent), per-batch audit row
+
+Stages a/b/d are stateless or read-only per batch, so their replays
+are safe by construction; only stage c mutates cross-batch state and
+carries the marker. The model and the gram index are both versioned
+pointer-swap stores — refreshing either between batches is safe.
+
+tests/test_streaming_curation.py drives two waves: a blocklisted doc
+never reaches any sink, PII is rewritten in the kept output, a
+passage seen in wave 1 is excised from its wave-2 copy on arrival,
+and the kept/quarantined split equals the batch operators applied by
+hand.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def curation_sink(
+    stream: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    phrases: list[str],
+    threshold: float = 0.0,
+    nb_n: int = 2,
+    min_len: int = 20,
+    min_count: int = 2,
+    trigger_available_now: bool = True,
+):
+    """Start the gate over a (doc_id, text) stream; returns the
+    StreamingQuery. State layout under ``state_dir``: ``substr_index``
+    (gram counts, versioned) and ``quality_model`` (the nb_commit
+    layout). Outputs under ``out_dir``: ``keep/batch=<id>``,
+    ``quarantine/batch=<id>``, ``metrics/batch=<id>``."""
+    # bind imports once here rather than per batch inside the handler
+    # (foreachBatch handlers run on the driver — no cloudpickle
+    # self-containment concern)
+    from lambda_sample_spark.operators.blocklist import blocklist_filter
+    from lambda_sample_spark.operators.classifier import (
+        load_nb_model,
+        score_nb,
+    )
+    from lambda_sample_spark.operators.curation import redact_pii
+    from lambda_sample_spark.operators.incremental_substring import (
+        scrub_batch,
+    )
+    from lambda_sample_spark.operators.substring import remove_dup_spans
+
+    index_root = os.path.join(state_dir, "substr_index")
+    model_dir = os.path.join(state_dir, "quality_model")
+    marker = checkpoint_dir.rstrip("/") + "_curation_marker"
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # stage-c idempotence (the scrub_sink recipe): a replayed
+        # batch must not re-merge its gram counts
+        try:
+            with open(marker) as f:
+                if batch_id <= int(f.read().strip()):
+                    return
+        except FileNotFoundError:
+            pass
+        docs = batch_df.select("doc_id", "text")
+        if not docs.take(1):
+            return
+        # a. + b. stateless filters
+        docs = blocklist_filter(docs, phrases)
+        docs = redact_pii(docs, count_hits=False)
+        # c. stateful passage scrub (merges this batch's gram counts)
+        if docs.take(1):
+            spans = scrub_batch(
+                spark, index_root, docs, min_len=min_len,
+                min_count=min_count,
+            )
+            docs = remove_dup_spans(docs, spans)
+        # d. quality route against the current model version
+        weights, consts = load_nb_model(spark, model_dir)
+        scored = score_nb(docs, weights, consts, n=nb_n).join(
+            docs, "doc_id"
+        ).persist()
+        try:
+            keep = scored.where(F.col("logodds") > threshold)
+            quar = scored.where(~(F.col("logodds") > threshold))
+            keep.write.mode("overwrite").parquet(
+                f"{out_dir}/keep/batch={batch_id}"
+            )
+            quar.write.mode("overwrite").parquet(
+                f"{out_dir}/quarantine/batch={batch_id}"
+            )
+            scored.agg(
+                F.count("*").cast("bigint").alias("n_docs"),
+                F.sum((F.col("logodds") > threshold).cast("int"))
+                .cast("bigint")
+                .alias("n_keep"),
+                F.round(F.avg("logodds"), 6).alias("mean_logodds"),
+            ).withColumn(
+                "batch_id", F.lit(batch_id).cast("bigint")
+            ).write.mode("overwrite").parquet(
+                f"{out_dir}/metrics/batch={batch_id}"
+            )
+        finally:
+            scored.unpersist()
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, marker)
+
+    writer = stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
