@@ -137,6 +137,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_ccnet_buckets",
         "q_nb_quality",
         "x_nbq_prod",
+        "q_classifier_eval",
         "q_chunk_windows",
         "q_vocab_topn",
         "q_inverted_index",

@@ -28,6 +28,7 @@ from .operators import (
     dedup,
     drift,
     dsir,
+    evaluation,
     fuzzy,
     graph,
     joins,
@@ -105,6 +106,7 @@ _MODULES = [
     chunking,
     corruption,
     blocklist,
+    evaluation,
 ]
 
 

@@ -242,6 +242,10 @@ BUDGET = {
     # count_distinct expand pair) + the all-docs audit left join; only
     # MATCHING grams and doc ids ever shuffle, never the gram stream
     "q_blocklist_hits": 4,
+    # classifier eval: the nb scoring pass (2, staged to scratch) +
+    # the threshold census + the score-level census; the AUC window is
+    # SinglePartition (uncounted)
+    "q_classifier_eval": 4,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
