@@ -138,6 +138,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_nb_quality",
         "x_nbq_prod",
         "q_classifier_eval",
+        "q_calibration",
         "q_chunk_windows",
         "q_vocab_topn",
         "q_inverted_index",

@@ -98,6 +98,40 @@ def auc_exact(
     )
 
 
+def calibration_census(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "logodds",
+    label_col: str = "is_en",
+) -> DataFrame:
+    """Reliability-diagram census: sigmoid the log-odds into a
+    predicted probability, bin into ``n_bins`` equal-width buckets
+    (floor, top edge clamped into the last bin), and report per bin
+    the count, the mean predicted probability, and the observed
+    positive rate — a calibrated model's two last columns track each
+    other. One partial-aggregated pass; floor() written explicitly on
+    both engines (the playbook cast rule), the mean's accumulation
+    decimal-cast per term."""
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col(score_col)))
+    bin_ = F.least(
+        F.floor(prob * n_bins).cast("bigint"), F.lit(n_bins - 1)
+    )
+    pos = (F.col(label_col) == 1).cast("int")
+    return (
+        scored.select(prob.alias("p"), pos.alias("y"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(F.col("p").cast("decimal(25,15)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("mean_prob"),
+            F.round(F.sum("y") / F.count("*"), 6).alias("frac_pos"),
+        )
+    )
+
+
 def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 10): the evaluation readout of the NB
     quality classifier — the 21-threshold confusion census over
@@ -129,6 +163,28 @@ def q_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = spark.read.parquet(path)
     grid = confusion_grid(scored)
     return grid.crossJoin(F.broadcast(auc_exact(scored)))
+
+
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 10): the reliability census over the same
+    staged scored frame (10 equal-width probability bins; sigmoid /
+    floor / decimal-mean seams replayed by DuckDB). On this corpus the
+    model is visibly over-confident out of distribution — another
+    readout the census exists to show."""
+    import hashlib
+    import os
+    import tempfile
+
+    from .classifier import q_nb_quality
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_nbeval_{tag}")
+    # reuse q_classifier_eval's staging when fresh is not required:
+    # the frame is deterministic per sf_dir, so overwrite is idempotent
+    q_nb_quality(spark, sf_dir).select("logodds", "is_en").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return calibration_census(spark.read.parquet(path))
 
 
 def _eval_oracle() -> str:
@@ -181,6 +237,33 @@ FROM cells c, auc a
 """
 
 
+def _calibration_oracle() -> str:
+    from .classifier import _NB_ORACLE
+
+    return rf"""
+WITH scored_full AS ({_NB_ORACLE}),
+binned AS (
+  SELECT 1.0 / (1.0 + exp(-logodds)) AS p,
+         CASE WHEN is_en = 1 THEN 1 ELSE 0 END AS y,
+         least(CAST(floor((1.0 / (1.0 + exp(-logodds))) * 10) AS BIGINT),
+               9) AS bin
+  FROM scored_full
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(CAST(p AS DECIMAL(25,15))) AS DOUBLE)
+             / count(*), 6) AS mean_prob,
+       round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos
+FROM binned GROUP BY 1
+"""
+
+
 QUERIES: dict = {}
-QUERIES_TAIL = {"q_classifier_eval": q_classifier_eval}
-ORACLE = {"q_classifier_eval": _eval_oracle()}
+QUERIES_TAIL = {
+    "q_classifier_eval": q_classifier_eval,
+    "q_calibration": q_calibration,
+}
+ORACLE = {
+    "q_classifier_eval": _eval_oracle(),
+    "q_calibration": _calibration_oracle(),
+}

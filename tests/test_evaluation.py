@@ -69,3 +69,29 @@ def test_planted_separation_detected(spark):
     )
     auc = auc_exact(scored).collect()[0]["auc"]
     assert auc >= 0.95, f"held-out AUC {auc} on a separable corpus"
+
+
+def test_calibration_census_invariants(spark):
+    from lambda_sample_spark.operators.evaluation import calibration_census
+
+    import math
+
+    # a logodds grid spanning (0,1) probabilities; labels drawn by a
+    # deterministic stride so each bin has a plausible positive rate
+    rows = []
+    for i in range(100):
+        lo = (i - 50) / 10.0
+        p = 1.0 / (1.0 + math.exp(-lo))
+        rows.append((lo, 1 if (i * 37 % 100) / 100.0 < p else 0))
+    sc = spark.createDataFrame(rows, "logodds double, is_en int")
+    out = calibration_census(sc).collect()
+    bins = {r["bin"] for r in out}
+    assert bins <= set(range(10))
+    assert sum(r["n"] for r in out) == 100
+    for r in out:
+        assert 0.0 <= r["mean_prob"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        # mean predicted prob lies inside its bin's edges (clamped top)
+        lo_edge = r["bin"] / 10.0
+        hi_edge = (r["bin"] + 1) / 10.0 if r["bin"] < 9 else 1.0
+        assert lo_edge <= r["mean_prob"] <= hi_edge + 1e-9

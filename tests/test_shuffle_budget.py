@@ -246,6 +246,8 @@ BUDGET = {
     # the threshold census + the score-level census; the AUC window is
     # SinglePartition (uncounted)
     "q_classifier_eval": 4,
+    # calibration: the staged scoring pass + the bin census
+    "q_calibration": 2,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
