@@ -307,7 +307,17 @@ def weighted_sample(
         docs.select(key, w.alias("w"), score.alias("_s"))
         .orderBy(F.desc("_s"), key)
         .limit(k)
-        .select(key_col, "w", F.round("_s", 6).alias("ares_score"))
+        # + 0.0 normalizes IEEE negative zero: a tiny negative score
+        # rounds to -0.0 in DuckDB but +0.0 in Spark (first observed
+        # at the sf0.1 sweep — two rows with ln(u)/w ~ -5e-8), and the
+        # value compare distinguishes the two; -0.0 + 0.0 = +0.0 in
+        # round-to-nearest, a no-op for every other value. Paired with
+        # the identical term in the oracle.
+        .select(
+            key_col,
+            "w",
+            (F.round("_s", 6) + F.lit(0.0)).alias("ares_score"),
+        )
     )
 
 
@@ -668,7 +678,7 @@ WITH keyed AS (
            / CAST(greatest(n_chars, 1) AS BIGINT) AS s
   FROM documents
 )
-SELECT doc_id, w, round(s, 6) AS ares_score
+SELECT doc_id, w, round(s, 6) + CAST(0.0 AS DOUBLE) AS ares_score
 FROM keyed ORDER BY s DESC, doc_id LIMIT 200
 """,
 }
