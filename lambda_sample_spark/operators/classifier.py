@@ -236,7 +236,9 @@ def score_nb(
         id_col,
         *extra_cols,
         "n_grams",
-        F.round(score, 6).alias("logodds"),
+        # + 0.0: IEEE negative-zero pairing (playbook; a tiny negative
+        # score rounds to -0.0 in DuckDB, +0.0 in Spark)
+        (F.round(score, 6) + F.lit(0.0)).alias("logodds"),
         (score > 0).cast("bigint").alias("pred"),
     )
 
@@ -518,7 +520,7 @@ scored AS (
   GROUP BY 1, 2
 )
 SELECT doc_id, lang, n_grams,
-       round(bias + raw, 6) AS logodds,
+       round(bias + raw, 6) + CAST(0.0 AS DOUBLE) AS logodds,
        CAST((bias + raw) > 0 AS BIGINT) AS pred,
        CAST(lang = 'en' AS BIGINT) AS is_en
 FROM scored

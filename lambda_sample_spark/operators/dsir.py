@@ -199,8 +199,9 @@ def dsir_scores(
         id_col,
         *extra_cols,
         "n_grams",
-        F.round(logw_d, 6).alias("logw"),
-        F.round(logw_d + gumbel, 6).alias("gkey"),
+        # + 0.0 on both: the negative-zero pairing (playbook)
+        (F.round(logw_d, 6) + F.lit(0.0)).alias("logw"),
+        (F.round(logw_d + gumbel, 6) + F.lit(0.0)).alias("gkey"),
     )
 
 
@@ -294,11 +295,11 @@ scored AS (
   GROUP BY 1, 2
 )
 SELECT doc_id, lang, n_grams,
-       round(logw_d, 6) AS logw,
+       round(logw_d, 6) + CAST(0.0 AS DOUBLE) AS logw,
        round(logw_d + (
          -ln(-ln(((('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
                           1, 8))::BIGINT) + 0.5) / {_U32!r}))
-       ), 6) AS gkey
+       ), 6) + CAST(0.0 AS DOUBLE) AS gkey
 FROM scored
 """
 

@@ -94,7 +94,8 @@ def welch_ab_test(
         F.col("n_b").cast("bigint").alias("n_b"),
         r6(mean_a).alias("mean_a"),
         r6(mean_b).alias("mean_b"),
-        r6(t).alias("t_stat"),
+        # + 0.0: negative-zero pairing (playbook)
+        (r6(t) + F.lit(0.0)).alias("t_stat"),
         r6(df).alias("welch_df"),
     )
 
@@ -144,8 +145,9 @@ def pmi_association(
         "x",
         "y",
         F.col("n_xy").cast("bigint").alias("n_xy"),
-        r6(pmi).alias("pmi"),
-        r6(p_xy * pmi).alias("mi_term"),
+        # + 0.0: negative-zero pairing (playbook)
+        (r6(pmi) + F.lit(0.0)).alias("pmi"),
+        (r6(p_xy * pmi) + F.lit(0.0)).alias("mi_term"),
     )
 
 
@@ -196,7 +198,7 @@ SELECT "group",
        CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
        round((mean_a - mean_b)
-             / sqrt(var_a / na + var_b / nb), 6) AS t_stat,
+             / sqrt(var_a / na + var_b / nb), 6) + CAST(0.0 AS DOUBLE) AS t_stat,
        round(((var_a / na + var_b / nb) * (var_a / na + var_b / nb))
              / ((var_a / na) * (var_a / na) / (na - 1)
                 + (var_b / nb) * (var_b / nb) / (nb - 1)), 6) AS welch_df
@@ -216,10 +218,10 @@ WITH cells AS (
 )
 SELECT c.x, c.y, CAST(c.n_xy AS BIGINT) AS n_xy,
        round(ln((CAST(c.n_xy AS DOUBLE) * n_tot)
-                / (CAST(n_x AS DOUBLE) * n_y)), 6) AS pmi,
+                / (CAST(n_x AS DOUBLE) * n_y)), 6) + CAST(0.0 AS DOUBLE) AS pmi,
        round((CAST(c.n_xy AS DOUBLE) / n_tot)
              * ln((CAST(c.n_xy AS DOUBLE) * n_tot)
-                  / (CAST(n_x AS DOUBLE) * n_y)), 6) AS mi_term
+                  / (CAST(n_x AS DOUBLE) * n_y)), 6) + CAST(0.0 AS DOUBLE) AS mi_term
 FROM cells c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
 """
 

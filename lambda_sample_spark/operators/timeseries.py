@@ -144,7 +144,9 @@ def sensor_correlation(ev: DataFrame) -> DataFrame:
         "tb",
         "n",
         F.when(
-            (vx > 0) & (vy > 0), r6(cov / F.sqrt(vx) / F.sqrt(vy))
+            (vx > 0) & (vy > 0),
+            # + 0.0: negative-zero pairing (playbook)
+            r6(cov / F.sqrt(vx) / F.sqrt(vy)) + F.lit(0.0),
         ).alias("corr"),
     )
 
@@ -217,7 +219,7 @@ SELECT ta, tb, n,
              AND CAST(n AS DOUBLE) * syy - sy * sy > 0
             THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
                        / sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-                       / sqrt(CAST(n AS DOUBLE) * syy - sy * sy), 6)
+                       / sqrt(CAST(n AS DOUBLE) * syy - sy * sy), 6) + CAST(0.0 AS DOUBLE)
        END AS corr
 FROM moments
 """,
