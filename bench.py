@@ -94,6 +94,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_ab_welch",
         "q_pmi_association",
         "q_data_profile",
+        "q_data_checks",
         "q_entity_match",
         "q_pareto_front",
     ],

@@ -160,8 +160,128 @@ WITH a AS (
     )
 )
 
+# --- constraint checks over the profile ---------------------------------
+
+# (check name, column, metric, op, threshold) — the Deequ Check shape.
+# Metrics address the profile's long-format columns; ops: ge / le / eq.
+DEFAULT_CHECKS: list[tuple[str, str, str, str, float]] = [
+    ("custkey_complete", "o_custkey", "completeness", "ge", 1.0),
+    ("price_nonnegative", "o_totalprice", "min_num", "ge", 0.0),
+    ("status_low_card", "o_orderstatus", "n_distinct", "le", 3.0),
+    ("priority_card", "o_orderpriority", "n_distinct", "eq", 5.0),
+    ("price_mean_bound", "o_totalprice", "mean", "le", 200000.0),
+]
+
+_METRICS = ("completeness", "n_distinct", "mean", "min_num", "max_num")
+
+
+def check_constraints(
+    profile_df: DataFrame,
+    checks: list[tuple[str, str, str, str, float]] = DEFAULT_CHECKS,
+) -> DataFrame:
+    """Deequ-style verification: evaluate declarative constraints over
+    an already-computed :func:`profile` frame — the VERIFY half of the
+    profile/verify pair (Deequ's Check.run over its AnalyzerContext).
+    One row per check: (check, column, metric, value 6dp, threshold,
+    passed BIGINT). Costs nothing beyond the profile itself: the rule
+    table is a broadcast literal frame joined to the ≤ n_columns
+    profile — no extra corpus pass, which is the point of checking
+    against sufficient statistics instead of re-scanning per rule."""
+    spark = profile_df.sparkSession
+    bad = [c for c in checks if c[2] not in _METRICS or c[3] not in
+           ("ge", "le", "eq")]
+    if bad:
+        raise ValueError(f"unsupported metric/op in checks: {bad}")
+    rules = spark.createDataFrame(
+        [(n, c, m, o, float(t)) for n, c, m, o, t in checks],
+        "check string, column string, metric string, op string, "
+        "threshold double",
+    )
+    value = (
+        F.when(F.col("metric") == "completeness", F.col("completeness"))
+        .when(
+            F.col("metric") == "n_distinct",
+            F.col("n_distinct").cast("double"),
+        )
+        .when(F.col("metric") == "mean", F.col("mean"))
+        .when(F.col("metric") == "min_num", F.col("min_num"))
+        .when(F.col("metric") == "max_num", F.col("max_num"))
+    )
+    passed = (
+        F.when(F.col("op") == "ge", F.col("value") >= F.col("threshold"))
+        .when(F.col("op") == "le", F.col("value") <= F.col("threshold"))
+        .otherwise(F.col("value") == F.col("threshold"))
+    )
+    return (
+        F.broadcast(rules)
+        .join(profile_df, "column")
+        .withColumn("value", value)
+        .select(
+            "check",
+            "column",
+            "metric",
+            r6(F.col("value")).alias("value"),
+            "threshold",
+            passed.cast("bigint").alias("passed"),
+        )
+    )
+
+
+def q_data_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract (tail, round 10): the default constraint set verified
+    against the orders profile — completeness, cardinality bounds, and
+    numeric-range/mean rules, each PASS/FAIL replayed by DuckDB over
+    the identical profile CTE (comparisons run on the RAW metric; the
+    6dp rounding is display-only)."""
+    return check_constraints(
+        profile(
+            load_table(spark, sf_dir, "orders"),
+            PROFILE_NUMERIC,
+            PROFILE_STRING,
+        )
+    )
+
+
+def _checks_oracle() -> str:
+    vals = ",\n    ".join(
+        f"('{n}', '{c}', '{m}', '{o}', CAST({t!r} AS DOUBLE))"
+        for n, c, m, o, t in DEFAULT_CHECKS
+    )
+    return rf"""
+WITH prof AS ({_PROFILE_ORACLE}),
+rules("check", "column", metric, op, threshold) AS (
+  VALUES
+    {vals}
+),
+joined AS (
+  SELECT r."check", r."column", r.metric, r.op, r.threshold,
+         CASE r.metric
+           WHEN 'completeness' THEN p.completeness
+           WHEN 'n_distinct' THEN CAST(p.n_distinct AS DOUBLE)
+           WHEN 'mean' THEN p.mean
+           WHEN 'min_num' THEN p.min_num
+           WHEN 'max_num' THEN p.max_num
+         END AS value
+  FROM rules r JOIN prof p ON p."column" = r."column"
+)
+SELECT "check", "column", metric,
+       round(value, 6) AS value,
+       threshold,
+       CAST(CASE op WHEN 'ge' THEN value >= threshold
+                    WHEN 'le' THEN value <= threshold
+                    ELSE value = threshold END AS BIGINT) AS passed
+FROM joined
+"""
+
+
 QUERIES: dict = {}
 
-QUERIES_TAIL = {"q_data_profile": q_data_profile}
+QUERIES_TAIL = {
+    "q_data_profile": q_data_profile,
+    "q_data_checks": q_data_checks,
+}
 
-ORACLE = {"q_data_profile": _PROFILE_ORACLE}
+ORACLE = {
+    "q_data_profile": _PROFILE_ORACLE,
+    "q_data_checks": _checks_oracle(),
+}

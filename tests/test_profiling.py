@@ -47,3 +47,40 @@ def test_contract_row_matches_oracle_smoke(spark):
     got = q_data_profile(spark, SMOKE_SF_DIR)
     want = con.execute(ORACLE["q_data_profile"]).fetchdf()
     assert compare("q_data_profile", got, want) == []
+
+
+def test_check_constraints_semantics(spark):
+    from lambda_sample_spark.operators.profiling import (
+        check_constraints,
+        profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "b"), (4, 40.0, None)],
+        "id long, x double, s string",
+    )
+    prof = profile(df, ("x",), ("s",))
+    out = {
+        r["check"]: r
+        for r in check_constraints(
+            prof,
+            [
+                ("x_complete", "x", "completeness", "ge", 1.0),
+                ("x_min", "x", "min_num", "ge", 0.0),
+                ("s_card", "s", "n_distinct", "eq", 2.0),
+                ("x_mean_le", "x", "mean", "le", 25.0),
+            ],
+        ).collect()
+    }
+    assert out["x_complete"]["passed"] == 0  # one null of four
+    assert out["x_min"]["passed"] == 1
+    assert out["s_card"]["passed"] == 1
+    assert out["x_mean_le"]["passed"] == 1  # mean(10,20,40)=23.33
+    assert out["x_mean_le"]["value"] == 23.333333
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unsupported"):
+        check_constraints(prof, [("bad", "x", "nope", "ge", 1.0)])
+    with _p.raises(ValueError, match="unsupported"):
+        check_constraints(prof, [("bad", "x", "mean", "between", 1.0)])

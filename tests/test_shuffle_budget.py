@@ -248,6 +248,9 @@ BUDGET = {
     "q_classifier_eval": 4,
     # calibration: the staged scoring pass + the bin census
     "q_calibration": 2,
+    # constraint checks ride the profile's own plan (distinct expand
+    # pair); the rule table is a broadcast literal
+    "q_data_checks": 2,
     "q_simhash": 1,
     "q_similarity_topk": 1,
     # raised 0 -> 2 in round 3: the fat-block guard adds a per-label
