@@ -20,6 +20,7 @@ each holds ~128-256 MB of the fact table.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 
@@ -181,6 +182,56 @@ def vacuum_versions(root: str, keep: int = 2) -> list[int]:
     for v in doomed:
         shutil.rmtree(versioned_path(root, v))
     return doomed
+
+
+def diff_versions(
+    spark: SparkSession,
+    root: str,
+    v_from: int,
+    v_to: int,
+    keys: list[str],
+) -> DataFrame:
+    """Row-level change feed between two committed versions (the
+    Delta/Iceberg ``table_changes`` shape): one row per changed key
+    with ``change ∈ {added, removed, updated}``. Unchanged rows are
+    dropped BEFORE the output materializes: each side reduces to
+    (keys, row-hash) — a full-width column hash over the non-key
+    columns, computed scan-side — so the full outer join co-shuffles
+    only keys+hash, never payloads, and the change census is the join
+    output filtered on hash inequality. Audit/debug tool for the
+    versioned stores (model censuses, corpus tables, labels): what
+    did last night's commit actually change?"""
+    a = spark.read.parquet(versioned_path(root, v_from))
+    b = spark.read.parquet(versioned_path(root, v_to))
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"schema changed between v{v_from} and v{v_to}: "
+            f"{sorted(a.columns)} vs {sorted(b.columns)}"
+        )
+    payload = [c for c in a.columns if c not in keys]
+
+    def keyed(df: DataFrame, tag: str) -> DataFrame:
+        # NULLs are skipped by xxhash64's accumulator, which would make
+        # (NULL, 'x') hash like ('x', NULL) — coalesce each column to a
+        # sentinel so null position matters
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>"))
+            for c in payload
+        ]
+        h = F.xxhash64(*cols) if payload else F.lit(0)
+        return df.select(*keys, h.alias(f"__h_{tag}"))
+
+    j = keyed(a, "a").join(keyed(b, "b"), keys, "full_outer")
+    change = (
+        F.when(F.col("__h_a").isNull(), F.lit("added"))
+        .when(F.col("__h_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("updated"))
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )
 
 
 def compact_versioned(

@@ -257,3 +257,46 @@ def test_crashed_commit_is_healed_on_retry(spark, tmp_path):
     compact_versioned_bucketed(spark, root)
     assert current_version(root) == 3
     assert {r.k: r.val for r in read_versioned(spark, root).collect()} == got
+
+
+def test_diff_versions_change_feed(spark, tmp_path):
+    from lambda_sample_spark.sources.warehouse import (
+        diff_versions,
+        write_versioned,
+    )
+
+    root = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None)],
+        "k long, s string, v int",
+    )
+    write_versioned(v1, root)
+    v2 = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)],
+        "k long, s string, v int",
+    )
+    write_versioned(v2, root)
+
+    got = {
+        r["k"]: r["change"]
+        for r in diff_versions(spark, root, 1, 2, keys=["k"]).collect()
+    }
+    # 1 removed, 2 unchanged (absent), 3 updated (NULL -> 99), 4 added
+    assert got == {1: "removed", 3: "updated", 4: "added"}
+
+    # null-position sentinel: swapping which column is NULL is a change
+    a = spark.createDataFrame([(1, None, "x")], "k long, s string, t string")
+    b = spark.createDataFrame([(1, "x", None)], "k long, s string, t string")
+    root2 = str(tmp_path / "tbl2")
+    write_versioned(a, root2)
+    write_versioned(b, root2)
+    rows = diff_versions(spark, root2, 1, 2, keys=["k"]).collect()
+    assert [r["change"] for r in rows] == ["updated"]
+
+    import pytest as _p
+
+    root3 = str(tmp_path / "tbl3")
+    write_versioned(v1, root3)
+    write_versioned(v1.withColumnRenamed("v", "w"), root3)
+    with _p.raises(ValueError, match="schema changed"):
+        diff_versions(spark, root3, 1, 2, keys=["k"])
