@@ -301,18 +301,27 @@ def bench_nbq_prod(spark, sf_dir: str) -> None:
         "doc_id", "lang", "text"
     )
     base = tempfile.mkdtemp(prefix="bench_nbq_")
+    try:
 
-    def mat(df, name):
-        p = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(p)
-        return spark.read.parquet(p)
+        def mat(df, name):
+            p = os.path.join(base, name)
+            df.write.mode("overwrite").parquet(p)
+            return spark.read.parquet(p)
 
-    w, c = train_nb(
-        docs.where(F.col("doc_id") % 10 < 8),
-        F.col("lang") == "en",
-        materialize=mat,
-    )
-    force(score_nb(docs.select("doc_id", "text"), mat(w, "w"), mat(c, "c")))
+        w, c = train_nb(
+            docs.where(F.col("doc_id") % 10 < 8),
+            F.col("lang") == "en",
+            materialize=mat,
+        )
+        force(
+            score_nb(docs.select("doc_id", "text"), mat(w, "w"), mat(c, "c"))
+        )
+    finally:
+        # min-of-3 repeats would otherwise leave model parquet dirs in
+        # /tmp per invocation (the scale_oneoff-workdir lesson)
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def bench_bloom_prod(spark, sf_dir: str) -> None:

@@ -66,6 +66,7 @@ def curation_sink(
         scrub_batch,
     )
     from lambda_sample_spark.operators.substring import remove_dup_spans
+    from lambda_sample_spark.streaming.quality import route_quality
 
     index_root = os.path.join(state_dir, "substr_index")
     model_dir = os.path.join(state_dir, "quality_model")
@@ -84,8 +85,11 @@ def curation_sink(
         docs = batch_df.select("doc_id", "text")
         if not docs.take(1):
             return
-        # a. + b. stateless filters
-        docs = blocklist_filter(docs, phrases)
+        # a. + b. stateless filters (an EMPTY blocklist is a valid
+        # 'PII+scrub+quality only' config — blocklist_hits rejects it,
+        # so gate the stage rather than crash every batch)
+        if phrases:
+            docs = blocklist_filter(docs, phrases)
         docs = redact_pii(docs, count_hits=False)
         # c. stateful passage scrub (merges this batch's gram counts)
         if docs.take(1):
@@ -94,33 +98,13 @@ def curation_sink(
                 min_count=min_count,
             )
             docs = remove_dup_spans(docs, spans)
-        # d. quality route against the current model version
+        # d. quality route against the current model version (the
+        # shared routing/audit tail — streaming/quality.route_quality)
         weights, consts = load_nb_model(spark, model_dir)
         scored = score_nb(docs, weights, consts, n=nb_n).join(
             docs, "doc_id"
-        ).persist()
-        try:
-            keep = scored.where(F.col("logodds") > threshold)
-            quar = scored.where(~(F.col("logodds") > threshold))
-            keep.write.mode("overwrite").parquet(
-                f"{out_dir}/keep/batch={batch_id}"
-            )
-            quar.write.mode("overwrite").parquet(
-                f"{out_dir}/quarantine/batch={batch_id}"
-            )
-            scored.agg(
-                F.count("*").cast("bigint").alias("n_docs"),
-                F.sum((F.col("logodds") > threshold).cast("int"))
-                .cast("bigint")
-                .alias("n_keep"),
-                F.round(F.avg("logodds"), 6).alias("mean_logodds"),
-            ).withColumn(
-                "batch_id", F.lit(batch_id).cast("bigint")
-            ).write.mode("overwrite").parquet(
-                f"{out_dir}/metrics/batch={batch_id}"
-            )
-        finally:
-            scored.unpersist()
+        )
+        route_quality(scored, out_dir, batch_id, threshold)
         tmp = marker + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(batch_id))

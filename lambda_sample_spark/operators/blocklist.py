@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import documents
+from .common import documents, fan_out
 
 
 def _gram_hash(g, gram_hash: str):
@@ -62,10 +62,7 @@ def blocklist_hits(
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     spark = docs.sparkSession
-    # fan-out gate for the CPU-bound gram pass (the playbook rule)
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = fan_out(docs)  # CPU-bound gram pass (the playbook gate)
     base = docs.select(F.col(id_col), toks.alias("__t"))
 
     # factory, NOT a default-arg closure: a two-arg transform lambda

@@ -48,7 +48,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import documents
+from .common import documents, fan_out
 
 GRAM_N = 8  # mirror curation._DECON_N so the exact join is comparable
 M_BITS = 65536  # contract-row bitmap size (2 KiB words array)
@@ -178,14 +178,9 @@ def bloom_probe(
     k bits are all set), ``hit`` (BIGINT flag). ``bitmap`` is the
     dense word list from ``bloom_inline`` (probe_mode='inline') or the
     ``bloom_build`` DataFrame (probe_mode='join')."""
-    # the gram hash is CPU-bound: fan under-partitioned inputs out
-    # first (the dsir/playbook gate; no-op on real multi-split
-    # sources) — measured 54.2s → 7.3s on the 50k-doc rung whose
-    # parquet read packed into 2 partitions
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # CPU-bound gram hashing: measured 54.2s → 7.3s on the 50k-doc
+    # rung whose parquet read packed into 2 partitions
+    docs = fan_out(docs)
     pairs = _gram_hash_pairs(docs, id_col, text_col, n, gram_hash)
     positions = _positions(m_bits, k)
 

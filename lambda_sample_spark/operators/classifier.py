@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import documents
+from .common import documents, fan_out, r6z
 from .dsir import _bucketed_grams
 
 GRAM_N = 2  # word bigrams — the fastText default feature unit
@@ -117,10 +117,7 @@ def nb_census(
     # gate; no-op on real multi-split sources). With the census cut in
     # train_nb, the full train+persist+score rung at 50k docs (read as
     # 2 partitions) measured 75.7s → 9.2s.
-    spark = train_docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if train_docs.rdd.getNumPartitions() < par:
-        train_docs = train_docs.repartition(par)
+    train_docs = fan_out(train_docs)
     lab = train_docs.select(
         F.col(id_col), label.cast("boolean").alias("__pos"), text_col
     )
@@ -209,11 +206,8 @@ def score_nb(
     table (miss ⇒ ``w_def``) → per-doc sum. The model side never
     shuffles.
     """
-    # fan-out gate for the CPU-bound gram pass (see train_nb)
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # fan-out gate for the CPU-bound gram pass (see nb_census)
+    docs = fan_out(docs)
     grams = _bucketed_grams(
         docs, id_col, text_col, n, n_buckets, gram_hash, carry_cols=extra_cols
     )
@@ -236,9 +230,7 @@ def score_nb(
         id_col,
         *extra_cols,
         "n_grams",
-        # + 0.0: IEEE negative-zero pairing (playbook; a tiny negative
-        # score rounds to -0.0 in DuckDB, +0.0 in Spark)
-        (F.round(score, 6) + F.lit(0.0)).alias("logodds"),
+        r6z(score).alias("logodds"),
         (score > 0).cast("bigint").alias("pred"),
     )
 
@@ -367,10 +359,16 @@ def bag_vectors(
             F.collect_list(F.struct("bucket", "cnt"))
         ).alias("m")
     )
+    # element_at on a MAP is lookup BY KEY (bucket id), not 1-based
+    # position — the first cut used i+1 (array semantics) and silently
+    # dropped bucket 0 while shifting every other bucket's count into
+    # the wrong slot (review catch, empirically confirmed); the key
+    # must also be cast to the map's bigint key type or the lookup
+    # misses entirely
     dense = F.transform(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
         lambda i: F.coalesce(
-            F.element_at("m", i.cast("int") + 1), F.lit(0.0)
+            F.element_at("m", i.cast("bigint")), F.lit(0.0)
         ),
     )
     return bag.select(

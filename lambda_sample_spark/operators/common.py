@@ -48,3 +48,28 @@ def ts_ms(c: Column | str = "ts") -> Column:
 
 def r6(c: Column) -> Column:
     return F.round(c, ROUND)
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """The playbook single-file fan-out gate: CPU-bound per-row passes
+    (interpreted-HOF gram hashing, Python decode) over a small parquet
+    input otherwise run on the 2 partitions the scan packs into —
+    round-robin repartition to defaultParallelism when the input is
+    under-partitioned; a no-op on real multi-split sources. Do NOT
+    apply ahead of JVM-codegen map sides (measured net-negative for
+    ccnet's tokenizer — see ccnet._tokens)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def r6z(c: Column) -> Column:
+    """round(c, 6) with the IEEE negative-zero pairing: a tiny
+    negative rounds to -0.0 in DuckDB but +0.0 in Spark, and the
+    driver's value compare distinguishes them (bit q_weighted_sample
+    at sf0.1). Use for any rounded output whose input can be a tiny
+    negative, PAIRED with `round(..., 6) + CAST(0.0 AS DOUBLE)` in the
+    oracle (-0.0 + 0.0 = +0.0 under round-to-nearest; a no-op for
+    every other value)."""
+    return F.round(c, ROUND) + F.lit(0.0)

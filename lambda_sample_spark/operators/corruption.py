@@ -72,34 +72,48 @@ def span_corrupt(
     def span_len(b):
         return MIN_SPAN + F.pmod(_prn("sc1:", did, b, gram_hash), F.lit(SPAN_CHOICES))
 
-    def span_off(b):
-        # offset within the block; block - L + 1 legal starts
-        return F.pmod(
-            _prn("sc2:", did, b, gram_hash),
-            F.lit(block) + 1 - span_len(b),
-        )
-
     def sentinel(k):
         return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
 
     arr = F.col("__t")
 
-    def input_frag(b):
-        base = (b * block).cast("int")
-        off = span_off(b).cast("int")
-        ln = span_len(b).cast("int")
+    # stage the per-block (b, ln, off) draws ONCE: the PRN is an
+    # interpreted md5/xxhash per evaluation, and the first cut
+    # re-derived it inside every fragment reference (~10 hash evals
+    # per block per row — review catch); two nested transforms compute
+    # each salt exactly once, and the staged __sp column is referenced
+    # by both output strings
+    spans = F.transform(
+        F.transform(
+            F.col("__b"),
+            lambda b: F.struct(b.alias("b"), span_len(b).alias("ln")),
+        ),
+        lambda s: F.struct(
+            s["b"].alias("b"),
+            s["ln"].alias("ln"),
+            F.pmod(
+                _prn("sc2:", did, s["b"], gram_hash),
+                F.lit(block) + 1 - s["ln"],
+            ).alias("off"),
+        ),
+    )
+
+    def input_frag(s):
+        base = (s["b"] * block).cast("int")
+        off = s["off"].cast("int")
+        ln = s["ln"].cast("int")
         return F.concat(
             F.slice(arr, base + 1, off),
-            F.array(sentinel(b)),
+            F.array(sentinel(s["b"])),
             F.slice(arr, base + off + ln + 1, F.lit(block) - off - ln),
         )
 
-    def target_frag(b):
-        base = (b * block).cast("int")
-        off = span_off(b).cast("int")
-        ln = span_len(b).cast("int")
+    def target_frag(s):
+        base = (s["b"] * block).cast("int")
+        off = s["off"].cast("int")
+        ln = s["ln"].cast("int")
         return F.concat(
-            F.array(sentinel(b)), F.slice(arr, base + off + 1, ln)
+            F.array(sentinel(s["b"])), F.slice(arr, base + off + 1, ln)
         )
 
     tail = F.slice(
@@ -108,11 +122,12 @@ def span_corrupt(
         F.col("__n") - F.col("__nb") * block,
     )
     input_text = F.array_join(
-        F.concat(F.flatten(F.transform(F.col("__b"), input_frag)), tail), " "
+        F.concat(F.flatten(F.transform(F.col("__sp"), input_frag)), tail),
+        " ",
     )
     target_text = F.array_join(
         F.concat(
-            F.flatten(F.transform(F.col("__b"), target_frag)),
+            F.flatten(F.transform(F.col("__sp"), target_frag)),
             F.array(sentinel(F.col("__nb"))),
         ),
         " ",
@@ -124,6 +139,9 @@ def span_corrupt(
             n.alias("__n"),
             n_blocks.alias("__nb"),
             blocks.alias("__b"),
+        )
+        .select(
+            id_col, "__t", "__n", "__nb", spans.alias("__sp")
         )
         .select(
             id_col,

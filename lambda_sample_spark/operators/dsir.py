@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .common import r6z
 
 N_BUCKETS = 1024
 GRAM_N = 2
@@ -199,9 +200,10 @@ def dsir_scores(
         id_col,
         *extra_cols,
         "n_grams",
-        # + 0.0 on both: the negative-zero pairing (playbook)
-        (F.round(logw_d, 6) + F.lit(0.0)).alias("logw"),
-        (F.round(logw_d + gumbel, 6) + F.lit(0.0)).alias("gkey"),
+        # r6z: the negative-zero pairing (common.py; oracle carries
+        # the matching + CAST(0.0 AS DOUBLE))
+        r6z(logw_d).alias("logw"),
+        r6z(logw_d + gumbel).alias("gkey"),
     )
 
 

@@ -186,7 +186,13 @@ def check_constraints(
     passed BIGINT). Costs nothing beyond the profile itself: the rule
     table is a broadcast literal frame joined to the ≤ n_columns
     profile — no extra corpus pass, which is the point of checking
-    against sufficient statistics instead of re-scanning per rule."""
+    against sufficient statistics instead of re-scanning per rule.
+
+    A rule naming a column the profile doesn't carry (typo, or a
+    column outside the profiled set) is reported as FAILED with a NULL
+    value, never silently dropped — Deequ's un-evaluable-constraint
+    behavior (review catch: the first cut inner-joined and a typo'd
+    rule vanished, letting all(passed) conclude a pass)."""
     spark = profile_df.sparkSession
     bad = [c for c in checks if c[2] not in _METRICS or c[3] not in
            ("ge", "le", "eq")]
@@ -214,7 +220,7 @@ def check_constraints(
     )
     return (
         F.broadcast(rules)
-        .join(profile_df, "column")
+        .join(profile_df, "column", "left")
         .withColumn("value", value)
         .select(
             "check",
@@ -222,7 +228,8 @@ def check_constraints(
             "metric",
             r6(F.col("value")).alias("value"),
             "threshold",
-            passed.cast("bigint").alias("passed"),
+            # NULL value (missing column or NULL metric) fails loudly
+            F.coalesce(passed.cast("bigint"), F.lit(0)).alias("passed"),
         )
     )
 
@@ -262,14 +269,15 @@ joined AS (
            WHEN 'min_num' THEN p.min_num
            WHEN 'max_num' THEN p.max_num
          END AS value
-  FROM rules r JOIN prof p ON p."column" = r."column"
+  FROM rules r LEFT JOIN prof p ON p."column" = r."column"
 )
 SELECT "check", "column", metric,
        round(value, 6) AS value,
        threshold,
-       CAST(CASE op WHEN 'ge' THEN value >= threshold
-                    WHEN 'le' THEN value <= threshold
-                    ELSE value = threshold END AS BIGINT) AS passed
+       CAST(COALESCE(CASE op WHEN 'ge' THEN value >= threshold
+                             WHEN 'le' THEN value <= threshold
+                             ELSE value = threshold END,
+                     FALSE) AS BIGINT) AS passed
 FROM joined
 """
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import documents, events, r6
+from .common import documents, events, r6, r6z
 
 
 def _md5_arm(key: Column, n_arms: int = 2) -> Column:
@@ -94,8 +94,7 @@ def welch_ab_test(
         F.col("n_b").cast("bigint").alias("n_b"),
         r6(mean_a).alias("mean_a"),
         r6(mean_b).alias("mean_b"),
-        # + 0.0: negative-zero pairing (playbook)
-        (r6(t) + F.lit(0.0)).alias("t_stat"),
+        r6z(t).alias("t_stat"),
         r6(df).alias("welch_df"),
     )
 
@@ -145,9 +144,9 @@ def pmi_association(
         "x",
         "y",
         F.col("n_xy").cast("bigint").alias("n_xy"),
-        # + 0.0: negative-zero pairing (playbook)
-        (r6(pmi) + F.lit(0.0)).alias("pmi"),
-        (r6(p_xy * pmi) + F.lit(0.0)).alias("mi_term"),
+        # r6z: negative-zero pairing (common.py)
+        r6z(pmi).alias("pmi"),
+        r6z(p_xy * pmi).alias("mi_term"),
     )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import events, r6, ts_ms
+from .common import events, r6, ts_ms, r6z
 
 HOUR_MS = 3_600_000
 
@@ -145,8 +145,8 @@ def sensor_correlation(ev: DataFrame) -> DataFrame:
         "n",
         F.when(
             (vx > 0) & (vy > 0),
-            # + 0.0: negative-zero pairing (playbook)
-            r6(cov / F.sqrt(vx) / F.sqrt(vy)) + F.lit(0.0),
+            # r6z: negative-zero pairing (common.py)
+            r6z(cov / F.sqrt(vx) / F.sqrt(vy)),
         ).alias("corr"),
     )
 

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .common import r6z
+
 
 def _md5_u(key, salt: str = ""):
     """[0,1) draw from the first md5 word of (salt || key) — the
@@ -307,17 +309,10 @@ def weighted_sample(
         docs.select(key, w.alias("w"), score.alias("_s"))
         .orderBy(F.desc("_s"), key)
         .limit(k)
-        # + 0.0 normalizes IEEE negative zero: a tiny negative score
-        # rounds to -0.0 in DuckDB but +0.0 in Spark (first observed
-        # at the sf0.1 sweep — two rows with ln(u)/w ~ -5e-8), and the
-        # value compare distinguishes the two; -0.0 + 0.0 = +0.0 in
-        # round-to-nearest, a no-op for every other value. Paired with
-        # the identical term in the oracle.
-        .select(
-            key_col,
-            "w",
-            (F.round("_s", 6) + F.lit(0.0)).alias("ares_score"),
-        )
+        # r6z: IEEE negative-zero pairing (common.py; first observed
+        # at the sf0.1 sweep — two rows with ln(u)/w ~ -5e-8). Paired
+        # with + CAST(0.0 AS DOUBLE) in the oracle.
+        .select(key_col, "w", r6z(F.col("_s")).alias("ares_score"))
     )
 
 

@@ -221,14 +221,27 @@ def diff_versions(
         h = F.xxhash64(*cols) if payload else F.lit(0)
         return df.select(*keys, h.alias(f"__h_{tag}"))
 
-    j = keyed(a, "a").join(keyed(b, "b"), keys, "full_outer")
+    ka, kb = keyed(a, "a"), keyed(b, "b")
+    # null-SAFE key equality (review catch): a name-list equi-join
+    # never matches NULL keys, so an unchanged NULL-key row would be
+    # reported as a phantom removed+added pair on every diff
+    cond = None
+    for k in keys:
+        c = ka[k].eqNullSafe(kb[k])
+        cond = c if cond is None else cond & c
+    j = ka.join(kb, cond, "full_outer")
     change = (
         F.when(F.col("__h_a").isNull(), F.lit("added"))
         .when(F.col("__h_b").isNull(), F.lit("removed"))
         .when(F.col("__h_a") != F.col("__h_b"), F.lit("updated"))
     )
     return (
-        j.withColumn("change", change)
+        j.select(
+            *[F.coalesce(ka[k], kb[k]).alias(k) for k in keys],
+            "__h_a",
+            "__h_b",
+        )
+        .withColumn("change", change)
         .where(F.col("change").isNotNull())
         .select(*keys, "change")
     )

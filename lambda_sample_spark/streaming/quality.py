@@ -29,6 +29,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def route_quality(
+    scored: DataFrame, out_dir: str, batch_id: int, threshold: float
+) -> None:
+    """The routing + audit tail every quality gate shares (this sink
+    and the composed examples/streaming_curation.py): split a scored
+    batch at ``threshold``, write keep / quarantine / one metrics row
+    under structurally idempotent ``batch=<id>`` overwrite paths. The
+    scored frame is batch-sized — persisted here for its three
+    consumers instead of re-running the census shuffle per write."""
+    scored = scored.persist()
+    try:
+        keep = scored.where(F.col("logodds") > threshold)
+        quar = scored.where(~(F.col("logodds") > threshold))
+        keep.write.mode("overwrite").parquet(
+            f"{out_dir}/keep/batch={batch_id}"
+        )
+        quar.write.mode("overwrite").parquet(
+            f"{out_dir}/quarantine/batch={batch_id}"
+        )
+        scored.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum((F.col("logodds") > threshold).cast("int"))
+            .cast("bigint")
+            .alias("n_keep"),
+            F.round(F.avg("logodds"), 6).alias("mean_logodds"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint")).write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/metrics/batch={batch_id}")
+    finally:
+        scored.unpersist()
+
+
 def quality_sink(
     stream: DataFrame,
     model_dir: str,
@@ -64,31 +96,7 @@ def quality_sink(
             docs, weights, consts, n=n, n_buckets=n_buckets,
             gram_hash=gram_hash,
         ).join(docs, "doc_id")
-        # one computation, two routed writes: the scored frame is
-        # batch-sized — persist it for the second consumer instead of
-        # re-running the census shuffle
-        scored = scored.persist()
-        try:
-            keep = scored.where(F.col("logodds") > threshold)
-            quar = scored.where(~(F.col("logodds") > threshold))
-            keep.write.mode("overwrite").parquet(
-                f"{out_dir}/keep/batch={batch_id}"
-            )
-            quar.write.mode("overwrite").parquet(
-                f"{out_dir}/quarantine/batch={batch_id}"
-            )
-            stats = scored.agg(
-                F.count("*").cast("bigint").alias("n_docs"),
-                F.sum(
-                    (F.col("logodds") > threshold).cast("int")
-                ).cast("bigint").alias("n_keep"),
-                F.round(F.avg("logodds"), 6).alias("mean_logodds"),
-            ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
-            stats.write.mode("overwrite").parquet(
-                f"{out_dir}/metrics/batch={batch_id}"
-            )
-        finally:
-            scored.unpersist()
+        route_quality(scored, out_dir, batch_id, threshold)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

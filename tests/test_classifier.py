@@ -146,3 +146,27 @@ def test_quality_sink_reads_versioned_model(spark, planted, tmp_path):
     kept = spark.read.parquet(f"{out}/keep/*")
     quar = spark.read.parquet(f"{out}/quarantine/*")
     assert kept.count() + quar.count() == planted.count()
+
+
+def test_bag_vectors_slot_alignment(spark):
+    """Review catch: element_at on a MAP is by key, not position —
+    bucket b's count must land in feature slot b exactly."""
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta")], "doc_id long, text string"
+    )
+    from lambda_sample_spark.operators.dsir import _bucketed_grams
+
+    buckets = [
+        r["bucket"]
+        for r in _bucketed_grams(
+            docs, "doc_id", "text", 1, 16, "xxhash64"
+        ).collect()
+    ]
+    vec = C.bag_vectors(docs, n=1, n_buckets=16).collect()[0][
+        "features"
+    ].toArray()
+    import collections
+
+    expect = collections.Counter(buckets)
+    for b in range(16):
+        assert vec[b] == float(expect.get(b, 0)), (b, vec.tolist(), expect)
