@@ -87,10 +87,18 @@ def nightly_ingest(
     docs_batch: DataFrame,
     emb_batch: DataFrame | None = None,
     n_buckets: int = 8,
+    night_id: str | None = None,
 ) -> dict:
     """One night: ingest ``docs_batch`` (doc_id, text) and optionally
     ``emb_batch`` (vec_id, vec — embeddings of the batch docs) against
     the persisted state under ``state_dir``. Returns per-stage counts.
+
+    ``night_id`` (a stable orchestrator-assigned run key) makes the
+    ANN append replay-safe: a retried night re-links the same staged
+    files instead of appending duplicates (pq.ivfpq_append_index
+    batch_token). Whole-night replay idempotence for the OTHER stages
+    is the orchestrator's checkpointing job (the streaming legs carry
+    their own markers — see streaming/substring_scrub.py).
     """
     index_root = os.path.join(state_dir, "minhash_index")
     corpus_root = os.path.join(state_dir, "corpus")
@@ -153,7 +161,7 @@ def nightly_ingest(
         if not os.path.isdir(os.path.join(ann_root, "centroids")):
             ivfpq_write_index(emb_surv, ann_root)
         else:
-            ivfpq_append_index(emb_surv, ann_root)
+            ivfpq_append_index(emb_surv, ann_root, batch_token=night_id)
         n_appended = emb_surv.count()
 
     # 5. quality-model refresh (round 10): fold the night's survivors
@@ -170,7 +178,7 @@ def nightly_ingest(
 
     model_root = os.path.join(state_dir, "quality_model")
     lbl = F.col("doc_id") % 2 == 0
-    if current_version(os.path.join(model_root, "census")) is None:
+    if current_version(model_root) is None:
         nb_commit(spark, model_root, *nb_census(survivors, lbl, n=1))
     else:
         nb_update(spark, model_root, survivors, lbl, n=1)

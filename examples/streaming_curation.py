@@ -9,17 +9,23 @@ micro-batch before anything lands in the training store:
   c. substring scrub incremental_substring.scrub_batch — excise
                      passages duplicated against everything ingested
                      so far (+ within batch); the persisted gram-count
-                     index is the cross-batch state, with the
-                     checkpoint-scoped marker making the count MERGE
-                     idempotent across replays (the scrub_sink recipe)
+                     index is the cross-batch state, with the replay
+                     marker riding INSIDE the versioned count MERGE
+                     (the scrub_sink recipe: warehouse.version_meta)
   d. quality route   classifier.score_nb via load_nb_model — keep vs
                      quarantine under batch=<id> overwrite sinks
                      (structurally idempotent), per-batch audit row
 
 Stages a/b/d are stateless or read-only per batch, so their replays
-are safe by construction; only stage c mutates cross-batch state and
-carries the marker. The model and the gram index are both versioned
-pointer-swap stores — refreshing either between batches is safe.
+are safe by construction; only stage c mutates cross-batch state.
+Stage d runs BEFORE stage c's commit (scrub_batch's pre_commit hook),
+so there is no window where the merge has landed but the routed
+output has not: a crash before the merge replays the whole batch
+against the unchanged index (same spans, overwrite sinks rewrite in
+place); a crash after the merge is skipped by the marker, and every
+earlier effect already ran. The model and the gram index are both
+versioned pointer-swap stores — refreshing either between batches is
+safe.
 
 tests/test_streaming_curation.py drives two waves: a blocklisted doc
 never reaches any sink, PII is rewritten in the kept output, a
@@ -67,21 +73,23 @@ def curation_sink(
     )
     from lambda_sample_spark.operators.substring import remove_dup_spans
     from lambda_sample_spark.streaming.quality import route_quality
+    from lambda_sample_spark.streaming.substring_scrub import (
+        batch_committed,
+        run_token,
+    )
 
     index_root = os.path.join(state_dir, "substr_index")
+    counts_root = os.path.join(index_root, "gram_counts")
     model_dir = os.path.join(state_dir, "quality_model")
-    marker = checkpoint_dir.rstrip("/") + "_curation_marker"
+    token = run_token(checkpoint_dir, suffix="_curation_token")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # stage-c idempotence (the scrub_sink recipe): a replayed
-        # batch must not re-merge its gram counts
-        try:
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return
-        except FileNotFoundError:
-            pass
+        # stage-c idempotence (the scrub_sink recipe): the marker rides
+        # inside the versioned count merge; "merged" implies stage d's
+        # routed output landed too (routing runs in pre_commit below)
+        if batch_committed(counts_root, token, batch_id):
+            return
         docs = batch_df.select("doc_id", "text")
         if not docs.take(1):
             return
@@ -91,26 +99,31 @@ def curation_sink(
         if phrases:
             docs = blocklist_filter(docs, phrases)
         docs = redact_pii(docs, count_hits=False)
-        # c. stateful passage scrub (merges this batch's gram counts)
+
+        def route(final_docs: DataFrame) -> None:
+            # d. quality route against the current model version (the
+            # shared routing/audit tail — streaming/quality.
+            # route_quality; batch=<id> overwrite sinks, replay-safe)
+            weights, consts = load_nb_model(spark, model_dir)
+            scored = score_nb(final_docs, weights, consts, n=nb_n).join(
+                final_docs, "doc_id"
+            )
+            route_quality(scored, out_dir, batch_id, threshold)
+
+        # c. stateful passage scrub: route the scrubbed docs BEFORE the
+        # count merge commits, marker inside the commit
         if docs.take(1):
-            spans = scrub_batch(
+            scrub_batch(
                 spark, index_root, docs, min_len=min_len,
                 min_count=min_count,
+                log_label=f"{token}-{batch_id}",
+                commit_meta=f"{token}:{batch_id}",
+                pre_commit=lambda spans: route(
+                    remove_dup_spans(docs, spans)
+                ),
             )
-            docs = remove_dup_spans(docs, spans)
-        # d. quality route against the current model version (the
-        # shared routing/audit tail — streaming/quality.route_quality)
-        weights, consts = load_nb_model(spark, model_dir)
-        scored = score_nb(docs, weights, consts, n=nb_n).join(
-            docs, "doc_id"
-        )
-        route_quality(scored, out_dir, batch_id, threshold)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, marker)
+        else:
+            route(docs)
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -241,15 +241,30 @@ def nb_commit(
     census: DataFrame,
     priors: DataFrame,
     n_buckets: int = N_BUCKETS,
-) -> None:
+    meta: str | None = None,
+    keep: int = 8,
+) -> int:
     """Commit a model version: the sufficient statistics AND the
-    derived scoring tables, each as a versioned parquet table
-    (sources/warehouse pointer-swap layout — a reader resolves the old
-    or the new version, never a torn one, so scoring and updating can
-    interleave). Layout: ``{model_dir}/{census,priors,weights,consts}``.
-    """
-    from ..sources.warehouse import write_versioned
+    derived scoring tables, all four under ONE model-level pointer
+    (``{model_dir}/v=<n>/{census,priors,weights,consts}`` +
+    ``{model_dir}/_VERSION``). A single atomic swap publishes the four
+    tables together — per-table pointers would let a crash between
+    swaps serve NEW weights with OLD consts, a torn model the reader
+    cannot detect. A crash anywhere before the swap leaves the old
+    version served intact; the retry recomputes the same version
+    number and overwrites the orphan dir. ``meta`` rides inside the
+    commit (warehouse.version_meta) for streaming replay checks.
+    Returns the committed version."""
+    from ..sources.warehouse import (
+        _commit_pointer,
+        _write_version_meta,
+        current_version,
+        vacuum_versions,
+        versioned_path,
+    )
     from .graph import unpersist_checkpoint
+
+    import os
 
     # census/priors each feed TWO consumers (their own committed copy
     # + the derived tables): localCheckpoint cuts the batch gram pass
@@ -260,10 +275,19 @@ def nb_commit(
         priors = priors.localCheckpoint(eager=True)
         try:
             weights, consts = nb_derive(census, priors, n_buckets)
-            write_versioned(census, f"{model_dir}/census")
-            write_versioned(priors, f"{model_dir}/priors")
-            write_versioned(weights, f"{model_dir}/weights")
-            write_versioned(consts, f"{model_dir}/consts")
+            os.makedirs(model_dir, exist_ok=True)
+            v = (current_version(model_dir) or 0) + 1
+            vdir = versioned_path(model_dir, v)
+            # overwrite clears any orphan a pre-swap crash left behind
+            census.write.mode("overwrite").parquet(f"{vdir}/census")
+            priors.write.mode("overwrite").parquet(f"{vdir}/priors")
+            weights.write.mode("overwrite").parquet(f"{vdir}/weights")
+            consts.write.mode("overwrite").parquet(f"{vdir}/consts")
+            if meta is not None:
+                _write_version_meta(model_dir, v, meta)
+            _commit_pointer(model_dir, v)
+            vacuum_versions(model_dir, keep=keep)
+            return v
         finally:
             unpersist_checkpoint(priors)
     finally:
@@ -290,28 +314,45 @@ def nb_update(
     scanned — yesterday's corpus never re-reads. Caller discipline:
     (n, n_buckets, gram_hash) must match the committed model's
     (document them with the model dir)."""
-    from ..sources.warehouse import read_versioned
-
+    vdir = _model_vdir(model_dir)
     old = (
-        read_versioned(spark, f"{model_dir}/census"),
-        read_versioned(spark, f"{model_dir}/priors"),
+        spark.read.parquet(f"{vdir}/census"),
+        spark.read.parquet(f"{vdir}/priors"),
     )
     new = nb_census(
         new_docs, label, id_col, text_col, n, n_buckets, gram_hash
     )
     census, priors = nb_merge_census(old, new)
-    nb_commit(spark, model_dir, census, priors, n_buckets)
+    return nb_commit(spark, model_dir, census, priors, n_buckets)
+
+
+def _model_vdir(model_dir: str) -> str:
+    """Resolve the current model version's directory (one pointer read
+    — every table then comes from the SAME consistent snapshot)."""
+    from ..sources.warehouse import current_version, versioned_path
+
+    v = current_version(model_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed model under {model_dir}")
+    return versioned_path(model_dir, v)
 
 
 def load_nb_model(
     spark: SparkSession, model_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """Read the current (weights, consts) version — the frames
-    :func:`score_nb` takes. Falls back to plain parquet dirs for
-    models persisted without the versioned layout (the contract row's
-    scratch staging)."""
+    :func:`score_nb` takes. Resolves the model-level pointer ONCE, so
+    both frames come from the same committed snapshot (never a torn
+    weights/consts pair). Falls back to the legacy per-table layout,
+    then to plain parquet dirs (the contract row's scratch staging)."""
     from ..sources.warehouse import current_version, read_versioned
 
+    if current_version(model_dir) is not None:
+        vdir = _model_vdir(model_dir)
+        return (
+            spark.read.parquet(f"{vdir}/weights"),
+            spark.read.parquet(f"{vdir}/consts"),
+        )
     if current_version(f"{model_dir}/weights") is not None:
         return (
             read_versioned(spark, f"{model_dir}/weights"),

@@ -88,6 +88,9 @@ def scrub_batch(
     min_len: int = 20,
     min_count: int = 2,
     commit: bool = True,
+    log_label: str | None = None,
+    commit_meta: str | None = None,
+    pre_commit=None,
 ) -> DataFrame:
     """Flag duplicated spans in ``new_docs`` against the accumulated
     index + the batch itself; with ``commit``, merge the batch's gram
@@ -95,7 +98,21 @@ def scrub_batch(
     span_end) for the NEW docs, materialized to
     ``<index_root>/scrub_log/batch=N`` (the per-batch audit record).
     Pair with :func:`lambda_sample_spark.operators.substring.
-    remove_dup_spans` to emit the scrubbed texts."""
+    remove_dup_spans` to emit the scrubbed texts.
+
+    Streaming-replay hooks (the scrub_sink exactly-once recipe):
+    ``log_label`` names the scrub_log partition deterministically
+    (``batch=<label>``, written with overwrite — a replayed batch
+    rewrites its own log instead of appending a new one);
+    ``commit_meta`` rides INSIDE the versioned index commit (see
+    warehouse.version_meta) so "did this batch's merge land?" is
+    answerable atomically; ``pre_commit(spans)`` runs AFTER the spans
+    materialize but BEFORE the index merge — downstream effects (the
+    scrubbed-output write) go there, so every replay window is safe:
+    a crash before the merge replays the whole batch against an
+    unchanged index (same spans, idempotent overwrite sinks), a crash
+    after the merge is skipped entirely because the meta already
+    records the batch and every earlier effect already ran."""
     from pyspark.sql.window import Window
 
     scratch = os.path.join(index_root, "_scrub_scratch")
@@ -134,14 +151,20 @@ def scrub_batch(
         (F.max("pos") + F.lit(min_len - 1)).alias("span_end"),
     ).drop("run_id")
 
-    # audit log outlives the scratch dir (the ingest_log idiom)
+    # audit log outlives the scratch dir (the ingest_log idiom); a
+    # labeled batch (streaming) overwrites ITS OWN partition on replay
+    # instead of growing a new auto-numbered one
     log_dir = os.path.join(index_root, "scrub_log")
     os.makedirs(log_dir, exist_ok=True)
-    batch_no = len(os.listdir(log_dir))
-    final = os.path.join(log_dir, f"batch={batch_no}")
-    spans.write.parquet(final)
+    label = log_label if log_label is not None else len(os.listdir(log_dir))
+    final = os.path.join(log_dir, f"batch={label}")
+    spans.write.mode(
+        "overwrite" if log_label is not None else "errorifexists"
+    ).parquet(final)
     spans = spark.read.parquet(final)
 
+    if pre_commit is not None:
+        pre_commit(spans)
     if commit:
         # new totals for every batch gram — insert-or-update; only the
         # buckets the batch touches are rewritten, the rest hardlink
@@ -151,6 +174,7 @@ def scrub_batch(
             counts_root,
             totals.select("gram", F.col("total").alias("cnt")),
             keys=["gram"],
+            meta=commit_meta,
         )
         vacuum_versions(counts_root, keep=8)
     shutil.rmtree(scratch, ignore_errors=True)

@@ -492,7 +492,9 @@ def ivfpq_write_index(
     ).write.mode("overwrite").parquet(f"{path}/codebook")
 
 
-def ivfpq_append_index(emb: DataFrame, path: str) -> None:
+def ivfpq_append_index(
+    emb: DataFrame, path: str, batch_token: str | None = None
+) -> None:
     """Incrementally extend a persisted IVF-PQ index with new vectors
     — the nightly-batch maintenance op. Coarse centroids and residual
     codebooks stay FROZEN (the FAISS steady-state practice: retrain
@@ -503,7 +505,19 @@ def ivfpq_append_index(emb: DataFrame, path: str) -> None:
     construction (the assignment + residual-encode math is the exact
     twin of ivf_index/_encode_residual, pinned by
     test_pq.test_append_reencodes_identically). Work is linear in the
-    batch, independent of index size."""
+    batch, independent of index size.
+
+    ``batch_token`` makes the append REPLAY-SAFE (a retried nightly
+    batch must not duplicate vectors): the batch stages under
+    ``_append_scratch/<token>`` (reused, not rewritten, once its
+    _SUCCESS exists — Spark part filenames are per-attempt UUIDs, so a
+    rewrite would break publish idempotence), publishes by hardlinking
+    each staged file into the cells partitions under its staged name
+    (an already-linked name is skipped), then stamps
+    ``_appended/<token>``. Every crash window converges on retry:
+    before _SUCCESS -> restage; mid-publish -> re-link the same
+    inodes; after the marker -> no-op. Without a token the behavior is
+    the plain one-shot append."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -551,7 +565,43 @@ def ivfpq_append_index(emb: DataFrame, path: str) -> None:
     out = emb.select("vec_id", "vec").mapInPandas(
         run, "vec_id BIGINT, vec ARRAY<DOUBLE>, codes ARRAY<INT>, cluster INT"
     )
-    out.write.mode("append").partitionBy("cluster").parquet(f"{path}/cells")
+    if batch_token is None:
+        out.write.mode("append").partitionBy("cluster").parquet(f"{path}/cells")
+        return
+
+    import os
+    import shutil
+
+    marker = os.path.join(path, "_appended", batch_token)
+    scratch = os.path.join(path, "_append_scratch", batch_token)
+    if os.path.exists(marker):
+        shutil.rmtree(scratch, ignore_errors=True)
+        return
+    if not os.path.exists(os.path.join(scratch, "_SUCCESS")):
+        out.write.mode("overwrite").partitionBy("cluster").parquet(scratch)
+    for d in os.listdir(scratch):
+        if not d.startswith("cluster="):
+            continue
+        dst_dir = os.path.join(path, "cells", d)
+        os.makedirs(dst_dir, exist_ok=True)
+        for fname in os.listdir(os.path.join(scratch, d)):
+            if fname.startswith((".", "_")):
+                continue
+            try:
+                os.link(
+                    os.path.join(scratch, d, fname),
+                    os.path.join(dst_dir, fname),
+                )
+            except FileExistsError:
+                pass
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(batch_token)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, marker)
+    shutil.rmtree(scratch, ignore_errors=True)
 
 
 def ivfpq_probe_index(

@@ -102,6 +102,43 @@ def _commit_pointer(root: str, v: int) -> None:
     os.replace(tmp, os.path.join(root, VERSION_POINTER))
 
 
+VERSION_META = "_COMMIT_META"
+
+
+def _write_version_meta(root: str, v: int, meta: str) -> None:
+    """Persist an opaque commit-metadata string INSIDE the version
+    directory, before the pointer swap — so the marker and the data
+    commit are one atomic unit (the pointer names the version, the
+    version carries its meta). Used by streaming foreachBatch callers
+    to make a versioned MERGE replay-idempotent: record the batch id
+    in the commit, read it back for the skip check."""
+    import os
+
+    path = os.path.join(versioned_path(root, v), VERSION_META)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(meta)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def version_meta(root: str, version: int | None = None) -> str | None:
+    """Commit metadata recorded with ``version`` (default: the current
+    committed version), or None if the table or the meta is absent."""
+    import os
+
+    if version is None:
+        version = current_version(root)
+        if version is None:
+            return None
+    try:
+        with open(os.path.join(versioned_path(root, version), VERSION_META)) as f:
+            return f.read()
+    except FileNotFoundError:
+        return None
+
+
 def current_version(root: str) -> int | None:
     """Version the table pointer currently names, or None if the table
     has never been committed."""
@@ -132,7 +169,10 @@ def read_versioned(spark: SparkSession, root: str) -> DataFrame:
 
 
 def write_versioned(
-    df: DataFrame, root: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    root: str,
+    partition_by: list[str] | None = None,
+    meta: str | None = None,
 ) -> int:
     """Commit ``df`` as the next version of a versioned parquet table.
 
@@ -158,6 +198,8 @@ def write_versioned(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(versioned_path(root, v))
+    if meta is not None:
+        _write_version_meta(root, v, meta)
     _commit_pointer(root, v)
     return v
 
@@ -363,6 +405,7 @@ def merge_versioned(
     updates: DataFrame,
     keys: list[str],
     n_buckets: int | None = None,
+    meta: str | None = None,
 ) -> int:
     """MERGE-shaped upsert on a versioned table: rows in ``updates``
     replace current rows with equal ``keys`` (insert-or-update, the
@@ -401,7 +444,9 @@ def merge_versioned(
     # post-shuffle tail — measured: persisting COST ~35% on the ingest
     # composite (cache serialization of wide rows) with no win
     updates = updates.dropDuplicates(keys).withColumn("_bkt", bkt)
-    return _merge_versioned_inner(spark, root, updates, keys, n_buckets)
+    return _merge_versioned_inner(
+        spark, root, updates, keys, n_buckets, meta=meta
+    )
 
 
 def _merge_versioned_inner(
@@ -410,6 +455,7 @@ def _merge_versioned_inner(
     updates: DataFrame,
     keys: list[str],
     n_buckets: int,
+    meta: str | None = None,
 ) -> int:
     import os
 
@@ -493,6 +539,8 @@ def _merge_versioned_inner(
     # upgrades legacy tables in place) BEFORE the pointer swap, so a
     # reader never sees a committed version without its metadata
     _write_buckets(root, n_buckets)
+    if meta is not None:
+        _write_version_meta(root, v, meta)
     _commit_pointer(root, v)
     return v
 

@@ -7,16 +7,30 @@ foreachBatch is the right binding — the scrub is a multi-job batch
 workflow (scratch materialization, index semi-join, versioned index
 merge), not a single streaming operator, and foreachBatch hands each
 micro-batch to exactly that kind of workflow with the stream's
-exactly-once bookkeeping (the checkpoint tracks which batch ids
-committed; on restart an uncommitted batch replays — and scrub_batch's
-gram-count commit is a versioned-table MERGE keyed by gram, so a
-replayed batch that already merged would double-count: the wrapper
-therefore skips batch ids at-or-below the last committed batch id it
-recorded beside the CHECKPOINT — batch ids are checkpoint-scoped, so
-the marker must be too — the standard idempotent-foreachBatch
-recipe). One long-lived checkpoint per source is the deployment
-contract (restarts resume it; a fresh checkpoint re-delivers already-
-indexed files and would double-count their grams).
+at-least-once replay (the checkpoint tracks which batch ids committed;
+on restart an uncommitted batch replays). The wrapper makes the replay
+IDEMPOTENT end-to-end, with no window between effects:
+
+  1. the scrubbed output is written under
+     ``out_dir/run=<token>/batch=<id>`` with OVERWRITE — a replayed
+     batch rewrites its own partition instead of appending duplicates;
+  2. the gram-count MERGE records ``<token>:<id>`` INSIDE the
+     versioned commit itself (warehouse.version_meta — the pointer
+     swap is already atomic, so the marker and the merge land as one
+     unit), and the skip check reads it back from the committed index;
+  3. the output write runs BEFORE the merge (scrub_batch's
+     ``pre_commit`` hook), so: crash before the merge -> the replay
+     recomputes the same spans against the UNCHANGED index and
+     overwrites the same output, then merges; crash after the merge
+     -> the meta already names the batch, the replay skips, and every
+     earlier effect already landed.
+
+``token`` is a checkpoint-scoped run id persisted beside the
+checkpoint dir — batch ids reset with a fresh checkpoint, so the skip
+check must too (an index-global bare batch id would silently skip the
+first batches of any later run). One long-lived checkpoint per source
+is still the deployment contract (a fresh checkpoint re-delivers
+already-indexed files, whose grams would then double-count).
 
 State across batches lives entirely in the persisted gram-count index
 (16 bytes/distinct-gram) — Spark's own streaming state store holds
@@ -28,8 +42,42 @@ license header must be caught next month too).
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def run_token(checkpoint_dir: str, suffix: str = "_scrub_token") -> str:
+    """The checkpoint-scoped run id: created (atomically) beside the
+    checkpoint dir on first use, stable across restarts of the SAME
+    checkpoint, fresh for a new one — exactly the lifetime of the
+    stream's batch-id counter."""
+    path = checkpoint_dir.rstrip("/") + suffix
+    try:
+        with open(path) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        token = uuid.uuid4().hex[:12]
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(token)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return token
+
+
+def batch_committed(counts_root: str, token: str, batch_id: int) -> bool:
+    """True iff the current committed index version records this run's
+    merge for ``batch_id`` (or a later one — foreachBatch replays only
+    the last uncommitted batch, so ids are monotone per run)."""
+    from ..sources.warehouse import version_meta
+
+    meta = version_meta(counts_root)
+    if meta is None:
+        return False
+    tok, _, bid = meta.rpartition(":")
+    return tok == token and bid.isdigit() and int(bid) >= batch_id
 
 
 def scrub_sink(
@@ -42,40 +90,44 @@ def scrub_sink(
     trigger_available_now: bool = True,
 ):
     """Start the scrub sink over a (doc_id, text) stream; returns the
-    StreamingQuery. Scrubbed docs append to ``out_dir``; spans land in
-    the index's scrub_log as usual."""
+    StreamingQuery. Scrubbed docs land under
+    ``out_dir/run=<token>/batch=<id>`` (overwrite — replay-safe);
+    spans land in the index's scrub_log as usual."""
     from ..operators.incremental_substring import scrub_batch
     from ..operators.substring import remove_dup_spans
 
-    # batch ids are CHECKPOINT-scoped (a fresh checkpoint restarts at
-    # 0), so the idempotence marker must live beside the checkpoint,
-    # not the index — an index-global marker would silently skip the
-    # first batches of any later run
-    marker = checkpoint_dir.rstrip("/") + "_scrub_marker"
+    counts_root = os.path.join(index_root, "gram_counts")
+    token = run_token(checkpoint_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # idempotence across restarts: a replayed (already-merged)
-        # batch must not re-merge its gram counts
-        try:
-            with open(marker) as f:
-                if batch_id <= int(f.read().strip()):
-                    return
-        except FileNotFoundError:
-            pass
+        # idempotence across restarts: the marker rides inside the
+        # versioned index commit, so "merged" implies "output written"
+        # (the output write precedes the merge below)
+        if batch_committed(counts_root, token, batch_id):
+            return
         docs = batch_df.select("doc_id", "text")
         if not docs.take(1):
             return
-        spans = scrub_batch(
-            spark, index_root, docs, min_len=min_len, min_count=min_count
+        out_batch = os.path.join(
+            out_dir, f"run={token}", f"batch={batch_id}"
         )
-        remove_dup_spans(docs, spans).write.mode("append").parquet(out_dir)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, marker)
+
+        def write_output(spans: DataFrame) -> None:
+            remove_dup_spans(docs, spans).write.mode("overwrite").parquet(
+                out_batch
+            )
+
+        scrub_batch(
+            spark,
+            index_root,
+            docs,
+            min_len=min_len,
+            min_count=min_count,
+            log_label=f"{token}-{batch_id}",
+            commit_meta=f"{token}:{batch_id}",
+            pre_commit=write_output,
+        )
 
     writer = stream.writeStream.foreachBatch(handle).option(
         "checkpointLocation", checkpoint_dir

@@ -121,7 +121,7 @@ def test_incremental_update_equals_full_retrain(spark, planted, tmp_path):
     # three commits -> version 3 of every table
     from lambda_sample_spark.sources.warehouse import current_version
 
-    assert current_version(f"{model_dir}/weights") == 3
+    assert current_version(model_dir) == 3
 
     # scoring through the versioned loader equals scoring the frames
     a = C.score_nb(planted, w_inc, c_inc, n=1).collect()

@@ -161,7 +161,7 @@ def test_quality_model_refresh_equals_full_retrain(spark, state):
 
     inc_dir, _, nightly_stats, _ = state
     model_root = os.path.join(inc_dir, "quality_model")
-    assert current_version(os.path.join(model_root, "weights")) == len(
+    assert current_version(model_root) == len(
         nightly_stats
     )
     corpus = read_versioned(spark, os.path.join(inc_dir, "corpus"))
