@@ -41,6 +41,10 @@ from .multimodal import MEDIA_SCHEMA
 from .phash import phash_near_dup
 
 FP_SCHEMA = "doc_id BIGINT, fp BIGINT, bands ARRAY<INT>"
+# N_FRAMES - 1 comparison bits must fit the BIGINT fingerprint and the
+# 8x8 banding, so 65 is the only admissible value while fp is 64-bit;
+# the constant is threaded through the encoder, the fingerprint pass
+# and the DuckDB oracle below so the three can never desynchronize.
 N_FRAMES = 65  # 64 bits + the trailing comparison frame
 
 
@@ -67,6 +71,8 @@ def synthesize_afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "src_id",
     ).select("doc_id", "src_id", "pert", "src_text")
+
+    n_frames = N_FRAMES  # closure-captured: workers never touch the module
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -95,8 +101,8 @@ def synthesize_afp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, src_id, pert, text in zip(
                 pdf["doc_id"], pdf["src_id"], pdf["pert"], pdf["src_text"]
             ):
-                fl = (200 + int(src_id) % 120) // 65
-                n = 65 * fl
+                fl = (200 + int(src_id) % 120) // n_frames
+                n = n_frames * fl
                 raw = keystream(text or "", 2 * n, bool(pert))
                 samples = list(struct.unpack(f"<{n}h", raw))
                 payloads.append(enc_wav(8000, samples))
@@ -124,6 +130,8 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     energy = sum(|sample|), bit i = energy[i+1] > energy[i]. Emits the
     8 LSH bands alongside (the phash convention). Non-audio rows and
     clips shorter than 65 samples are dropped."""
+
+    n_frames = N_FRAMES  # closure-captured: workers never touch the module
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -153,15 +161,15 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 if b[:4] != b"RIFF":
                     continue
                 samples = dec_wav(b)
-                fl = len(samples) // 65
+                fl = len(samples) // n_frames
                 if fl == 0:
                     continue
                 e = [
                     sum(abs(samples[i * fl + k]) for k in range(fl))
-                    for i in range(65)
+                    for i in range(n_frames)
                 ]
                 hsh = 0
-                for i in range(64):
+                for i in range(n_frames - 1):
                     if e[i + 1] > e[i]:
                         hsh |= 1 << i
                 bands = [(hsh >> (8 * j)) & 255 for j in range(8)]
@@ -214,12 +222,12 @@ WITH srcm AS (
   FROM documents b
 ), dims AS (
   SELECT s.doc_id, s.pert, t.text AS src_text,
-         ((200 + s.src_id % 120) // 65)::BIGINT AS fl
+         ((200 + s.src_id % 120) // {N_FRAMES})::BIGINT AS fl
   FROM srcm s JOIN documents t ON t.doc_id = s.src_id
 ), pts AS (
   SELECT d.doc_id, ii.i, (ii.i * d.fl + kk.k) AS j, d.src_text, d.pert
   FROM dims d,
-       LATERAL (SELECT unnest(range(0, 65)) AS i) ii,
+       LATERAL (SELECT unnest(range(0, {N_FRAMES})) AS i) ii,
        LATERAL (SELECT unnest(range(0, d.fl)) AS k) kk
 ), samp AS (
   SELECT doc_id, i,
@@ -231,7 +239,7 @@ WITH srcm AS (
 ), bits AS (
   SELECT a.doc_id, a.i, CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
   FROM frames a JOIN frames b ON b.doc_id = a.doc_id AND b.i = a.i + 1
-  WHERE a.i < 64
+  WHERE a.i < {N_FRAMES} - 1
 ), uhashes AS (
   SELECT doc_id, SUM(bit * (1::HUGEINT << i::INT))::HUGEINT AS uh
   FROM bits GROUP BY doc_id

@@ -180,7 +180,6 @@ def dhash_images(media: DataFrame) -> DataFrame:
             rgb = bytearray(w * h * 3)
             for y in range(h):
                 src = b[off + (h - 1 - y) * (row_raw + pad) :][:row_raw]
-                row = rgb[y * row_raw : (y + 1) * row_raw]
                 row = bytearray(row_raw)
                 row[0::3] = src[2::3]
                 row[1::3] = src[1::3]

@@ -78,6 +78,12 @@ def perf_box_stats(reqs: DataFrame) -> DataFrame:
         F.round(F.col("q")[0], 3).alias("q1"),
         F.round(F.col("q")[1], 3).alias("median"),
         F.round(F.col("q")[2], 3).alias("q3"),
+        # the outlier census classifies against the UNROUNDED 1.5·IQR
+        # bounds (the documented A9 rule) — rounding is display-only,
+        # and classifying against rounded bounds would miscount values
+        # within 0.0005 ms of the true whisker
+        (F.col("q")[0] - 1.5 * iqr).alias("lo_raw"),
+        (F.col("q")[2] + 1.5 * iqr).alias("hi_raw"),
         F.round(F.col("q")[0] - 1.5 * iqr, 3).alias("lo_whisker"),
         F.round(F.col("q")[2] + 1.5 * iqr, 3).alias("hi_whisker"),
         F.round("max_ms", 3).alias("max_ms"),
@@ -86,10 +92,10 @@ def perf_box_stats(reqs: DataFrame) -> DataFrame:
     # back over the log (never collect_list the durations — the log is
     # unbounded, the bounds table is |routes| rows)
     outliers = (
-        reqs.join(F.broadcast(bounds.select("route", "lo_whisker", "hi_whisker")), "route")
+        reqs.join(F.broadcast(bounds.select("route", "lo_raw", "hi_raw")), "route")
         .where(
-            (F.col("dur_ms") < F.col("lo_whisker"))
-            | (F.col("dur_ms") > F.col("hi_whisker"))
+            (F.col("dur_ms") < F.col("lo_raw"))
+            | (F.col("dur_ms") > F.col("hi_raw"))
         )
         .groupBy("route")
         .agg(F.count("*").cast("bigint").alias("n_outliers"))
