@@ -50,18 +50,12 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     reads as a leak. Walks the analyzed plan's leaves, so it also
     releases checkpoints buried under post-loop lineage (the
     isolated-node union). Best-effort: falls back to plain unpersist
-    for frames that aren't checkpoints (e.g. scratch-parquet reads)."""
-    found = False
-    try:
-        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
-        for i in range(leaves.size()):
-            leaf = leaves.apply(i)
-            if leaf.getClass().getName().endswith("LogicalRDD"):
-                leaf.rdd().unpersist(False)
-                found = True
-    except Exception:
-        pass
-    if not found:
+    for frames that aren't checkpoints (e.g. scratch-parquet reads) —
+    and for Spark Connect, where the JVM leaf walk is unavailable
+    (plans/shim.py owns that capability split)."""
+    from ..plans.shim import release_checkpoint
+
+    if not release_checkpoint(df):
         try:
             df.unpersist(blocking=False)
         except Exception:

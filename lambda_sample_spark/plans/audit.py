@@ -17,15 +17,15 @@ import re
 
 from pyspark.sql import DataFrame
 
+from .shim import explain_string, optimized_plan, physical_plan  # noqa: F401
+
 
 def formatted_plan(df: DataFrame) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
-        df._jdf.queryExecution(), "formatted"
-    )
+    return explain_string(df, "formatted")
 
 
 def simple_plan(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    return physical_plan(df)
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

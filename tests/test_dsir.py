@@ -7,6 +7,7 @@ oracle seam vs xxhash64 production) agree on the ranking they induce.
 
 from __future__ import annotations
 
+from lambda_sample_spark.plans.audit import simple_plan
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.io import load_table
@@ -98,5 +99,5 @@ def test_deterministic_across_runs(spark):
 
 
 def test_no_python_udf_in_plan(spark):
-    plan = q_dsir_scores(spark, SMOKE_SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(q_dsir_scores(spark, SMOKE_SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -16,6 +16,7 @@ from lambda_sample_spark.operators.incremental_substring import (
     scrub_batch,
 )
 from lambda_sample_spark.operators.substring import duplicated_spans
+from lambda_sample_spark.plans.audit import simple_plan
 
 
 def _rand_text(rng: random.Random, n: int) -> str:
@@ -118,11 +119,6 @@ def test_match_plan_never_shuffles_the_index(spark, tmp_path):
     bcnt = spark.createDataFrame(
         [(123456789, 2), (987654321, 1)], "gram bigint, bcnt bigint"
     )
-    plan = (
-        batch_totals(spark, root, bcnt)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = simple_plan(batch_totals(spark, root, bcnt))
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

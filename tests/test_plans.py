@@ -11,6 +11,7 @@ from lambda_sample_spark.operators.joins import lookup_join_left
 from lambda_sample_spark.operators.tpch import tpch_join_agg, tpch_q6
 from lambda_sample_spark.operators.windows import scan_filter_limit
 from lambda_sample_spark.plans import audit
+from lambda_sample_spark.plans.audit import optimized_plan
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -155,7 +156,7 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
         joined = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
             "o_orderpriority"
         ).count()
-        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        plan = optimized_plan(joined)
         assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:1500]
     finally:
         for k, v in saved.items():
@@ -179,7 +180,7 @@ def test_vocab_window_input_is_post_limit(spark, sf_dir):
 
     top_n = 1000
     df = build_vocab(documents(spark, sf_dir), top_n=top_n)
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    plan = optimized_plan(df)
     w = plan.index("Window ")
     lim = plan.index(f"GlobalLimit {top_n}")
     assert w < lim, plan[:1500]  # window consumes the post-limit frame

@@ -8,6 +8,7 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from lambda_sample_spark.plans.audit import simple_plan
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.operators.pq import (
@@ -105,7 +106,7 @@ def test_persisted_ivfpq_index_probe(spark, clustered, tmp_path):
     path = str(tmp_path / "ivfpq")
     ivfpq_write_index(emb, path, n=3000)
     out = ivfpq_probe_index(spark, path, queries)
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(out)
     pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
     assert any("cluster" in p and "IN" in p for p in pfs), plan[:1500]
     got = out.collect()

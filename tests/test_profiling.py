@@ -3,6 +3,7 @@ row vs its DuckDB oracle + single-scan plan shape."""
 
 from __future__ import annotations
 
+from lambda_sample_spark.plans.audit import simple_plan
 from lambda_sample_spark.operators.profiling import (
     ORACLE,
     profile,
@@ -38,7 +39,7 @@ def test_profile_single_corpus_scan(spark):
     # the unpivot must not duplicate the aggregate subtree per column
     spark.catalog.clearCache()
     df = q_data_profile(spark, SMOKE_SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(df)
     assert plan.count("Scan parquet") == 1
 
 

@@ -4,6 +4,7 @@ plan is a bare scan (zero exchanges)."""
 
 from __future__ import annotations
 
+from lambda_sample_spark.plans.audit import simple_plan
 from lambda_sample_spark.operators.text import (
     ORACLE,
     q_quality_rules,
@@ -47,12 +48,7 @@ def test_each_rule_fires_on_planted_violation(spark):
 
 
 def test_plan_is_bare_scan(spark):
-    plan = (
-        q_quality_rules(spark, SMOKE_SF_DIR)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    plan = simple_plan(q_quality_rules(spark, SMOKE_SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange rangepartitioning") == 0
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

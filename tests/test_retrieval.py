@@ -3,6 +3,7 @@ contract row vs its DuckDB oracle + zero-shuffle plan shape."""
 
 from __future__ import annotations
 
+from lambda_sample_spark.plans.audit import simple_plan
 from lambda_sample_spark.operators.retrieval import (
     ORACLE,
     bm25_topk,
@@ -49,7 +50,7 @@ def test_bm25_k_cut_is_deterministic_by_doc_id(spark):
 def test_contract_plan_is_single_scan_zero_exchange(spark):
     spark.catalog.clearCache()
     df = q_bm25_topk(spark, SMOKE_SF_DIR)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(df)
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 0
     assert plan.count("Exchange rangepartitioning") == 0

@@ -27,6 +27,7 @@ from contextlib import contextmanager
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.io import load_table
+from lambda_sample_spark.plans.audit import optimized_plan
 
 BLOOM_CONFS = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
@@ -73,7 +74,7 @@ def _shape(spark, sf_dir):
 def test_bloom_filter_is_injected(spark, sf_dir):
     with _confs(spark, BLOOM_CONFS):
         j = _shape(spark, sf_dir)
-        plan = j._jdf.queryExecution().optimizedPlan().toString().lower()
+        plan = optimized_plan(j).lower()
         assert "bloomfilter" in plan or "might_contain" in plan, plan[:1500]
 
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from lambda_sample_spark.plans.audit import simple_plan
 
 # Exchange (hash+range) budgets recorded from the current plans.
 # Raising a number is a deliberate act with a review trail.
@@ -327,7 +328,7 @@ def test_shuffle_budget(spark, name):
     # the cold plan
     spark.catalog.clearCache()
     df = entrymod.queries()[name](spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(df)
     n = plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )

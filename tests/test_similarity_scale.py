@@ -9,6 +9,7 @@ linear scan (the round-1 verdict's finding).
 
 from __future__ import annotations
 
+from lambda_sample_spark.plans.audit import simple_plan
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.operators.common import embeddings
@@ -364,7 +365,7 @@ def test_persisted_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     )
     out = ivf_probe_index(spark, path, queries, nprobe=3)
 
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(out)
     pfs = [seg.split("]")[0] for seg in plan.split("PartitionFilters: [")[1:]]
     cell_pf = [p for p in pfs if "cluster" in p]
     assert cell_pf, plan[:2000]
@@ -421,7 +422,7 @@ def test_semantic_dedup_indexed_matches_inmemory(spark, sf_dir, tmp_path):
     path = str(tmp_path / "ivf")
     ivf_write_index(assigned, cents, path)
     indexed_df = semantic_dedup_indexed(spark, path)
-    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(indexed_df)
     assert "UDF" not in plan, "indexed path must not re-apply the model"
     indexed = {
         (r.vec_id, r.cluster, r.is_semantic_dup) for r in indexed_df.collect()
@@ -486,7 +487,7 @@ def test_contract_semantic_dedup_is_indexed_shape(spark, sf_dir):
     import __spark_entry__ as entrymod
 
     df = entrymod.queries()["q_semantic_dedup"](spark, sf_dir)
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(df)
     assert "UDF" not in plan, "model must not be re-applied at read time"
     assert "lss_semdedup_" in plan, "plan must scan the materialized cells"
     assert df.columns == ["vec_id", "cluster", "is_semantic_dup"]

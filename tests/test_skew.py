@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from lambda_sample_spark.io import load_table
 from lambda_sample_spark.operators.skew import SALT_N, salted_agg, salted_join
+from lambda_sample_spark.plans.audit import simple_plan
 
 
 def test_salted_agg_matches_plain(spark, sf_dir):
@@ -101,7 +102,7 @@ def test_aqe_skew_join_split_fires(spark):
             F.sum(F.length("payload")).alias("bytes")
         )
         assert out.collect()[0]["bytes"] > 0  # collect drives THIS df's QE
-        plan = out._jdf.queryExecution().executedPlan().toString()
+        plan = simple_plan(out)
         assert "isFinalPlan=true" in plan
         assert "skew=true" in plan, plan[:2000]
     finally:

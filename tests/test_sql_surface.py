@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from lambda_sample_spark.operators.anomaly import fast_anomaly
 from lambda_sample_spark.sql import fast_anomaly_sql, register_views, run
+from lambda_sample_spark.plans.audit import simple_plan
 
 
 def _sorted_rows(df):
@@ -49,5 +50,5 @@ def test_sql_join_pushdown_still_applies(spark, sf_dir):
         sf_dir,
         "SELECT l_orderkey FROM lineitem WHERE l_quantity < 5",
     )
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = simple_plan(df)
     assert "PushedFilters" in plan or "l_quantity" in plan

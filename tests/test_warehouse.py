@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pytest
 
+from lambda_sample_spark.plans.audit import simple_plan
 from pyspark.sql import functions as F
 
 from lambda_sample_spark.io import load_table
@@ -93,7 +94,7 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
         joined = fact.join(F.broadcast(dim), "sensor").groupBy("sensor").count()
         joined.collect()  # drive THIS df's query execution
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = simple_plan(joined)
         assert "dynamicpruning" in plan.lower(), plan[:1500]
     finally:
         if saved is None:
