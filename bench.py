@@ -148,6 +148,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_dsir_scores",
         "q_bpe_tokens",
         "q_quality_rules",
+        "q_html_extract",
     ],
     "dedup_curation": [
         "q_dedup_exact",

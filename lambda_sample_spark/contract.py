@@ -31,6 +31,7 @@ from .operators import (
     evaluation,
     fuzzy,
     graph,
+    html_extract,
     joins,
     joins_ext,
     market,
@@ -107,6 +108,7 @@ _MODULES = [
     corruption,
     blocklist,
     evaluation,
+    html_extract,
 ]
 
 

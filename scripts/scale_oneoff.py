@@ -410,7 +410,7 @@ def main() -> None:
     spark = get_spark(app_name="scale-oneoff")
     work = tempfile.mkdtemp(prefix="scale_oneoff_")
 
-    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk", "corrupt", "blocklist"}:
+    if ops & {"ngram", "winnow", "winnowpairs", "ingest", "dsir", "bpe", "bm25", "substr", "substrskew", "video", "ccnet", "nbq", "bloom", "chunk", "corrupt", "blocklist", "html"}:
         base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
         docs_path = os.path.join(work, "documents.parquet")
         t0 = time.perf_counter()
@@ -599,6 +599,23 @@ def main() -> None:
                 return "forced"
 
             measure(spark, f"bloom_probe@{n}", _bloom)
+
+        if "html" in ops:
+            # round-11 extraction rung: synthesis + block scoring are
+            # projections, reassembly is the one doc-keyed exchange —
+            # wall should be scan-linear, shuffle ~ kept-text bytes
+            from lambda_sample_spark.operators.html_extract import (
+                q_html_extract,
+            )
+
+            measure(
+                spark,
+                f"html_extract@{n}",
+                lambda: q_html_extract(spark, work)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+            )
 
         if "chunk" in ops:
             # round-10 chunking rung: pure projection — wall should be

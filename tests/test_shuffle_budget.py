@@ -239,6 +239,9 @@ BUDGET = {
     "q_temperature_shares": 1,
     # span corruption is per-row array algebra: zero shuffles
     "q_span_corruption": 0,
+    # html extraction: block split/scoring are projections over the
+    # page scan; the only exchange is the per-doc reassembly groupBy
+    "q_html_extract": 1,
     # blocklist: matching gram rows union -> distinct-hit census (the
     # count_distinct expand pair) + the all-docs audit left join; only
     # MATCHING grams and doc ids ever shuffle, never the gram stream
