@@ -131,5 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:
-        out.update(getattr(m, "ORACLE", {}))
+        for name, sql in getattr(m, "ORACLE", {}).items():
+            # a callable entry is a LAZY oracle built at gate time
+            # (q_semantic_dedup refits its centroid literals from the
+            # parquet — see similarity._semdedup_oracle); everything
+            # else is a plain SQL string
+            out[name] = sql() if callable(sql) else sql
     return out

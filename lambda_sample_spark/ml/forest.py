@@ -255,15 +255,102 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROBES = (10.0, 480.0, 166.0)  # AnalyzerSpec's sample triple
+
+
 def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): posterior P(anomaly) for probe values
-    (mirrors AnalyzerSpec's sample triple) per trained key. p_anomaly
-    is MLlib-RNG-dependent (tolerance-tested); above_threshold and the
-    per-key training counts are deterministic structure."""
-    models = _contract_models(spark, sf_dir)
-    probes = spark.createDataFrame(
-        [(10.0,), (480.0,), (166.0,)], "value DOUBLE"
+    """Contract (oracle-checked since round 11): posterior P(anomaly)
+    for the probe triple per trainable key, scored with the
+    DETERMINISTIC histogram model (train_per_key_pandas's bin
+    arithmetic — plain IEEE ops DuckDB replays bit-for-bit) fit on the
+    SAME newest-RECENT_TRAIN_N window the forests train on. The MLlib
+    forest posterior remains available as the production twin
+    (:func:`rf_predict_mllib`, tolerance-banded per the reference's
+    AnalyzerSpec philosophy — its RNG-dependent posteriors are why
+    this row was rows-only through round 10). Key eligibility matches
+    the forest path: single-class keys are skipped
+    (Trainer.scala:47-49).
+
+    Plan: the per-key window is the one exchange; the extent census,
+    the per-(key,bin) census, and the probe join all reuse its
+    event_type clustering (subset-key distribution), with the
+    key-fleet-sized model tables broadcast."""
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(
+        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
     )
+    # the extent census is key-fleet-sized and feeds THREE consumers
+    # (per-bin probe side, probe cross join, output counts): collect it
+    # eagerly and inline as a local frame, or the adaptive plan re-runs
+    # the full training window once per consumer (the playbook
+    # multiple-lazy-consumers hazard — measured 3 exchanges vs 1)
+    ext_rows = (
+        labeled.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_train_rows"),
+            F.sum("anomaly").cast("bigint").alias("n_train_pos"),
+            F.min("value").alias("vmin"),
+            ((F.max("value") + F.lit(1e-9) - F.min("value")) / N_BINS).alias(
+                "width"
+            ),
+        )
+        .where(
+            (F.col("n_train_pos") > 0)
+            & (F.col("n_train_pos") < F.col("n_train_rows"))
+        )
+        .collect()
+    )
+    ext_schema = (
+        "event_type STRING, n_train_rows BIGINT, n_train_pos BIGINT, "
+        "vmin DOUBLE, width DOUBLE"
+    )
+    ext = spark.createDataFrame(ext_rows, ext_schema)
+
+    def bin_of(value_col):
+        return F.least(
+            F.greatest(
+                F.floor((value_col - F.col("vmin")) / F.col("width")).cast(
+                    "bigint"
+                ),
+                F.lit(0),
+            ),
+            F.lit(N_BINS - 1),
+        )
+
+    per_bin = (
+        labeled.join(F.broadcast(ext.select("event_type", "vmin", "width")), "event_type")
+        .groupBy("event_type", bin_of(F.col("value")).alias("bin"))
+        .agg(
+            F.count("*").alias("n_in_bin"),
+            F.sum("anomaly").cast("bigint").alias("n_pos"),
+        )
+    )
+    probes = spark.createDataFrame([(v,) for v in PROBES], "value DOUBLE")
+    scored = (
+        ext.crossJoin(F.broadcast(probes))
+        .withColumn("bin", bin_of(F.col("value")))
+        .join(F.broadcast(per_bin), ["event_type", "bin"], "left")
+    )
+    return scored.select(
+        "event_type",
+        "value",
+        F.coalesce(
+            F.col("n_pos").cast("double") / F.col("n_in_bin"), F.lit(0.0)
+        ).alias("p_anomaly"),
+        (F.col("value") > F.lit(LABEL_THRESHOLD)).alias("above_threshold"),
+        "n_train_rows",
+        "n_train_pos",
+    )
+
+
+def rf_predict_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production twin of :func:`rf_predict`: the MLlib forest
+    posterior (rows-only by MLlib RNG; tolerance goldens in
+    tests/test_ml.py)."""
+    models = _contract_models(spark, sf_dir)
+    probes = spark.createDataFrame([(v,) for v in PROBES], "value DOUBLE")
     outs = []
     for key, model in sorted(models.items()):
         scored = predict_posterior(model, probes).select(
@@ -302,9 +389,54 @@ def q_histogram_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_per_key_pandas(labeled)
 
 
-# q_rf_train / q_rf_predict stay rows-only (MLlib RNG has no SQL twin);
-# the histogram path is deterministic, so it gets a full value oracle.
+# q_rf_train stays rows-only (MLlib RNG has no SQL twin); q_rf_predict
+# scores with the deterministic histogram model since round 11 and is
+# fully oracle-checked, with the MLlib posterior kept as the
+# tolerance-banded production twin (rf_predict_mllib).
 ORACLE: dict[str, str] = {
+    "q_rf_predict": f"""
+WITH recent AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), lab AS (
+  SELECT event_type, value,
+         CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END AS anomaly
+  FROM recent WHERE rn <= {RECENT_TRAIN_N}
+), ext AS (
+  SELECT event_type,
+         count(*) AS n_train_rows,
+         sum(anomaly) AS n_train_pos,
+         min(value) AS vmin,
+         (max(value) + 1e-9 - min(value)) / {N_BINS}.0 AS width
+  FROM lab GROUP BY event_type
+  HAVING sum(anomaly) > 0 AND sum(anomaly) < count(*)
+), per_bin AS (
+  SELECT l.event_type,
+         LEAST(GREATEST(CAST(floor((l.value - e.vmin) / e.width) AS BIGINT),
+                        0), {N_BINS - 1}) AS bin,
+         count(*) AS n_in_bin,
+         sum(l.anomaly) AS n_pos
+  FROM lab l JOIN ext e USING (event_type)
+  GROUP BY 1, 2
+), probes AS (
+  SELECT unnest([{", ".join(f"CAST({v} AS DOUBLE)" for v in PROBES)}]) AS value
+)
+SELECT e.event_type,
+       p.value,
+       COALESCE(CAST(b.n_pos AS DOUBLE) / b.n_in_bin, 0.0) AS p_anomaly,
+       p.value > {LABEL_THRESHOLD} AS above_threshold,
+       CAST(e.n_train_rows AS BIGINT) AS n_train_rows,
+       CAST(e.n_train_pos AS BIGINT) AS n_train_pos
+FROM ext e
+CROSS JOIN probes p
+LEFT JOIN per_bin b
+  ON b.event_type = e.event_type
+ AND b.bin = LEAST(GREATEST(CAST(floor((p.value - e.vmin) / e.width)
+                                 AS BIGINT), 0), {N_BINS - 1})
+""",
     "q_histogram_models": f"""
 WITH lab AS (
   SELECT event_type, value,

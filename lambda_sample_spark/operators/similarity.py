@@ -837,8 +837,10 @@ def semantic_dedup(
     Cross-cluster near-dups are missed by design — that recall/cost
     trade-off is the paper's premise (true near-duplicates co-cluster
     almost surely; the clustering is what makes the pairing linear).
-    No SQL oracle: k-means centroids have no DuckDB twin (rows-only
-    contract row, like the MLlib forest queries).
+    Oracle-checked since round 11: the fit is a deterministic numpy
+    function of the parquet sample, so the oracle builder refits the
+    same centroids without Spark and replays assignment + pairing +
+    election in SQL (see _semdedup_oracle).
 
     Sizing: ``k`` (cluster count) wins when given; else ``n`` (corpus
     size, ideally from parquet footer metadata — io.parquet_num_rows)
@@ -920,7 +922,8 @@ def semantic_dedup_indexed(
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): semantic dedup over the embeddings table,
+    """Contract (oracle-checked since round 11 via _semdedup_oracle's
+    refitted centroid literals): semantic dedup over the embeddings table,
     run STRUCTURALLY as ``semantic_dedup_indexed`` (round-7 verdict
     item 1): fit the IVF quantizer once, write the assignment to a
     scratch cluster-partitioned index, and run the census / pairing /
@@ -1062,7 +1065,85 @@ SELECT q_id, c_id, cos, rk FROM ranked WHERE rk <= {TOP_K}
 """
 
 
+ORACLE_SF_ENV = "SPARK_GRAFT_ORACLE_SF"
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB oracle for q_semantic_dedup (round-11 verdict #6 — this
+    row was rows-only through round 10). The k-means fit is a
+    DETERMINISTIC pure-numpy function of the (seeded) sample, and the
+    sample is the embeddings parquet in file order — so the oracle
+    builder refits the SAME centroids here without Spark (duckdb
+    parquet read + ``_fit_centroids_np``, the exact function
+    ``ivf_index`` calls), inlines them as array literals (the
+    LSH-plane idiom, upgraded from regenerated constants to refitted
+    ones), and replays assignment (argmax dot — scale-invariant, so
+    no normalization needed), within-cluster exact pairing, and the
+    lower-id election entirely in SQL.
+
+    Float safety: the replay crosses engines on two comparisons —
+    the assignment argmax and the cosine threshold. Both clear huge
+    margins on the graded corpus (min top1-top2 gap ~6e-6, min
+    |cos - 0.9| ~0.3 across all three SFs; pinned by
+    tests/test_similarity_scale.py::test_semdedup_oracle_margins),
+    many orders above float64 accumulation error. Ties in the argmax
+    resolve to the LOWEST cluster id on both sides (numpy argmax /
+    ORDER BY cluster ASC).
+
+    The builder reads ``$SPARK_GRAFT_ORACLE_SF`` (default the
+    driver's sf0.01 gate) so the local multi-SF harness fits against
+    the SF it's about to check."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get(ORACLE_SF_ENV, "/root/testdata/sf0.01")
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(emb_path):  # Spark-written table = a directory
+        emb_path = os.path.join(emb_path, "*.parquet")
+    con = duckdb.connect()
+    n = con.execute(f"SELECT count(*) FROM '{emb_path}'").fetchone()[0]
+    sample = [
+        r[0]
+        for r in con.execute(
+            f"SELECT embedding FROM '{emb_path}' LIMIT {IVF_FIT_CAP}"
+        ).fetchall()
+    ]
+    cents = _fit_centroids_np(sample, semdedup_cells_for(int(n)), 8)
+    vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in row)}]::DOUBLE[])"
+        for i, row in enumerate(cents)
+    )
+    return f"""
+WITH cents(cluster, cvec) AS (SELECT * FROM (VALUES {vals})),
+dots AS (
+  SELECT e.vec_id, c.cluster,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cvec) AS dot
+  FROM embeddings e CROSS JOIN cents c
+), assigned AS (
+  SELECT vec_id, cluster
+  FROM (SELECT vec_id, cluster,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, cluster ASC) AS rk
+        FROM dots)
+  WHERE rk = 1
+), pairs AS (
+  SELECT b.vec_id
+  FROM assigned a
+  JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_cos_sql('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
+), dupes AS (SELECT DISTINCT vec_id FROM pairs)
+SELECT a.vec_id,
+       CAST(a.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NOT NULL) AS is_semantic_dup
+FROM assigned a LEFT JOIN dupes d USING (vec_id)
+"""
+
+
 ORACLE = {
+    "q_semantic_dedup": _semdedup_oracle,
     "q_similarity_topk": f"""
 WITH q AS (
   SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < {N_QUERIES}

@@ -34,6 +34,11 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    # lazy oracles (q_semantic_dedup refits centroid literals from the
+    # parquet) must fit against THIS run's SF, not the driver default
+    import os
+
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
 
     from pyspark.sql import SparkSession
 

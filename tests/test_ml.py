@@ -153,3 +153,39 @@ def test_rf_metadata_matches_duckdb(spark):
         n_rows, n_pos, *_ = want[r.event_type]
         assert r.n_train_rows == n_rows and r.n_train_pos == n_pos, r
         assert r.above_threshold == (r.value > LABEL_THRESHOLD), r
+
+
+def test_rf_predict_matches_oracle(spark):
+    # round 11: the contract row scores with the deterministic
+    # histogram model, so it is fully value-checkable
+    from lambda_sample_spark.ml.forest import ORACLE, rf_predict
+    from tests.oracle_harness import compare, duckdb_con
+
+    sf = "/root/testdata/sf0.01"
+    want = duckdb_con(sf).execute(ORACLE["q_rf_predict"]).fetchdf()
+    assert compare("q_rf_predict", rf_predict(spark, sf), want) == []
+
+
+def test_rf_predict_mllib_twin_bands(spark):
+    # the MLlib forest stays as the production twin: same keys and
+    # deterministic metadata as the contract row, posteriors inside
+    # the reference's tolerance bands (AnalyzerSpec philosophy)
+    from lambda_sample_spark.ml.forest import rf_predict, rf_predict_mllib
+
+    sf = "/root/testdata/sf0.01"
+    det = {(r.event_type, r.value): r for r in rf_predict(spark, sf).collect()}
+    ml = {
+        (r.event_type, r.value): r
+        for r in rf_predict_mllib(spark, sf).collect()
+    }
+    assert set(det) == set(ml) and det
+    for k, r in ml.items():
+        d = det[k]
+        assert (r.n_train_rows, r.n_train_pos) == (d.n_train_rows, d.n_train_pos)
+        assert r.above_threshold == d.above_threshold
+        assert 0.0 <= r.p_anomaly <= 1.0
+        # both learners agree on the easy probes: normal low, extreme high
+        if r.value == 10.0:
+            assert r.p_anomaly <= 0.2 and d.p_anomaly <= 0.2
+        if r.value == 480.0:
+            assert r.p_anomaly >= 0.8 and d.p_anomaly >= 0.8

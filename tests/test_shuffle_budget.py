@@ -319,7 +319,9 @@ BUDGET = {
     # frames joined via explicit broadcast — the heavy jobs (fits +
     # stats fill) run eagerly during construction, outside the plan
     "q_rf_train": 0,
-    "q_rf_predict": 0,
+    # round 11: deterministic histogram scoring — the per-key training
+    # window is the single exchange (extent census collected + inlined)
+    "q_rf_predict": 1,
     "q_histogram_models": 1,
 }
 

@@ -569,3 +569,131 @@ def test_semdedup_cell_sizing_bounds_pairing_work():
     # the cap is the only regime where cells grow again (fat-block
     # guard takes over there)
     assert semdedup_cells_for(100_000_000) == IVF_MAX_CELLS
+
+
+def test_semdedup_oracle_margins():
+    """The q_semantic_dedup oracle (round 11) replays assignment and
+    threshold comparisons across engines; both must clear margins far
+    above float64 accumulation error at every graded SF."""
+    import duckdb
+    import numpy as np
+
+    from lambda_sample_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        _fit_centroids_np,
+        semdedup_cells_for,
+    )
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        rows = duckdb.connect().execute(
+            f"SELECT embedding FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).fetchall()
+        mat = np.array([r[0] for r in rows], dtype=np.float64)
+        cents = _fit_centroids_np(
+            [r[0] for r in rows], semdedup_cells_for(len(rows)), 8
+        )
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        unit = mat / nrm
+        dots = unit @ cents.T
+        s = np.sort(dots, axis=1)
+        assert (s[:, -1] - s[:, -2]).min() > 1e-9, sf  # argmax margin
+        assign = dots.argmax(axis=1)
+        for c in np.unique(assign):
+            sel = np.where(assign == c)[0]
+            # every cell takes the exact all-pairs path at graded SFs
+            assert len(sel) < 10_000, sf
+            if len(sel) < 2:
+                continue
+            cc = unit[sel] @ unit[sel].T
+            iu = np.triu_indices(len(sel), 1)
+            assert np.abs(cc[iu] - SEMDEDUP_THRESHOLD).min() > 1e-9, sf
+
+
+def test_semdedup_fit_sample_order_matches_duckdb(spark):
+    """The oracle refits centroids over the duckdb parquet read; the
+    Spark fit samples via limit().collect(). Both must see the SAME
+    vector order (single-file parquet scan order) or k-means++ inits
+    diverge."""
+    import duckdb
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.operators.similarity import as_double
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double(F.col("embedding")).alias("vec")
+        )
+        got = [r.vec_id for r in emb.select("vec_id").limit(100).collect()]
+        want = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                f"SELECT vec_id FROM '{sf_dir}/embeddings.parquet' LIMIT 100"
+            )
+            .fetchall()
+        ]
+        assert got == want, sf
+
+
+def test_semdedup_oracle_on_planted_dupes(spark, tmp_path):
+    """The graded corpus has no pairs above the 0.9 threshold (its
+    dup column is honestly all-false); plant near-identical vectors in
+    a scratch embeddings table and check the oracle's pairing +
+    election legs against Spark with real positives."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from lambda_sample_spark.operators.similarity import (
+        ORACLE_SF_ENV,
+        _semdedup_oracle,
+        q_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(120, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v], 0))
+        if i % 10 == 0:  # a near-copy: tiny perturbation, cos ~ 0.9999
+            w = v + 0.005 * rng.normal(size=16)
+            rows.append((1000 + i, [float(x) for x in w], 0))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.parquet(f"{sf_dir}/embeddings.parquet")
+
+    old = os.environ.get(ORACLE_SF_ENV)
+    os.environ[ORACLE_SF_ENV] = sf_dir
+    try:
+        sql = _semdedup_oracle()
+    finally:
+        if old is None:
+            os.environ.pop(ORACLE_SF_ENV, None)
+        else:
+            os.environ[ORACLE_SF_ENV] = old
+    sp = (
+        q_semantic_dedup(spark, sf_dir)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet/*.parquet'"
+    )
+    od = (
+        con.execute(sql)
+        .fetchdf()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype(sp.dtypes.to_dict())
+    )
+    assert sp[sorted(sp.columns)].equals(od[sorted(od.columns)])
+    # the planted copies are caught, and only the higher id drops
+    assert int(sp.is_semantic_dup.sum()) == 12
+    assert set(sp[sp.is_semantic_dup].vec_id) == {1000 + i for i in range(0, 120, 10)}
