@@ -178,7 +178,10 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
                 ids.append(doc_id)
                 fps.append(hsh)
                 bands_out.append(bands)
-            yield pd.DataFrame({"doc_id": ids, "fp": fps, "bands": bands_out})
+            if ids:  # all-skipped batch: see phash.dhash_images
+                yield pd.DataFrame(
+                    {"doc_id": ids, "fp": fps, "bands": bands_out}
+                )
 
     return media.mapInPandas(run, schema=FP_SCHEMA)
 

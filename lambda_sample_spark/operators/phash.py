@@ -244,6 +244,19 @@ def dhash_images(media: DataFrame) -> DataFrame:
                 hsh -= 1 << 64
             return hsh, bands
 
+        # optional JPEG decode (external lib import keeps the closure
+        # self-contained; absent -> JPEG rows skip, as before round 11)
+        try:
+            from PIL import Image as _PILImage  # noqa: N814
+        except ImportError:
+            _PILImage = None
+
+        def dec_jpeg(b: bytes) -> tuple[int, int, bytes]:
+            import io as _io
+
+            img = _PILImage.open(_io.BytesIO(b)).convert("RGB")
+            return img.width, img.height, img.tobytes()
+
         for pdf in batches:
             ids, hashes, bands_out = [], [], []
             for doc_id, payload, meta in zip(
@@ -256,15 +269,20 @@ def dhash_images(media: DataFrame) -> DataFrame:
                     w, h, rgb = dec_bmp(b)
                 elif b[:8] == b"\x89PNG\r\n\x1a\n":
                     w, h, rgb = dec_png(b)
+                elif b[:3] == b"\xff\xd8\xff" and _PILImage is not None:
+                    w, h, rgb = dec_jpeg(b)
                 else:
                     continue
                 hsh, bands = dhash(w, h, rgb)
                 ids.append(doc_id)
                 hashes.append(hsh)
                 bands_out.append(bands)
-            yield pd.DataFrame(
-                {"doc_id": ids, "dhash": hashes, "bands": bands_out}
-            )
+            if ids:  # an all-skipped batch yields nothing (an empty
+                # frame's object columns arrive as float64 and Arrow
+                # cannot cast that to the declared ARRAY<INT>)
+                yield pd.DataFrame(
+                    {"doc_id": ids, "dhash": hashes, "bands": bands_out}
+                )
 
     return media.mapInPandas(run, schema=HASH_SCHEMA)
 

@@ -198,9 +198,10 @@ def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
                     ids.append(doc_id)
                     idxs.append(f)
                     hashes.append(dhash(w, h, rgb))
-            yield pd.DataFrame(
-                {"doc_id": ids, "frame_idx": idxs, "dhash": hashes}
-            )
+            if ids:  # all-skipped batch: see phash.dhash_images
+                yield pd.DataFrame(
+                    {"doc_id": ids, "frame_idx": idxs, "dhash": hashes}
+                )
 
     return media.mapInPandas(run, schema=FRAME_HASH_SCHEMA)
 
