@@ -64,6 +64,47 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+# --- exact cross-engine average rounding ------------------------------
+# round(avg(value), 6) computed ENTIRELY in integer arithmetic: the sf1
+# gate (round 11) caught a group whose exact 10dp-quantized average is
+# a true half-way tie at the 6th decimal (43.4728125). No double-side
+# pairing can fix that class — Spark's round sees the binary-exact
+# quotient (just below .5), DuckDB's sees its scaled multiply (at .5) —
+# so both engines instead compute: per-value unscaled integers at
+# 10dp, integer sum U, denominator D = n·10^(10-6), then half-away
+# rounding as (2|U| + D) div (2D) with the sign reapplied. Every step
+# is exact integer arithmetic; the only engine seam left is the
+# per-VALUE double->decimal(18,10) cast, which is tie-free on any
+# corpus whose doubles carry fewer than 11 significant decimals.
+EXACT_AVG_IN = 10  # per-value quantization (decimal digits)
+EXACT_AVG_OUT = ROUND  # output rounding (decimal digits)
+_AVG_TEMPLATE = (
+    "CAST(CASE WHEN {u} >= 0 THEN (2 * {u} + {d}) {div} (2 * {d}) "
+    "ELSE -((-2 * {u} + {d}) {div} (2 * {d})) END AS DOUBLE) / {pout}.0"
+)
+
+
+def _exact_avg_parts(value_sql: str, int_type: str, div_op: str) -> str:
+    u = (
+        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{EXACT_AVG_IN})) "
+        f"* {10 ** EXACT_AVG_IN} AS {int_type}))"
+    )
+    d = f"count({value_sql}) * {10 ** (EXACT_AVG_IN - EXACT_AVG_OUT)}"
+    return _AVG_TEMPLATE.format(u=u, d=d, div=div_op, pout=10 ** EXACT_AVG_OUT)
+
+
+def exact_avg6(value_sql: str = "value") -> Column:
+    """Aggregate Column: round(avg(value_sql), 6) by exact integer
+    half-away rounding (Spark leg; DECIMAL(28,0) unscaled sum + div)."""
+    return F.expr(_exact_avg_parts(value_sql, "DECIMAL(28,0)", "div"))
+
+
+def exact_avg6_sql(value_sql: str = "value") -> str:
+    """The DuckDB pairing of :func:`exact_avg6` (HUGEINT sum + //),
+    generated from the SAME template so the legs cannot desync."""
+    return _exact_avg_parts(value_sql, "HUGEINT", "//")
+
+
 def r6z(c: Column) -> Column:
     """round(c, 6) with the IEEE negative-zero pairing: a tiny
     negative rounds to -0.0 in DuckDB but +0.0 in Spark, and the

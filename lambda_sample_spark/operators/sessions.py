@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import events, r6, ts_ms
+from .common import events, exact_avg6, exact_avg6_sql, r6, ts_ms
 
 SESSION_GAP_MS = 30 * 60 * 1000  # 30 min
 
@@ -50,23 +50,24 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows per event_type — the batch expression of
     the streaming windowed aggregate (identical ``F.window`` operator).
 
-    The average is computed as an exact DECIMAL sum divided by the
-    count, not float ``avg``: double summation is order-dependent, and
-    at sf0.1 one group's mean lands exactly on a round-half digit
-    where Spark's and DuckDB's accumulation orders differ by 1 ULP —
-    43.4728125 rounding to .472812 vs .472813. Decimal sums are
-    associative and engine-identical, so round(sum/n, 6) matches at
-    every SF. (The other avg-based contract rows never hit a knife
-    edge on this corpus; this one is hardened because it did.)"""
+    The average is hardened TWICE against engine seams this corpus
+    actually hit: decimal sums (sf0.1, round 9 — double summation is
+    order-dependent and one group's mean landed a 1-ULP flip from the
+    round boundary), then full exact-integer rounding (sf1, round 11 —
+    the 'signup'@2024-01-18T22 group's exact quantized average is a
+    TRUE half-way tie, 43.4728125, where Spark's binary-exact round
+    and DuckDB's scaled-multiply round disagree no matter how the sum
+    is computed). common.exact_avg6/_sql is the shared pairing: both
+    engines sum per-value unscaled 10dp integers and half-away-round
+    with integer division only. (The other avg-based contract rows
+    never hit a knife edge on this corpus; this one is hardened
+    because it did.)"""
     ev = events(spark, sf_dir)
-    exact_sum = F.sum(F.col("value").cast("decimal(28,10)"))
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            # divide by count(value), not count(*): decimal sum skips
-            # NULLs, so avg semantics must skip them in the divisor too
-            r6(exact_sum.cast("double") / F.count("value")).alias("avg_value"),
+            exact_avg6("value").alias("avg_value"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("window_start_ms"),
@@ -375,12 +376,11 @@ SELECT event_type,
                   ELSE coalesce(v_prev, v_next) END, 6) AS v_interp
 FROM f
 """,
-    "q_tumbling_window": """
+    "q_tumbling_window": f"""
 SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms,
        event_type,
        count(*) AS n,
-       round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value),
-             6) AS avg_value
+       {exact_avg6_sql("value")} AS avg_value
 FROM events
 GROUP BY 1, 2
 """,

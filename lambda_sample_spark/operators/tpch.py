@@ -92,13 +92,21 @@ def tpch_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     nation = load_table(spark, sf_dir, "nation")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # per-term decimal cast + DECIMAL-domain round: at sf1 this group's
+    # double sum is order-dependent across the last rounded cent (the
+    # playbook pairing; rounding the exact decimal sum is engine-exact,
+    # rounding a double near a .xx5 boundary is not)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,15)"
+    )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
     )
-    return joined.groupBy("n_name").agg(_r2(F.sum(revenue)).alias("revenue"))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+    )
 
 
 def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +349,9 @@ FROM (
 ) t
 """,
     "q_tpch_join_agg": """
-SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(25,15))), 2) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey

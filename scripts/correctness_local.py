@@ -15,8 +15,9 @@ every ``queries()`` row and its DuckDB oracle at sf0.01, and writes
 (tests/oracle_harness.py): if it is true, the driver's value-hash
 compare is true a fortiori.
 
-Usage:  python scripts/correctness_local.py <round> [sf_dir]
-Writes: CORRECTNESS_LOCAL_r{round:02d}.json at the repo root.
+Usage:  python scripts/correctness_local.py <round> [sf_dir] [label]
+Writes: CORRECTNESS_LOCAL_{label}r{round:02d}.json at the repo root
+(label e.g. "SF1_" for the sf1 sweep; empty = the sf0.01 default).
 """
 
 from __future__ import annotations
@@ -34,6 +35,7 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    label = sys.argv[3] if len(sys.argv) > 3 else ""
     # lazy oracles (q_semantic_dedup refits centroid literals from the
     # parquet) must fit against THIS run's SF, not the driver default
     import os
@@ -60,6 +62,7 @@ def main() -> int:
     results: dict[str, dict] = {}
     t0 = time.time()
     for i, name in enumerate(queries):
+        tq = time.time()
         row: dict = {
             "rows_match": None,
             "schema_match": None,
@@ -94,9 +97,13 @@ def main() -> int:
             if row["hash_match"]
             else ("rows-only" if row["err"] == "no_oracle" else "FAIL")
         )
-        print(f"[{i + 1}/{len(queries)}] {name}: {status}", flush=True)
+        print(
+            f"[{i + 1}/{len(queries)}] {name}: {status} "
+            f"({time.time() - tq:.1f}s)",
+            flush=True,
+        )
 
-    out_path = REPO / f"CORRECTNESS_LOCAL_r{rnd:02d}.json"
+    out_path = REPO / f"CORRECTNESS_LOCAL_{label}r{rnd:02d}.json"
     out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     n_green = sum(1 for r in results.values() if r["hash_match"])
