@@ -210,6 +210,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_multimodal_features",
         "x_ingest_batch",
         "x_stream_bottomk",
+        "x_serving_sla",
     ],
 }
 
@@ -402,6 +403,64 @@ def bench_stream_bottomk(spark, sf_dir: str) -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+_ENTRY_SRC: dict[str, str] = {}
+
+
+def bench_serving_sla(spark, sf_dir: str) -> None:
+    """Composite: the serving tier at the reference's published load
+    shape (round-11 verdict task #7) — ServingEndpoint over an entry
+    log derived from THIS sf_dir's events table, one cache-warming
+    GET / (the flagship recompute is the q_fast_anomaly row; this row
+    prices the tier around it), then the hey envelope's 500 requests
+    at concurrency 10 against /stress, request metrics flushed through
+    streaming/perf.py and the /perf box-plot aggregates forced. The 5 s
+    SLA is asserted inside the run — a bench sweep where serving
+    breaches the envelope must fail loudly, not record quietly."""
+    import shutil
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.sql import functions as F
+
+    from lambda_sample_spark.io import load_table
+    from lambda_sample_spark.streaming.http_endpoint import ServingEndpoint
+    from lambda_sample_spark.streaming.perf import perf_box_stats
+
+    src = _ENTRY_SRC.get(sf_dir)
+    if src is None:
+        src = tempfile.mkdtemp(prefix="bench_entries_") + "/log"
+        load_table(spark, sf_dir, "events").select(
+            F.col("event_type").alias("sensor"),
+            "ts",
+            "value",
+            (F.abs("value") > 50.0).cast("int").alias("anomaly"),
+            F.lit(1).cast("long").alias("batch_id"),
+        ).write.parquet(src)
+        _ENTRY_SRC[sf_dir] = src
+    metrics_dir = tempfile.mkdtemp(prefix="bench_serving_metrics_")
+    ep = ServingEndpoint(spark, src, ttl_secs=3600.0, metrics_dir=metrics_dir)
+    try:
+        url = f"http://{ep.host}:{ep.port}"
+
+        def hit(path):
+            t0 = time.perf_counter()
+            with urllib.request.urlopen(url + path) as r:
+                r.read()
+                return r.status, time.perf_counter() - t0
+
+        assert hit("/")[0] == 200
+        with ThreadPoolExecutor(max_workers=10) as pool:
+            out = list(pool.map(hit, ["/stress"] * 500))
+        assert all(s == 200 for s, _ in out)
+        lats = sorted(l for _, l in out)
+        assert lats[494] < 5.0, f"/stress p99={lats[494]:.3f}s breaches SLA"
+        ep.flush_metrics()
+        force(perf_box_stats(spark.read.parquet(f"{metrics_dir}/requests")))
+    finally:
+        ep.stop()
+        shutil.rmtree(metrics_dir, ignore_errors=True)
+
+
 def bench_winnow_neardup_prod(spark, sf_dir: str) -> None:
     """Composite: the PRODUCTION containment near-dup path — the
     vectorized numpy fingerprint pass plus the same capped pair join
@@ -440,6 +499,7 @@ COMPOSITES = {
     "x_embed_prod": bench_embed_prod,
     "x_ingest_batch": bench_ingest_batch,
     "x_stream_bottomk": bench_stream_bottomk,
+    "x_serving_sla": bench_serving_sla,
 }
 
 
