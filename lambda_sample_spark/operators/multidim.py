@@ -187,7 +187,7 @@ def hll_sketch_rollup(ev: DataFrame) -> dict[str, DataFrame]:
     day = (
         ev.groupBy(
             F.date_trunc("day", "ts").alias("day"), "event_type"
-        ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+        ).agg(F.hll_sketch_agg("user_id", HLL_LG_K).alias("sk"))
     )
     month = (
         day.groupBy(F.date_trunc("month", "day").alias("month"), "event_type")
@@ -211,9 +211,19 @@ def hll_sketch_rollup(ev: DataFrame) -> dict[str, DataFrame]:
 # DuckDB approx_count_distinct hits 2.4% rel / 13 abs at sf0.1 day
 # (~500-card groups) and 4.65% rel (= 2 abs) on ~45-card sf0.01
 # groups where integer jitter dominates; Spark's merged DataSketches
-# HLL is exact at sf0.01 and <= 1.9% / 12 abs at sf0.1. The relative
-# term governs at scale; the absolute floor only matters for tiny
-# test-SF groups.
+# HLL at lgConfigK=14 is exact at sf0.01, <= 1.9% / 12 abs at sf0.1
+# and <= 1.47% day / 0.29% month at sf1 (~5.5k-card groups). The
+# relative term governs at scale; the absolute floor only matters for
+# tiny test-SF groups.
+#
+# lgConfigK is pinned to 14 (not the default 12) after the round-11
+# sf1 gate: the default sketch put one 5450-card group at 4.018% —
+# ON the 4% line — and DataSketches' single-pass HIP estimator is
+# merge-order sensitive, so the boolean flipped with partitioning
+# luck. 14 buys ~2x tighter error (2.7x headroom under the bound),
+# moving every group decisively inside; 16 KB per (day, key) sketch
+# is still nothing at this granularity.
+HLL_LG_K = 14
 HLL_ROLLUP_PCT = 0.04
 HLL_ROLLUP_ABS = 4
 

@@ -160,20 +160,19 @@ def resample_gapfill(
     behind it are the expensive part and are read once per pass by
     the same aggregate.
 
-    Determinism/oracle: slot means are DECIMAL(28,10) sums divided by
-    counts (the q_tumbling_window hardening); LOCF copies those
-    doubles; the interpolation is one fixed-shape expression over two
-    such doubles and an integer slot ratio — every arithmetic step
-    mirrors the DuckDB oracle token-for-token, rounded 6dp only at
-    the output edge."""
+    Determinism/oracle: slot means are exact-integer-rounded 6dp
+    averages (common.exact_avg6 — the q_tumbling_window hardening; the
+    same 'signup' half-way tie sits in an observed slot here, so the
+    sf1 gate bit this row through the identical seam); LOCF copies
+    those already-exact doubles; the interpolation is one fixed-shape
+    expression over two such doubles and an integer slot ratio —
+    every arithmetic step mirrors the DuckDB oracle token-for-token,
+    rounded 6dp only at the output edge."""
     nn = ev.where(F.col(value_col).isNotNull())
     slot = F.floor(ts_ms() / F.lit(step_ms)).cast("bigint")
     obs = nn.groupBy(F.col(key_col), slot.alias("slot")).agg(
         F.count("*").alias("n_obs"),
-        (
-            F.sum(F.col(value_col).cast("decimal(28,10)")).cast("double")
-            / F.count(value_col)
-        ).alias("v_raw"),
+        exact_avg6(value_col).alias("v_raw"),
     )
     extent = obs.groupBy(key_col).agg(
         F.min("slot").alias("lo"), F.max("slot").alias("hi")
@@ -334,13 +333,12 @@ FROM numbered
 GROUP BY user_id, session_id
 """,
     "q_ewma_smooth": _ewma_oracle(),
-    "q_resample_gapfill": """
+    "q_resample_gapfill": f"""
 WITH obs AS (
   SELECT event_type,
          CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS slot,
          count(*) AS n_obs,
-         CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(value)
-           AS v_raw
+         {exact_avg6_sql("value")} AS v_raw
   FROM events WHERE value IS NOT NULL
   GROUP BY 1, 2
 ), grid AS (

@@ -211,7 +211,11 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # sf1 gate: decimal per-term sum + DECIMAL-domain round (the
+    # q_tpch_join_agg pairing — this row's double sum crossed a cent)
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(25,15)"
+    )
     joined = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
@@ -221,7 +225,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (cust.c_nationkey == supp.s_nationkey),
         )
     )
-    return joined.groupBy("n_name").agg(_r2(F.sum(revenue)).alias("revenue"))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(revenue), 2).cast("double").alias("revenue")
+    )
 
 
 def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -398,7 +404,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
 """
 
 ORACLE["q_tpch_q5"] = """
-SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT n.n_name,
+       CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(25,15))), 2) AS DOUBLE) AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
