@@ -677,7 +677,13 @@ def main() -> None:
         seam_overhead=seam_overhead,
         families_production_equiv=fam_totals_prod,
     )
-    with open(Path(REPO) / "bench_detail.json", "w") as f:
+    # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact (the sf1
+    # sweep writes bench_detail_sf1.json so the committed sf0.1 detail
+    # — the regression checker's baseline — is never clobbered)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", str(Path(REPO) / "bench_detail.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(out)
     # hard guard: never exceed the driver's capture window
