@@ -171,6 +171,7 @@ def nightly_ingest(
     # the committed version on its next batch. Weak label: the even
     # doc_id split (stands in for provenance labels a real run has).
     from lambda_sample_spark.operators.classifier import (
+        has_nb_model,
         nb_census,
         nb_commit,
         nb_update,
@@ -178,7 +179,12 @@ def nightly_ingest(
 
     model_root = os.path.join(state_dir, "quality_model")
     lbl = F.col("doc_id") % 2 == 0
-    if current_version(model_root) is None:
+    # has_nb_model, NOT a bare current_version check: a model committed
+    # under the legacy per-table layout has no model-level pointer, and
+    # the pointer test alone would take the fresh-train branch —
+    # silently discarding the accumulated census (nb_update handles
+    # every layout and its nb_commit migrates to the current one)
+    if not has_nb_model(model_root):
         nb_commit(spark, model_root, *nb_census(survivors, lbl, n=1))
     else:
         nb_update(spark, model_root, survivors, lbl, n=1)

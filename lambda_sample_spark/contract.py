@@ -128,13 +128,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return out
 
 
+_LAZY_ORACLE_CACHE: dict[tuple[str, str], str] = {}
+
+
 def oracle_sql() -> dict[str, str]:
+    import os
+    import sys
+
+    from .operators.similarity import ORACLE_SF_ENV
+
+    sf_key = os.environ.get(ORACLE_SF_ENV, "")
     out: dict[str, str] = {}
     for m in _MODULES:
         for name, sql in getattr(m, "ORACLE", {}).items():
-            # a callable entry is a LAZY oracle built at gate time
-            # (q_semantic_dedup refits its centroid literals from the
-            # parquet — see similarity._semdedup_oracle); everything
-            # else is a plain SQL string
-            out[name] = sql() if callable(sql) else sql
+            # a callable entry is a LAZY oracle built at dict-build
+            # time (q_semantic_dedup refits its centroid literals from
+            # the parquet — see similarity._semdedup_oracle). Built
+            # SQL is cached per (name, $SPARK_GRAFT_ORACLE_SF): the
+            # build is a parquet scan + k-means fit, far too heavy to
+            # re-run for every caller that only needs unrelated
+            # entries. A build failure (e.g. the SF dir lacks the
+            # parquet) degrades THAT entry to absent — the gate then
+            # records the row as rows-only instead of the whole dict
+            # build raising for everyone.
+            if callable(sql):
+                key = (name, sf_key)
+                if key not in _LAZY_ORACLE_CACHE:
+                    try:
+                        _LAZY_ORACLE_CACHE[key] = sql()
+                    except Exception as exc:  # noqa: BLE001
+                        print(
+                            f"oracle_sql: lazy oracle {name} failed to "
+                            f"build ({type(exc).__name__}: {exc}); "
+                            f"row degrades to rows-only",
+                            file=sys.stderr,
+                        )
+                        continue
+                out[name] = _LAZY_ORACLE_CACHE[key]
+            else:
+                out[name] = sql
     return out

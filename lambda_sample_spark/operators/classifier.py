@@ -314,11 +314,7 @@ def nb_update(
     scanned — yesterday's corpus never re-reads. Caller discipline:
     (n, n_buckets, gram_hash) must match the committed model's
     (document them with the model dir)."""
-    vdir = _model_vdir(model_dir)
-    old = (
-        spark.read.parquet(f"{vdir}/census"),
-        spark.read.parquet(f"{vdir}/priors"),
-    )
+    old = load_nb_stats(spark, model_dir)
     new = nb_census(
         new_docs, label, id_col, text_col, n, n_buckets, gram_hash
     )
@@ -335,6 +331,55 @@ def _model_vdir(model_dir: str) -> str:
     if v is None:
         raise FileNotFoundError(f"no committed model under {model_dir}")
     return versioned_path(model_dir, v)
+
+
+def has_nb_model(model_dir: str) -> bool:
+    """True iff ``model_dir`` holds a loadable model in ANY supported
+    layout — the check callers (e.g. the nightly workflow's
+    fresh-vs-refresh branch) must use instead of a bare
+    ``current_version(model_dir)``: the pointer test alone reports a
+    legacy per-table layout as 'no model', silently discarding the
+    accumulated census by retraining from one night's batch."""
+    import os
+
+    from ..sources.warehouse import current_version
+
+    return (
+        current_version(model_dir) is not None
+        or current_version(os.path.join(model_dir, "census")) is not None
+        or os.path.isdir(os.path.join(model_dir, "census"))
+    )
+
+
+def load_nb_stats(
+    spark: SparkSession, model_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Read the current (census, priors) sufficient statistics — the
+    frames :func:`nb_update` merges into. Same three-tier layout
+    fallback as :func:`load_nb_model` (model-level pointer, legacy
+    per-table versioned dirs, plain parquet dirs): the update path
+    previously knew only the newest layout, so refreshing a model
+    committed under the legacy layout raised — or worse, a caller
+    branching on ``current_version`` silently retrained from scratch.
+    The next :func:`nb_commit` migrates the model to the model-level
+    pointer layout, so the fallback pays once per legacy model."""
+    from ..sources.warehouse import current_version, read_versioned
+
+    if current_version(model_dir) is not None:
+        vdir = _model_vdir(model_dir)
+        return (
+            spark.read.parquet(f"{vdir}/census"),
+            spark.read.parquet(f"{vdir}/priors"),
+        )
+    if current_version(f"{model_dir}/census") is not None:
+        return (
+            read_versioned(spark, f"{model_dir}/census"),
+            read_versioned(spark, f"{model_dir}/priors"),
+        )
+    return (
+        spark.read.parquet(f"{model_dir}/census"),
+        spark.read.parquet(f"{model_dir}/priors"),
+    )
 
 
 def load_nb_model(

@@ -593,7 +593,20 @@ def ivf_index(
         F.transform("vec", lambda x: x / norm).alias("unit"),
     )
     fit_on = emb if fit_fraction >= 1.0 else emb.sample(fit_fraction, seed=42)
-    sample = [r.vec for r in fit_on.select("vec").limit(fit_cap).collect()]
+    # ORDER BY vec_id pins the fit-sample identity: a bare limit() has
+    # no ordering guarantee, so a multi-file layout or a partition-
+    # ordering change would silently hand the k-means a different
+    # sample than the DuckDB oracle's (which replays the same ordered
+    # prefix — _semdedup_oracle). orderBy+limit plans as TakeOrdered:
+    # a per-partition top-cap heap then one driver merge, no sort of
+    # the corpus — scale-safe at any N.
+    sample = [
+        r.vec
+        for r in fit_on.select("vec_id", "vec")
+        .orderBy("vec_id")
+        .limit(fit_cap)
+        .collect()
+    ]
     cents = _fit_centroids_np(sample, k, max_iter)
     bc = emb.sparkSession.sparkContext.broadcast(cents)
 
@@ -1072,7 +1085,9 @@ def _semdedup_oracle() -> str:
     """DuckDB oracle for q_semantic_dedup (round-11 verdict #6 — this
     row was rows-only through round 10). The k-means fit is a
     DETERMINISTIC pure-numpy function of the (seeded) sample, and the
-    sample is the embeddings parquet in file order — so the oracle
+    sample is the vec_id-ordered prefix of the embeddings table
+    (ORDER BY vec_id LIMIT cap on BOTH legs — a bare limit's file
+    order would desync on a multi-file layout) — so the oracle
     builder refits the SAME centroids here without Spark (duckdb
     parquet read + ``_fit_centroids_np``, the exact function
     ``ivf_index`` calls), inlines them as array literals (the
@@ -1106,7 +1121,8 @@ def _semdedup_oracle() -> str:
     sample = [
         r[0]
         for r in con.execute(
-            f"SELECT embedding FROM '{emb_path}' LIMIT {IVF_FIT_CAP}"
+            f"SELECT embedding FROM '{emb_path}' "
+            f"ORDER BY vec_id LIMIT {IVF_FIT_CAP}"
         ).fetchall()
     ]
     cents = _fit_centroids_np(sample, semdedup_cells_for(int(n)), 8)

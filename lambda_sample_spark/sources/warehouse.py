@@ -151,6 +151,34 @@ def current_version(root: str) -> int | None:
         return None
 
 
+def list_versions(root: str, committed_only: bool = True) -> list[int]:
+    """All ``v=N`` directories under ``root``, ascending.
+
+    ``committed_only`` (the default) drops versions ABOVE the current
+    pointer: a writer that crashed between writing ``v=N`` and the
+    pointer swap leaves an orphan directory whose contents (including
+    any ``_COMMIT_META``) must not be treated as committed state —
+    the replay-skip checks that scan version history depend on this
+    filter for their crash-safety argument."""
+    import os
+    import re
+
+    try:
+        versions = sorted(
+            int(m.group(1))
+            for d in os.listdir(root)
+            if (m := re.fullmatch(r"v=(\d+)", d))
+        )
+    except FileNotFoundError:
+        return []
+    if committed_only:
+        cur = current_version(root)
+        if cur is None:
+            return []
+        versions = [v for v in versions if v <= cur]
+    return versions
+
+
 def versioned_path(root: str, version: int) -> str:
     import os
 
@@ -210,16 +238,10 @@ def vacuum_versions(root: str, keep: int = 2) -> list[int]:
     a dropped version BEFORE the vacuum can still fail mid-scan — the
     retention window is the operator's promise that no query runs
     longer than ``keep`` commits, exactly like Delta/Iceberg VACUUM."""
-    import os
-    import re
     import shutil
 
     cur = current_version(root)
-    versions = sorted(
-        int(m.group(1))
-        for d in os.listdir(root)
-        if (m := re.fullmatch(r"v=(\d+)", d))
-    )
+    versions = list_versions(root, committed_only=False)
     doomed = [v for v in versions[:-keep] if v != cur] if keep else []
     for v in doomed:
         shutil.rmtree(versioned_path(root, v))

@@ -68,16 +68,40 @@ def run_token(checkpoint_dir: str, suffix: str = "_scrub_token") -> str:
 
 
 def batch_committed(counts_root: str, token: str, batch_id: int) -> bool:
-    """True iff the current committed index version records this run's
-    merge for ``batch_id`` (or a later one — foreachBatch replays only
-    the last uncommitted batch, so ids are monotone per run)."""
-    from ..sources.warehouse import version_meta
+    """True iff ANY retained committed index version records this
+    run's merge for ``batch_id`` (or a later one — foreachBatch
+    replays only the last uncommitted batch, so ids are monotone per
+    run).
 
-    meta = version_meta(counts_root)
-    if meta is None:
-        return False
-    tok, _, bid = meta.rpartition(":")
-    return tok == token and bid.isdigit() and int(bid) >= batch_id
+    The scan covers the whole retained version history, not just the
+    current pointer: if another commit lands on the same gram-counts
+    index between this batch's merge and its replay (a manual
+    ``scrub_batch`` without ``commit_meta``, a nightly maintenance
+    merge, a second stream sharing the index), the CURRENT version's
+    meta no longer names this run — but the version that carried the
+    merge is still on disk, and its meta is authoritative.
+    ``list_versions`` filters to versions at or below the committed
+    pointer, so an orphan directory from a crash between meta write
+    and pointer swap is never mistaken for a committed merge.
+
+    Remaining contract: the marker must survive until the replay —
+    i.e. the retention window (``vacuum_versions`` keep, default 8 in
+    the scrub path) must exceed the number of commits that can land
+    between a batch's merge and the stream checkpoint recording it.
+    foreachBatch checkpoints each batch before starting the next, so
+    only commits from OTHER writers in that short window count against
+    the budget; 8 versions of headroom is the documented bound, not an
+    assumption of a single writer."""
+    from ..sources.warehouse import list_versions, version_meta
+
+    for v in reversed(list_versions(counts_root)):
+        meta = version_meta(counts_root, v)
+        if meta is None:
+            continue
+        tok, _, bid = meta.rpartition(":")
+        if tok == token and bid.isdigit() and int(bid) >= batch_id:
+            return True
+    return False
 
 
 def scrub_sink(
