@@ -215,6 +215,15 @@ FAMILIES: dict[str, list[str]] = {
 }
 
 
+# Per-family repeat floors: the heavy family's committed numbers moved
+# 44% between rounds 10 and 11 on pure host noise (q_connected_
+# components 6.0 -> 8.66 s in a sweep whose spread hit 1.88x; the
+# round-12 isolated rerun measured 4.84 s min-of-5, refuting any code
+# cause). min-of-N only rejects noise N-1 times per query — the
+# longest-running family gets more samples so one stalled sweep can't
+# move a committed number by tens of percent.
+FAMILY_MIN_REPEATS = {"heavy": 5}
+
 # contract row -> its production twin (same semantics, no oracle
 # seam); seam_overhead in bench_detail.json is contract/production
 SEAM_TWINS = {
@@ -590,11 +599,18 @@ def main() -> None:
         family_sweeps["all"] = sweeps
     else:
         for fam, names in families.items():
+            # the floor protects COMMITTED full sweeps; ONLY-filtered
+            # experiments keep the caller's explicit repeat count
+            fam_repeats = (
+                repeats if only else max(repeats, FAMILY_MIN_REPEATS.get(fam, 0))
+            )
             with tempfile.TemporaryDirectory(prefix="bench_fam_") as td:
                 spec = Path(td) / "spec.json"
                 out = Path(td) / "out.json"
                 spec.write_text(
-                    json.dumps({"names": names, "sf_dir": sf_dir, "repeats": repeats})
+                    json.dumps(
+                        {"names": names, "sf_dir": sf_dir, "repeats": fam_repeats}
+                    )
                 )
                 proc = subprocess.run(
                     [sys.executable, __file__, "--worker", str(spec), str(out)],

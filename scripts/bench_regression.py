@@ -12,7 +12,10 @@ never failed — coverage growth is not a regression.
 
 Usage:
   python scripts/bench_regression.py [new_detail] [old_detail]
-  (defaults: bench_detail.json vs `git show HEAD:bench_detail.json`)
+  (defaults: bench_detail.json vs the committed file of the SAME
+  name — `git show HEAD:<basename(new_detail)>` — so the sf1 sweep
+  gates with `python scripts/bench_regression.py bench_detail_sf1.json`
+  against its own committed baseline; round-11 verdict task #3)
 
 Exit 1 on any regression; prints one JSON line either way so the
 round routine can commit the verdict alongside the sweep.
@@ -37,12 +40,12 @@ def load_new(path: str) -> dict:
         return json.load(f)
 
 
-def load_old(path: str | None) -> dict:
+def load_old(path: str | None, new_path: str) -> dict:
     if path:
         with open(path) as f:
             return json.load(f)
     blob = subprocess.run(
-        ["git", "-C", str(REPO), "show", "HEAD:bench_detail.json"],
+        ["git", "-C", str(REPO), "show", f"HEAD:{Path(new_path).name}"],
         capture_output=True,
         text=True,
         check=True,
@@ -51,8 +54,9 @@ def load_old(path: str | None) -> dict:
 
 
 def main() -> int:
-    new = load_new(sys.argv[1] if len(sys.argv) > 1 else str(REPO / "bench_detail.json"))
-    old = load_old(sys.argv[2] if len(sys.argv) > 2 else None)
+    new_path = sys.argv[1] if len(sys.argv) > 1 else str(REPO / "bench_detail.json")
+    new = load_new(new_path)
+    old = load_old(sys.argv[2] if len(sys.argv) > 2 else None, new_path)
     nq, oq = new["queries"], old["queries"]
     threshold = max(
         RATIO_FLOOR,

@@ -18,6 +18,15 @@ compare is true a fortiori.
 Usage:  python scripts/correctness_local.py <round> [sf_dir] [label]
 Writes: CORRECTNESS_LOCAL_{label}r{round:02d}.json at the repo root
 (label e.g. "SF1_" for the sf1 sweep; empty = the sf0.01 default).
+
+Mid-round oracle-cost diet (round-11 verdict task #8): set
+``SPARK_GRAFT_GATE_CHANGED=<git-ref>`` (e.g. HEAD) to rerun ONLY the
+rows whose registering operator module changed vs that ref
+(scripts/changed_rows.py — a shared-engine-file change still runs
+everything), or ``SPARK_GRAFT_GATE_ONLY=q_a,q_b`` for an explicit
+list. Either filter writes ``..._PARTIAL.json`` and NEVER the
+committed artifact name: the full gate at round close stays the only
+writer of the file the judge reads.
 """
 
 from __future__ import annotations
@@ -58,6 +67,35 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = duckdb_con(sf_dir)
+
+    partial = False
+    only_env = os.environ.get("SPARK_GRAFT_GATE_ONLY")
+    changed_ref = os.environ.get("SPARK_GRAFT_GATE_CHANGED")
+    if only_env:
+        keep = {n.strip() for n in only_env.split(",") if n.strip()}
+        unknown = keep - set(queries)
+        assert not unknown, f"SPARK_GRAFT_GATE_ONLY unknown rows: {sorted(unknown)}"
+        queries = {n: q for n, q in queries.items() if n in keep}
+        partial = True
+    elif changed_ref:
+        from changed_rows import rows_for_diff
+
+        rows = rows_for_diff(changed_ref)
+        if rows is None:
+            print(
+                f"changed-rows vs {changed_ref}: shared engine code "
+                f"touched -> full gate"
+            )
+        else:
+            queries = {n: q for n, q in queries.items() if n in rows}
+            partial = True
+            print(
+                f"changed-rows vs {changed_ref}: {len(queries)} rows "
+                f"selected: {sorted(queries)}"
+            )
+            if not queries:
+                print("no contract rows affected; nothing to run")
+                return 0
 
     results: dict[str, dict] = {}
     t0 = time.time()
@@ -103,7 +141,8 @@ def main() -> int:
             flush=True,
         )
 
-    out_path = REPO / f"CORRECTNESS_LOCAL_{label}r{rnd:02d}.json"
+    suffix = "_PARTIAL" if partial else ""
+    out_path = REPO / f"CORRECTNESS_LOCAL_{label}r{rnd:02d}{suffix}.json"
     out_path.write_text(json.dumps(results, indent=1) + "\n")
 
     n_green = sum(1 for r in results.values() if r["hash_match"])

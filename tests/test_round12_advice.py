@@ -149,3 +149,29 @@ def test_nb_update_handles_legacy_per_table_layout(spark, tmp_path):
     assert c_inc.collect() == c_full.collect()
     # and the commit migrated the model to the model-level pointer
     assert current_version(model_dir) == 1
+
+
+def test_changed_rows_selector(monkeypatch):
+    """Task #8's row selector: operator-module changes map to exactly
+    that module's rows; shared engine code forces the full gate;
+    tooling/tests/artifacts select nothing."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    try:
+        import changed_rows as cr
+    finally:
+        sys.path.pop(0)
+
+    def with_files(files):
+        monkeypatch.setattr(cr, "changed_files", lambda ref="HEAD": files)
+        return cr.rows_for_diff()
+
+    dedup_rows = with_files(["lambda_sample_spark/operators/dedup.py"])
+    assert dedup_rows is not None and "q_dedup_exact" in dedup_rows
+    assert "q_tpch_q1" not in dedup_rows
+
+    assert with_files(["lambda_sample_spark/operators/common.py"]) is None
+    assert with_files(["__spark_entry__.py"]) is None
+    assert with_files(["tests/test_foo.py", "bench.py", "docs/SCALE.md"]) == set()
