@@ -142,11 +142,44 @@ def synthesize_video_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.mapInPandas(run, schema=VIDEO_SCHEMA)
 
 
+def decode_mp4_frames(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Eager MP4 frame decode behind an OPTIONAL PyAV import (the
+    Pillow/JPEG pattern from round 11, multimodal.decode_jpeg): this
+    container ships no codec libraries, so without PyAV this raises
+    NotImplementedError and the distributed path keeps its documented
+    fallback (MP4 payloads skip, RAWV decodes) byte-identical. With
+    PyAV installed, frames really decode to (w, h, rgb24) in stream
+    order. tests/test_pyav_optional.py covers both legs and pins the
+    inline closure twin in video_frame_hashes equal to this."""
+    try:
+        import av
+    except ImportError as exc:  # pragma: no cover — no PyAV here
+        raise NotImplementedError(
+            "MP4 decode requires PyAV (pip install av)"
+        ) from exc
+    import io
+
+    out = []
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(video=0):
+            arr = frame.to_ndarray(format="rgb24")
+            out.append((arr.shape[1], arr.shape[0], arr.tobytes()))
+    return out
+
+
 def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
-    """Parse the RAWV container, REALLY decode every ``every_n``-th
-    BMP frame (inline decoder twin of multimodal.decode_bmp) and dHash
-    it (the X43 spec: 9×8 nearest-neighbor grid, horizontal gradient
-    signs). One mapInPandas pass; emits (doc_id, frame_idx, dhash)."""
+    """Parse the container, REALLY decode every ``every_n``-th frame
+    and dHash it (the X43 spec: 9×8 nearest-neighbor grid, horizontal
+    gradient signs). One mapInPandas pass; emits
+    (doc_id, frame_idx, dhash).
+
+    Containers: RAWV (the oracle-checked BMP test container — inline
+    decoder twin of multimodal.decode_bmp) always decodes; MP4
+    (``ftyp`` brand sniff) decodes when PyAV is importable ON THE
+    EXECUTOR and is skipped — never a crash — without it, exactly like
+    phash.dhash_images treats JPEG without Pillow. The ``av`` import
+    lives inside the worker closure so the closure stays
+    self-contained under cloudpickle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -180,21 +213,36 @@ def video_frame_hashes(media: DataFrame, every_n: int = 1) -> DataFrame:
                         hsh |= 1 << (j * 8 + k)
             return hsh - (1 << 64) if hsh >= 1 << 63 else hsh
 
-        for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if b[:4] != b"RAWV":
-                    continue
+        def frames_of(b: bytes):
+            """(frame_idx, w, h, rgb24) per frame, container-sniffed.
+            Unknown containers (and MP4 without PyAV) yield nothing —
+            the skip fallback, never a crash."""
+            if b[:4] == b"RAWV":
                 (nf,) = struct.unpack(">I", b[4:8])
                 pos = 8
                 for f in range(nf):
                     (ln,) = struct.unpack(">I", b[pos : pos + 4])
                     frame = b[pos + 4 : pos + 4 + ln]
                     pos += 4 + ln
+                    yield f, *dec_bmp(frame)
+            elif len(b) >= 12 and b[4:8] == b"ftyp":
+                try:
+                    import av
+                except ImportError:
+                    return  # documented codec-library gap: skip row
+                import io as _io
+
+                with av.open(_io.BytesIO(b)) as container:
+                    for f, frame in enumerate(container.decode(video=0)):
+                        arr = frame.to_ndarray(format="rgb24")
+                        yield f, arr.shape[1], arr.shape[0], arr.tobytes()
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for f, w, h, rgb in frames_of(bytes(payload)):
                     if f % every_n:
                         continue
-                    w, h, rgb = dec_bmp(frame)
                     ids.append(doc_id)
                     idxs.append(f)
                     hashes.append(dhash(w, h, rgb))
