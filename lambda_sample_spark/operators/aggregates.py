@@ -25,7 +25,14 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import EVENT_TYPES, events, r6, ts_ms
+from .common import (
+    EVENT_TYPES,
+    events,
+    exact_sum6,
+    exact_sum6_sql,
+    r6,
+    ts_ms,
+)
 
 
 def group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +45,9 @@ def group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
-            r6(F.sum("value")).alias("sum_value"),
+            # exact integer-domain sum: Spark's parallel double sum
+            # drifted 2e-6 over a 2M-row group at the sf10 gate
+            exact_sum6("value").alias("sum_value"),
             r6(F.avg("value")).alias("avg_value"),
             r6(F.stddev_pop("value")).alias("sd_pop"),
         )
@@ -162,10 +171,10 @@ def _union_all_sql() -> str:
 
 
 ORACLE = {
-    "q_group_stats": """
+    "q_group_stats": f"""
 SELECT event_type,
        count(*) AS cnt,
-       round(sum(value), 6) AS sum_value,
+       {exact_sum6_sql("value")} AS sum_value,
        round(avg(value), 6) AS avg_value,
        round(stddev_pop(value), 6) AS sd_pop
 FROM events GROUP BY event_type

@@ -105,6 +105,34 @@ def exact_avg6_sql(value_sql: str = "value") -> str:
     return _exact_avg_parts(value_sql, "HUGEINT", "//")
 
 
+def _exact_sum_parts(value_sql: str, int_type: str, div_op: str) -> str:
+    # same integer half-away machinery as the average, with a CONSTANT
+    # denominator (10^(in-out)): round(sum(value), 6) is exact because
+    # the unscaled 10dp integer sum is exact regardless of partial-
+    # aggregation order — the sf10 gate (round 12) caught Spark's
+    # parallel double sum drifting 2e-6 over a 2M-row group while
+    # DuckDB's sequential sum stayed on the decimal value.
+    u = (
+        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{EXACT_AVG_IN})) "
+        f"* {10 ** EXACT_AVG_IN} AS {int_type}))"
+    )
+    d = str(10 ** (EXACT_AVG_IN - EXACT_AVG_OUT))
+    return _AVG_TEMPLATE.format(u=u, d=d, div=div_op, pout=10 ** EXACT_AVG_OUT)
+
+
+def exact_sum6(value_sql: str = "value") -> Column:
+    """Aggregate Column: round(sum(value_sql), 6) by exact integer
+    half-away rounding (Spark leg), order-independent under partial
+    aggregation. Pair with :func:`exact_sum6_sql` in the oracle."""
+    return F.expr(_exact_sum_parts(value_sql, "DECIMAL(28,0)", "div"))
+
+
+def exact_sum6_sql(value_sql: str = "value") -> str:
+    """The DuckDB pairing of :func:`exact_sum6`, from the SAME
+    template so the legs cannot desync."""
+    return _exact_sum_parts(value_sql, "HUGEINT", "//")
+
+
 def r6z(c: Column) -> Column:
     """round(c, 6) with the IEEE negative-zero pairing: a tiny
     negative rounds to -0.0 in DuckDB but +0.0 in Spark, and the

@@ -36,15 +36,29 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # per-term decimal cast + DECIMAL-domain round (the q5/join_agg
+    # playbook): at sf10 the raw double sums cross cent boundaries at
+    # ~3e11 magnitude — each money term is quantized once at 15dp,
+    # summed exactly, rounded in the decimal domain on BOTH engines
+    disc_price = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("decimal(25,15)")
+    charge = (
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+    ).cast("decimal(25,15)")
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(charge)).alias("sum_charge"),
+            _r2(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("sum_qty"),
+            _r2(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("sum_base_price"),
+            _r2(F.sum(disc_price)).cast("double").alias("sum_disc_price"),
+            _r2(F.sum(charge)).cast("double").alias("sum_charge"),
             r6(F.avg("l_quantity")).alias("avg_qty"),
             r6(F.avg("l_extendedprice")).alias("avg_price"),
             r6(F.avg("l_discount")).alias("avg_disc"),
@@ -326,10 +340,16 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE = {
     "q_tpch_q1": """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+            AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,15))), 2)
+            AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                           AS DECIMAL(25,15))), 2)
+            AS DOUBLE) AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
