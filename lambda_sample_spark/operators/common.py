@@ -133,6 +133,35 @@ def exact_sum6_sql(value_sql: str = "value") -> str:
     return _exact_sum_parts(value_sql, "HUGEINT", "//")
 
 
+# round(num/den, 6) for NON-NEGATIVE integer num, positive integer
+# den, entirely in integer arithmetic: floor(num*10^6/den + 1/2) =
+# (2*num*10^6 + den) div (2*den). The sf10 gate caught q_doc_profile's
+# quality ratio landing on a true half-way tie at the 6th decimal —
+# the same class exact_avg6 fixed for averages, here for any rational
+# score whose terms are integers. Both casts below force BIGINT so
+# 32-bit inputs cannot silently overflow the *10^6 scaling.
+_RATIO_TEMPLATE = (
+    "CAST((2 * CAST({num} AS BIGINT) * {pout} + CAST({den} AS BIGINT)) "
+    "{div} (2 * CAST({den} AS BIGINT)) AS DOUBLE) / {pout}.0"
+)
+
+
+def exact_ratio6(num_sql: str, den_sql: str) -> Column:
+    """Column: round(num/den, 6) by exact integer half-away rounding
+    (Spark leg). Precondition: num >= 0, den > 0, both integral."""
+    return F.expr(
+        _RATIO_TEMPLATE.format(num=num_sql, den=den_sql, div="div", pout=10**ROUND)
+    )
+
+
+def exact_ratio6_sql(num_sql: str, den_sql: str) -> str:
+    """The DuckDB pairing of :func:`exact_ratio6`, from the SAME
+    template so the legs cannot desync."""
+    return _RATIO_TEMPLATE.format(
+        num=num_sql, den=den_sql, div="//", pout=10**ROUND
+    )
+
+
 def r6z(c: Column) -> Column:
     """round(c, 6) with the IEEE negative-zero pairing: a tiny
     negative rounds to -0.0 in DuckDB but +0.0 in Spark, and the

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .common import documents, r6
+from .common import documents, exact_ratio6, exact_ratio6_sql, r6
 
 # tokenization: trim + split on runs of whitespace (empty-safe)
 def _tokens(c):
@@ -143,12 +143,22 @@ def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
-    quality = len_score * (F.lit(1.0) - n_stop / n_tok)
+    # quality = min(n_chars,500)/500 * (n_tok-n_stop)/n_tok is a ratio
+    # of integers; the sf10 gate caught a doc whose exact value is a
+    # true half-way tie at the 6th decimal, so round in the integer
+    # domain (common.exact_ratio6) instead of on the double product
     return docs.select(
         "doc_id",
-        r6(quality).alias("quality"),
+        F.col("n_chars"),
+        n_tok.alias("n_tok"),
+        n_stop.alias("n_stop"),
         F.md5(F.col("text")).alias("fp"),
+    ).select(
+        "doc_id",
+        exact_ratio6(
+            "least(n_chars, 500) * (n_tok - n_stop)", "500 * n_tok"
+        ).alias("quality"),
+        "fp",
     )
 
 
@@ -740,7 +750,9 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id,
-       round(least(n_chars / 500.0, 1.0) * (1.0 - n_stop * 1.0 / n_tok), 6) AS quality,
+       """
+    + exact_ratio6_sql("least(n_chars, 500) * (n_tok - n_stop)", "500 * n_tok")
+    + r""" AS quality,
        md5(text) AS fp
 FROM t
 """,

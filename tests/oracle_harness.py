@@ -59,8 +59,12 @@ def compare(name: str, spark_df, oracle_df: pd.DataFrame) -> list[str]:
         problems.append(f"{name}: rowcount spark={len(sp)} oracle={len(oracle_df)}")
     a, b = _canon(sp), _canon(oracle_df)
     if a != b:
-        diff_a = [r for r in a if r not in set(b)][:3]
-        diff_b = [r for r in b if r not in set(a)][:3]
+        # build each side's set ONCE — the old per-element set(b)
+        # rebuild made mismatch reporting O(n^2): a 500k-row diff at
+        # the sf10 gate would have taken ~7 h to print
+        set_a, set_b = set(a), set(b)
+        diff_a = [r for r in a if r not in set_b][:3]
+        diff_b = [r for r in b if r not in set_a][:3]
         problems.append(
             f"{name}: values differ; spark-only={diff_a} oracle-only={diff_b}"
         )
