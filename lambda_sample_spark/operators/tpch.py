@@ -30,35 +30,58 @@ def _r2(c):
     return F.round(c, 2)
 
 
+# round(sum(money_term), 2) entirely in integer arithmetic (the
+# common.exact_sum6 discipline, specialized to NON-NEGATIVE money
+# terms that are exact short rationals — price 2dp, x discount = 4dp,
+# x tax = 6dp): quantize each term to its unscaled integer in pure
+# double arithmetic — floor(x*10^s + 0.5) recovers the true integer
+# exactly because the double product's error (~1e-11 relative) is
+# far below 0.5 and a short rational never lands ON .5 in binary —
+# then sum primitive BIGINTs (the DECIMAL-cast and DECIMAL-sum
+# variants benched 1.8x / 3x slower on Q1's full-scan aggregate;
+# this stays whole-stage-codegen-primitive end to end) and half-away
+# round to cents by integer division. One template, both engines
+# (floor, not CAST: DuckDB's double->BIGINT cast rounds, Spark's
+# truncates). Overflow bound: unscaled group sums stay exact below
+# 2^63/10^scale money units (~9.2e12 at 6dp — sf1000-equivalent
+# headroom; beyond that, widen to DECIMAL).
+_MONEY_TEMPLATE = (
+    "CAST((2 * sum(CAST(floor(({term}) * {p}.0 + 0.5) AS BIGINT))"
+    " + {d}) {div} (2 * {d}) AS DOUBLE) / 100.0"
+)
+
+
+def _money_sum2(term_sql: str, scale: int) -> F.Column:
+    p = 10**scale
+    return F.expr(
+        _MONEY_TEMPLATE.format(term=term_sql, p=p, d=p // 100, div="div")
+    )
+
+
+def _money_sum2_sql(term_sql: str, scale: int) -> str:
+    p = 10**scale
+    return _MONEY_TEMPLATE.format(term=term_sql, p=p, d=p // 100, div="//")
+
+
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary on lineitem (single wide agg,
     fully map-side-combinable)."""
     l = load_table(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    # per-term decimal cast + DECIMAL-domain round (the q5/join_agg
-    # playbook): at sf10 the raw double sums cross cent boundaries at
-    # ~3e11 magnitude — each money term is quantized once at 15dp,
-    # summed exactly, rounded in the decimal domain on BOTH engines
-    disc_price = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ).cast("decimal(25,15)")
-    charge = (
-        F.col("l_extendedprice")
-        * (1 - F.col("l_discount"))
-        * (1 + F.col("l_tax"))
-    ).cast("decimal(25,15)")
+    # at sf10 the raw double sums cross cent boundaries at ~3e11
+    # magnitude; _money_sum2 sums exactly in unscaled BIGINT
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
-            .cast("double")
-            .alias("sum_qty"),
-            _r2(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")))
-            .cast("double")
-            .alias("sum_base_price"),
-            _r2(F.sum(disc_price)).cast("double").alias("sum_disc_price"),
-            _r2(F.sum(charge)).cast("double").alias("sum_charge"),
+            _money_sum2("l_quantity", 2).alias("sum_qty"),
+            _money_sum2("l_extendedprice", 2).alias("sum_base_price"),
+            _money_sum2("l_extendedprice * (1 - l_discount)", 4).alias(
+                "sum_disc_price"
+            ),
+            _money_sum2(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6
+            ).alias("sum_charge"),
             r6(F.avg("l_quantity")).alias("avg_qty"),
             r6(F.avg("l_extendedprice")).alias("avg_price"),
             r6(F.avg("l_discount")).alias("avg_disc"),
@@ -338,18 +361,12 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE = {
-    "q_tpch_q1": """
+    "q_tpch_q1": f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2)
-            AS DOUBLE) AS sum_qty,
-       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
-            AS DOUBLE) AS sum_base_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(25,15))), 2)
-            AS DOUBLE) AS sum_disc_price,
-       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                           AS DECIMAL(25,15))), 2)
-            AS DOUBLE) AS sum_charge,
+       {_money_sum2_sql("l_quantity", 2)} AS sum_qty,
+       {_money_sum2_sql("l_extendedprice", 2)} AS sum_base_price,
+       {_money_sum2_sql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+       {_money_sum2_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
        round(avg(l_quantity), 6) AS avg_qty,
        round(avg(l_extendedprice), 6) AS avg_price,
        round(avg(l_discount), 6) AS avg_disc,
