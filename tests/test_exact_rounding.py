@@ -1,0 +1,120 @@
+"""Property pins for the exact cross-engine rounding templates
+(common.exact_avg6 / exact_sum6 / exact_ratio6, tpch._money_sum2):
+each Spark leg must equal its DuckDB pairing cell-for-cell on
+adversarial inputs — knife-edge half-ties included — because the
+whole point of the integer templates is that no double-side rounding
+disagreement can survive them."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from lambda_sample_spark.operators.common import (
+    exact_avg6,
+    exact_avg6_sql,
+    exact_ratio6,
+    exact_ratio6_sql,
+    exact_sum6,
+    exact_sum6_sql,
+)
+from lambda_sample_spark.operators.tpch import _money_sum2, _money_sum2_sql
+
+
+def _duck(sql: str):
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_exact_sum6_matches_duckdb_on_halfway_ties(spark):
+    """Values engineered so the 10dp sum ends exactly in 5000 at the
+    7th decimal — a true round(.,6) tie — plus random 2dp noise."""
+    rng = random.Random(42)
+    vals = [0.0000005, 1.0000005, -2.0000005] + [
+        round(rng.uniform(-100, 100), 2) for _ in range(500)
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(exact_sum6("value").alias("s")).collect()[0].s
+    duck_rows = ", ".join(f"({v!r})" for v in vals)
+    want = _duck(
+        f"WITH t(value) AS (VALUES {duck_rows}) "
+        f"SELECT {exact_sum6_sql('value')} FROM t"
+    )[0][0]
+    assert got == want
+
+
+def test_exact_avg6_matches_duckdb_on_halfway_ties(spark):
+    # 43.4728125 avg tie, the actual sf1 seam (SCALE.md round-11)
+    vals = [43.472810, 43.472815] * 8
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(exact_avg6("value").alias("a")).collect()[0].a
+    duck_rows = ", ".join(f"({v!r})" for v in vals)
+    want = _duck(
+        f"WITH t(value) AS (VALUES {duck_rows}) "
+        f"SELECT {exact_avg6_sql('value')} FROM t"
+    )[0][0]
+    assert got == want == 43.472813  # .4728125 rounds half-AWAY on both
+
+
+@pytest.mark.parametrize(
+    "num,den",
+    [
+        (5363, 16000),  # 0.3351875 exactly — the q_doc_profile tie class
+        (1, 3),
+        (167, 500),
+        (0, 7),
+        (2**31, 2**31 + 1),  # BIGINT-cast guard: would overflow int32 * 1e6
+    ],
+)
+def test_exact_ratio6_matches_duckdb(spark, num, den):
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    got = df.select(exact_ratio6("num", "den").alias("r")).collect()[0].r
+    want = _duck(
+        f"WITH t(num, den) AS (VALUES ({num}, {den})) "
+        f"SELECT {exact_ratio6_sql('num', 'den')} FROM t"
+    )[0][0]
+    assert got == want
+
+
+def test_money_sum2_matches_duckdb_and_decimal_ground_truth(spark):
+    """Random 2dp money rows through the 4dp/6dp product templates:
+    Spark == DuckDB == the true decimal computation (floor(x*10^s+.5)
+    must recover the exact short rational every time)."""
+    from decimal import Decimal
+
+    rng = random.Random(7)
+    rows = [
+        (
+            round(rng.uniform(900, 105000), 2),
+            round(rng.uniform(0.0, 0.1), 2),
+            round(rng.uniform(0.0, 0.08), 2),
+        )
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "price double, disc double, tax double")
+    got = df.agg(
+        _money_sum2("price * (1 - disc)", 4).alias("dp"),
+        _money_sum2("price * (1 - disc) * (1 + tax)", 6).alias("ch"),
+    ).collect()[0]
+    duck_rows = ", ".join(f"({p!r}, {d!r}, {t!r})" for p, d, t in rows)
+    # cast to DOUBLE: DuckDB parses VALUES literals as DECIMAL, but the
+    # real parquet columns (and the template's contract) are DOUBLE
+    want = _duck(
+        f"WITH t AS (SELECT CAST(price AS DOUBLE) AS price, "
+        f"CAST(disc AS DOUBLE) AS disc, CAST(tax AS DOUBLE) AS tax "
+        f"FROM (VALUES {duck_rows}) v(price, disc, tax)) SELECT "
+        f"{_money_sum2_sql('price * (1 - disc)', 4)}, "
+        f"{_money_sum2_sql('price * (1 - disc) * (1 + tax)', 6)} FROM t"
+    )[0]
+    assert (got.dp, got.ch) == want
+
+    # independent decimal-domain ground truth
+    q = lambda v: Decimal(str(v))
+    dp_true = sum(q(p) * (1 - q(d)) for p, d, _ in rows)
+    ch_true = sum(q(p) * (1 - q(d)) * (1 + q(t)) for p, d, t in rows)
+    cents = lambda x: float(
+        (x * 100).quantize(Decimal(1), rounding="ROUND_HALF_UP") / 100
+    )
+    assert got.dp == pytest.approx(cents(dp_true), abs=0)
+    assert got.ch == pytest.approx(cents(ch_true), abs=0)
