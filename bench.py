@@ -72,6 +72,7 @@ FAMILIES: dict[str, list[str]] = {
         "q_tumbling_window",
         "q_moving_stats",
         "q_window_funcs",
+        "q_range_window_stats",
         "q_lookup_join_left",
         "q_weighted_ensemble",
         "q_semi_anti_join",

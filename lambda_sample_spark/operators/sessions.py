@@ -126,6 +126,99 @@ def window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+RANGE_WINDOW_MS = 6 * 3_600_000  # 6 h sliding range window
+RANGE_CHUNK_MS = 24 * 3_600_000  # 24 h chunks (must be >= window)
+
+# exact round(avg over frame, 6): window frames at sf0.1 already
+# reach 160 rows and the double window-avg drifted in the 6th decimal
+# between engines, so the frame average uses the common.exact_avg6
+# integer discipline adapted to window aggregates — per-value
+# unscaled 10dp BIGINT (floor(v*1e10+0.5), exact for short-rational
+# values), window SUM u + window COUNT nv, then half-away integer
+# rounding. One template, both engines (div vs //). BIGINT bound:
+# |u| < 2^63 needs frame-sum |values| < ~9.2e8 — fine through sf100;
+# widen to HUGEINT/DECIMAL beyond.
+_WIN_AVG_TEMPLATE = (
+    "CASE WHEN {n} = 0 THEN NULL WHEN {u} >= 0 THEN "
+    "CAST((2 * {u} + {n} * 10000) {div} (2 * {n} * 10000) AS DOUBLE) / 1000000.0 "
+    "ELSE -CAST(((-2) * {u} + {n} * 10000) {div} (2 * {n} * 10000) AS DOUBLE) / 1000000.0 "
+    "END"
+)
+_WIN_AVG_U = "CAST(floor(value * 10000000000.0 + 0.5) AS BIGINT)"
+
+
+def chunked_range_stats(
+    ev: DataFrame,
+    window_ms: int = RANGE_WINDOW_MS,
+    chunk_ms: int = RANGE_CHUNK_MS,
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Per-key sliding TIME-range stats (min/max/count/avg over
+    [ts - window_ms, ts]) computed scalably by ts-chunking with
+    boundary replication — the concrete "per-salt windows + merge"
+    mitigation docs/SCALE.md promises for the one skew case AQE
+    cannot split (windows need whole partitions; a 5-value key caps
+    a naive window plan at 5-way parallelism forever).
+
+    Exact decomposition, requires ``chunk_ms >= window_ms``: every
+    row computes its frame inside partition (key, chunk), where rows
+    from the tail of chunk c-1 (ts within window_ms of the boundary)
+    are replicated into chunk c as carry rows — precisely the rows a
+    chunk-c frame can reach back to — then carry rows are dropped
+    from the output. Parallelism scales with key x time-chunk count,
+    not key cardinality; the replication overhead is bounded by
+    window_ms/chunk_ms per row. tests/test_chunked_window.py pins
+    equality against the naive single-partition-per-key window on
+    hot-key corpora; the contract oracle is the naive RANGE window in
+    DuckDB, so the whole decomposition is oracle-checked."""
+    assert chunk_ms >= window_ms, "a frame may span at most 2 chunks"
+    base = ev.select(
+        "event_id", key_col, ts_ms().alias("ts_ms"), "value"
+    )
+    chunk = F.floor(F.col("ts_ms") / chunk_ms)
+    own = base.withColumn("chunk", chunk).withColumn("carry", F.lit(False))
+    tail = (
+        base.where(F.col("ts_ms") >= (chunk + 1) * chunk_ms - window_ms)
+        .withColumn("chunk", chunk + 1)
+        .withColumn("carry", F.lit(True))
+    )
+    w = (
+        Window.partitionBy(key_col, "chunk")
+        .orderBy("ts_ms")
+        .rangeBetween(-window_ms, Window.currentRow)
+    )
+    return (
+        own.unionByName(tail)
+        .select(
+            "event_id",
+            key_col,
+            "ts_ms",
+            "carry",
+            F.min("value").over(w).alias("rw_min"),
+            F.max("value").over(w).alias("rw_max"),
+            F.count("*").over(w).alias("rw_n"),
+            F.sum(F.expr(_WIN_AVG_U)).over(w).alias("_u"),
+            F.count("value").over(w).alias("_nv"),
+        )
+        .where(~F.col("carry"))
+        .select(
+            "event_id",
+            key_col,
+            "ts_ms",
+            "rw_min",
+            "rw_max",
+            "rw_n",
+            F.expr(
+                _WIN_AVG_TEMPLATE.format(u="_u", n="_nv", div="div")
+            ).alias("rw_avg"),
+        )
+    )
+
+
+def q_range_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunked_range_stats(events(spark, sf_dir))
+
+
 RESAMPLE_STEP_MS = 3_600_000  # 1 h grid
 
 
@@ -403,6 +496,25 @@ FROM events
 WINDOW wu AS (PARTITION BY user_id ORDER BY ts, event_id),
        wt AS (PARTITION BY event_type ORDER BY value, event_id)
 """,
+    # the NAIVE per-key range window: the Spark leg's chunked
+    # decomposition must reproduce it exactly (avg via the shared
+    # integer template so no double drift can split the engines)
+    "q_range_window_stats": f"""
+SELECT event_id, event_type, ts_ms,
+       rw_min, rw_max, rw_n,
+       {_WIN_AVG_TEMPLATE.format(u="u", n="nv", div="//")} AS rw_avg
+FROM (
+  SELECT event_id, event_type, epoch_ms(ts) AS ts_ms,
+         min(value) OVER w AS rw_min,
+         max(value) OVER w AS rw_max,
+         count(*) OVER w AS rw_n,
+         sum({_WIN_AVG_U}) OVER w AS u,
+         count(value) OVER w AS nv
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ms(ts)
+               RANGE BETWEEN {RANGE_WINDOW_MS} PRECEDING AND CURRENT ROW)
+) t
+""",
 }
 
 QUERIES = {
@@ -410,6 +522,7 @@ QUERIES = {
     "q_tumbling_window": tumbling_window,
     "q_moving_stats": moving_stats,
     "q_window_funcs": window_funcs,
+    "q_range_window_stats": q_range_window_stats,
 }
 
 

@@ -31,6 +31,7 @@ BUDGET = {
     "q_tumbling_window": 1,
     "q_moving_stats": 1,
     "q_window_funcs": 2,
+    "q_range_window_stats": 1,
     "q_lookup_join_left": 2,
     "q_weighted_ensemble": 2,
     "q_semi_anti_join": 2,
