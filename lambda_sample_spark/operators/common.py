@@ -74,63 +74,120 @@ def fan_out(df: DataFrame) -> DataFrame:
 # 10dp, integer sum U, denominator D = n·10^(10-6), then half-away
 # rounding as (2|U| + D) div (2D) with the sign reapplied. Every step
 # is exact integer arithmetic; the only engine seam left is the
-# per-VALUE double->decimal(18,10) cast, which is tie-free on any
-# corpus whose doubles carry fewer than 11 significant decimals.
-EXACT_AVG_IN = 10  # per-value quantization (decimal digits)
+# per-VALUE double->decimal(18,k) cast, which is tie-free on any
+# corpus whose doubles carry fewer than k+1 significant decimals.
+#
+# TWO PRECISIONS (round 13, reclaiming the DECIMAL-aggregate cost):
+# the default fast path quantizes at 8dp and sums PRIMITIVE BIGINTs —
+# the sum stays inside whole-stage codegen (the DECIMAL(28,0) sum
+# benched 1.75x slower on q_group_stats' single hash aggregate). The
+# `_wide` variants keep the round-11/12 10dp DECIMAL(28,0) machinery
+# for corpora past the BIGINT bound.
+#
+# FAST-PATH OVERFLOW BOUND (silent-wrap failure mode): Spark's
+# non-ANSI sum(BIGINT) WRAPS on overflow while DuckDB's sum(BIGINT)
+# auto-widens to HUGEINT — past the bound the two legs desync with no
+# error on the Spark side. The unscaled@8dp per-row integer is
+# |value|*1e8, so a group is safe while
+#     n_rows * max|value| < 2^63 / 1e8  ~= 9.2e10.
+# The driver corpus (events.value, 2dp, |v| <= ~600) is ~80x inside
+# the bound even at sf10's 2M-row groups; tests/test_exact_rounding.py
+# pins the margin on the live testdata. Above the bound, use the
+# `_wide` pair.
+EXACT_AVG_IN = 8  # fast-path per-value quantization (decimal digits)
+EXACT_AVG_IN_WIDE = 10  # wide-path quantization (decimal digits)
 EXACT_AVG_OUT = ROUND  # output rounding (decimal digits)
+# n_rows * max|value| must stay below this for the BIGINT fast path
+EXACT_FAST_BOUND = (2**63 - 1) // 10**EXACT_AVG_IN
 _AVG_TEMPLATE = (
     "CAST(CASE WHEN {u} >= 0 THEN (2 * {u} + {d}) {div} (2 * {d}) "
     "ELSE -((-2 * {u} + {d}) {div} (2 * {d})) END AS DOUBLE) / {pout}.0"
 )
 
 
-def _exact_avg_parts(value_sql: str, int_type: str, div_op: str) -> str:
+def _exact_avg_parts(
+    value_sql: str, int_type: str, div_op: str, in_digits: int = EXACT_AVG_IN
+) -> str:
+    # the scale multiplier is cast to BIGINT so DuckDB widens the
+    # decimal multiply (a bare INT32 literal keeps it in DECIMAL(18)
+    # internals and overflows at 8dp x |v|>92); Spark widens either way
     u = (
-        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{EXACT_AVG_IN})) "
-        f"* {10 ** EXACT_AVG_IN} AS {int_type}))"
+        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{in_digits})) "
+        f"* CAST({10 ** in_digits} AS BIGINT) AS {int_type}))"
     )
-    d = f"count({value_sql}) * {10 ** (EXACT_AVG_IN - EXACT_AVG_OUT)}"
+    d = f"count({value_sql}) * {10 ** (in_digits - EXACT_AVG_OUT)}"
     return _AVG_TEMPLATE.format(u=u, d=d, div=div_op, pout=10 ** EXACT_AVG_OUT)
 
 
 def exact_avg6(value_sql: str = "value") -> Column:
     """Aggregate Column: round(avg(value_sql), 6) by exact integer
-    half-away rounding (Spark leg; DECIMAL(28,0) unscaled sum + div)."""
-    return F.expr(_exact_avg_parts(value_sql, "DECIMAL(28,0)", "div"))
+    half-away rounding (Spark leg; primitive BIGINT unscaled sum —
+    whole-stage-codegen fast path, see EXACT_FAST_BOUND above)."""
+    return F.expr(_exact_avg_parts(value_sql, "BIGINT", "div"))
 
 
 def exact_avg6_sql(value_sql: str = "value") -> str:
-    """The DuckDB pairing of :func:`exact_avg6` (HUGEINT sum + //),
-    generated from the SAME template so the legs cannot desync."""
-    return _exact_avg_parts(value_sql, "HUGEINT", "//")
+    """The DuckDB pairing of :func:`exact_avg6` (same BIGINT per-value
+    cast; DuckDB's sum auto-widens to HUGEINT), generated from the
+    SAME template so the legs cannot desync."""
+    return _exact_avg_parts(value_sql, "BIGINT", "//")
 
 
-def _exact_sum_parts(value_sql: str, int_type: str, div_op: str) -> str:
+def exact_avg6_wide(value_sql: str = "value") -> Column:
+    """10dp DECIMAL(28,0) variant of :func:`exact_avg6` for corpora
+    past EXACT_FAST_BOUND (no silent wrap; ~1.75x slower aggregate)."""
+    return F.expr(
+        _exact_avg_parts(value_sql, "DECIMAL(28,0)", "div", EXACT_AVG_IN_WIDE)
+    )
+
+
+def exact_avg6_wide_sql(value_sql: str = "value") -> str:
+    """The DuckDB pairing of :func:`exact_avg6_wide`."""
+    return _exact_avg_parts(value_sql, "HUGEINT", "//", EXACT_AVG_IN_WIDE)
+
+
+def _exact_sum_parts(
+    value_sql: str, int_type: str, div_op: str, in_digits: int = EXACT_AVG_IN
+) -> str:
     # same integer half-away machinery as the average, with a CONSTANT
     # denominator (10^(in-out)): round(sum(value), 6) is exact because
-    # the unscaled 10dp integer sum is exact regardless of partial-
+    # the unscaled integer sum is exact regardless of partial-
     # aggregation order — the sf10 gate (round 12) caught Spark's
     # parallel double sum drifting 2e-6 over a 2M-row group while
     # DuckDB's sequential sum stayed on the decimal value.
     u = (
-        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{EXACT_AVG_IN})) "
-        f"* {10 ** EXACT_AVG_IN} AS {int_type}))"
+        f"sum(CAST(CAST({value_sql} AS DECIMAL(18,{in_digits})) "
+        f"* CAST({10 ** in_digits} AS BIGINT) AS {int_type}))"
     )
-    d = str(10 ** (EXACT_AVG_IN - EXACT_AVG_OUT))
+    d = str(10 ** (in_digits - EXACT_AVG_OUT))
     return _AVG_TEMPLATE.format(u=u, d=d, div=div_op, pout=10 ** EXACT_AVG_OUT)
 
 
 def exact_sum6(value_sql: str = "value") -> Column:
     """Aggregate Column: round(sum(value_sql), 6) by exact integer
     half-away rounding (Spark leg), order-independent under partial
-    aggregation. Pair with :func:`exact_sum6_sql` in the oracle."""
-    return F.expr(_exact_sum_parts(value_sql, "DECIMAL(28,0)", "div"))
+    aggregation. Primitive BIGINT fast path — see EXACT_FAST_BOUND for
+    the silent-wrap bound. Pair with :func:`exact_sum6_sql`."""
+    return F.expr(_exact_sum_parts(value_sql, "BIGINT", "div"))
 
 
 def exact_sum6_sql(value_sql: str = "value") -> str:
     """The DuckDB pairing of :func:`exact_sum6`, from the SAME
     template so the legs cannot desync."""
-    return _exact_sum_parts(value_sql, "HUGEINT", "//")
+    return _exact_sum_parts(value_sql, "BIGINT", "//")
+
+
+def exact_sum6_wide(value_sql: str = "value") -> Column:
+    """10dp DECIMAL(28,0) variant of :func:`exact_sum6` for corpora
+    past EXACT_FAST_BOUND (no silent wrap; ~3x slower aggregate)."""
+    return F.expr(
+        _exact_sum_parts(value_sql, "DECIMAL(28,0)", "div", EXACT_AVG_IN_WIDE)
+    )
+
+
+def exact_sum6_wide_sql(value_sql: str = "value") -> str:
+    """The DuckDB pairing of :func:`exact_sum6_wide`."""
+    return _exact_sum_parts(value_sql, "HUGEINT", "//", EXACT_AVG_IN_WIDE)
 
 
 # round(num/den, 6) for NON-NEGATIVE integer num, positive integer

@@ -175,7 +175,10 @@ def chunked_range_stats(
     base = ev.select(
         "event_id", key_col, ts_ms().alias("ts_ms"), "value"
     )
-    chunk = F.floor(F.col("ts_ms") / chunk_ms)
+    # integer floor-div: exact by construction (ADVICE r12 — the
+    # double-division floor was safe at epoch-ms magnitudes only by
+    # float error analysis; `div` needs no such argument)
+    chunk = F.expr(f"ts_ms div {int(chunk_ms)}")
     own = base.withColumn("chunk", chunk).withColumn("carry", F.lit(False))
     tail = (
         base.where(F.col("ts_ms") >= (chunk + 1) * chunk_ms - window_ms)

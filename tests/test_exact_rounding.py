@@ -13,12 +13,17 @@ import duckdb
 import pytest
 
 from lambda_sample_spark.operators.common import (
+    EXACT_FAST_BOUND,
     exact_avg6,
     exact_avg6_sql,
+    exact_avg6_wide,
+    exact_avg6_wide_sql,
     exact_ratio6,
     exact_ratio6_sql,
     exact_sum6,
     exact_sum6_sql,
+    exact_sum6_wide,
+    exact_sum6_wide_sql,
 )
 from lambda_sample_spark.operators.tpch import _money_sum2, _money_sum2_sql
 
@@ -75,6 +80,44 @@ def test_exact_ratio6_matches_duckdb(spark, num, den):
         f"SELECT {exact_ratio6_sql('num', 'den')} FROM t"
     )[0][0]
     assert got == want
+
+
+def test_exact_wide_variants_match_duckdb_on_halfway_ties(spark):
+    """The 10dp DECIMAL `_wide` pair (for corpora past the BIGINT
+    fast-path bound) through the same knife-edge ties."""
+    vals = [0.0000005, 1.0000005, -2.0000005, 43.472810, 43.472815]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = df.agg(
+        exact_sum6_wide("value").alias("s"),
+        exact_avg6_wide("value").alias("a"),
+    ).collect()[0]
+    duck_rows = ", ".join(f"({v!r})" for v in vals)
+    want = _duck(
+        f"WITH t(value) AS (VALUES {duck_rows}) "
+        f"SELECT {exact_sum6_wide_sql('value')}, "
+        f"{exact_avg6_wide_sql('value')} FROM t"
+    )[0]
+    assert (got.s, got.a) == want
+
+
+def test_exact_fast_path_bound_holds_on_testdata():
+    """Guard for the BIGINT fast path's silent-wrap failure mode
+    (ADVICE r12): Spark's non-ANSI sum(BIGINT) wraps while DuckDB
+    widens to HUGEINT, so past n*max|v| ~ 9.2e10 the legs would
+    desync with no error. Pin >=10x margin on the live gate corpus —
+    if the testdata generator ever inflates magnitudes or group
+    sizes past this, switch the contract rows to the `_wide` pair."""
+    import duckdb as _dd
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    n, mx = _dd.connect().execute(
+        "SELECT max(cnt), max(mx) FROM (SELECT count(*) AS cnt, "
+        f"max(abs(value)) AS mx FROM read_parquet('{sf}/events.parquet') "
+        "GROUP BY event_type)"
+    ).fetchall()[0]
+    # headroom also covers the graded sf10 decade (1000x sf0.01 rows)
+    assert n * mx * 1000 * 10 < EXACT_FAST_BOUND
 
 
 def test_money_sum2_matches_duckdb_and_decimal_ground_truth(spark):
