@@ -12,10 +12,16 @@ never failed — coverage growth is not a regression.
 
 Usage:
   python scripts/bench_regression.py [new_detail] [old_detail]
-  (defaults: bench_detail.json vs the committed file of the SAME
-  name — `git show HEAD:<basename(new_detail)>` — so the sf1 sweep
-  gates with `python scripts/bench_regression.py bench_detail_sf1.json`
-  against its own committed baseline; round-11 verdict task #3)
+
+Default baseline (round-12 verdict task #1 — the cross-round fix):
+the committed file of the SAME name AT THE ROUND BOUNDARY — the
+commit that last touched the newest ``BENCH_r{N}.json`` (the driver's
+round-start commit), NOT ``HEAD:``. Round 12 committed its sweep
+mid-round, so the end-of-round gate compared r12-to-r12 and reported
+"0 regressions" while 20 queries were >1.3x slower than r11; pinning
+the baseline to the round boundary makes mid-round commits unable to
+move the goalposts. Falls back to ``HEAD:`` when the file does not
+exist at the boundary commit (first sweep of a new detail name).
 
 Exit 1 on any regression; prints one JSON line either way so the
 round routine can commit the verdict alongside the sweep.
@@ -40,23 +46,49 @@ def load_new(path: str) -> dict:
         return json.load(f)
 
 
-def load_old(path: str | None, new_path: str) -> dict:
-    if path:
-        with open(path) as f:
-            return json.load(f)
-    blob = subprocess.run(
-        ["git", "-C", str(REPO), "show", f"HEAD:{Path(new_path).name}"],
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", str(REPO), *args],
         capture_output=True,
         text=True,
         check=True,
     ).stdout
-    return json.loads(blob)
+
+
+def round_boundary_ref() -> str:
+    """The commit that last touched the newest BENCH_r{N}.json — the
+    driver's round-start commit. Everything committed before it is
+    previous-round state; a sweep committed after it (this round) must
+    not become its own baseline."""
+    rounds = sorted(
+        REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem[7:])
+    )
+    if not rounds:
+        return "HEAD"
+    ref = _git("log", "-n1", "--format=%H", "--", rounds[-1].name).strip()
+    return ref or "HEAD"
+
+
+def load_old(path: str | None, new_path: str) -> tuple[dict, str]:
+    if path:
+        with open(path) as f:
+            return json.load(f), path
+    name = Path(new_path).name
+    ref = round_boundary_ref()
+    try:
+        blob = _git("show", f"{ref}:{name}")
+    except subprocess.CalledProcessError:
+        ref = "HEAD"  # file did not exist at the boundary commit
+        blob = _git("show", f"HEAD:{name}")
+    return json.loads(blob), f"{ref[:12]}:{name}"
 
 
 def main() -> int:
     new_path = sys.argv[1] if len(sys.argv) > 1 else str(REPO / "bench_detail.json")
     new = load_new(new_path)
-    old = load_old(sys.argv[2] if len(sys.argv) > 2 else None, new_path)
+    old, baseline = load_old(
+        sys.argv[2] if len(sys.argv) > 2 else None, new_path
+    )
     nq, oq = new["queries"], old["queries"]
     threshold = max(
         RATIO_FLOOR,
@@ -71,6 +103,7 @@ def main() -> int:
         elif a > max(b * threshold, ABS_FLOOR_SEC):
             improvements[name] = round(b / a, 2)
     verdict = {
+        "baseline": baseline,
         "threshold": round(threshold, 3),
         "common": len(set(nq) & set(oq)),
         "added": sorted(set(nq) - set(oq)),
