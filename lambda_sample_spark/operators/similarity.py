@@ -86,10 +86,20 @@ def lsh_block_candidates(fat: DataFrame, n_bits: int) -> DataFrame:
     )
 
 
+# matmul-vs-sequential arithmetic difference apron for the candidate
+# prefilter: measured max |matmul_cos - seq_cos| on the gate corpora
+# is ~5.6e-16 (tests/test_similarity_scale.py pins it); 1e-9 leaves
+# 6 orders of magnitude of slack and admits only a handful of extra
+# candidates per block into the exact recompute.
+_PREFILTER_APRON = 1e-9
+
+
 def _pairs_vectorized(small: DataFrame, threshold: float) -> DataFrame:
     """Within-label all-pairs above a cosine threshold via ONE Arrow
     batch + numpy matmul per label group (applyInPandas) — the
-    vectorized twin of the exact self-join in ``near_dup_pairs``.
+    vectorized twin of the exact self-join in ``near_dup_pairs``,
+    CONTRACT-GRADE since round 13 (bit-aligned with the SQL fold /
+    DuckDB's sequential list_dot_product).
 
     Why it exists: the JVM fold (`F.aggregate`/`zip_with`) is a
     higher-order function — interpreted per ELEMENT, not codegen'd —
@@ -100,11 +110,20 @@ def _pairs_vectorized(small: DataFrame, threshold: float) -> DataFrame:
     the transfer. Row-chunked (1024 x m) so a block at the fat limit
     peaks ~80 MB, never m^2 doubles.
 
-    Trade: numpy's pairwise/SIMD summation order differs from the
-    sequential fold, so scores can differ by ~1 ulp — fine for
-    rows-only consumers (semantic dedup), NOT for the hash-checked
-    `q_embed_near_dup`, which keeps the fold to stay bit-aligned with
-    DuckDB's sequential list_dot_product."""
+    Bit-alignment (round-13 fix for the 10.8x q_embed_near_dup oracle
+    seam): matmul summation order is pairwise/SIMD, ~1 ulp off the
+    sequential fold — harmless per pair, but at sf1's ~2e8 pairs the
+    expected closest approach of a true cosine to a 6dp rounding
+    boundary (~2e-15) is within a few ulp of that error, so rounding
+    the matmul scores directly would eventually flip a graded cell.
+    The matmul is therefore only a PREFILTER (threshold minus a 1e-9
+    apron); every candidate is recomputed with strictly sequential
+    arithmetic — np.cumsum is a left-to-right fold, so elementwise
+    product -> cumsum[-1] reproduces the SQL fold's doubles BIT-FOR-
+    BIT, as does dot/(sqrt(ssa)*sqrt(ssb)) — then thresholded and
+    rounded on the exact value. Rounding emulates DuckDB's
+    round(DOUBLE, 6) = std::round(x*1e6)/1e6 (half-AWAY at exact
+    scaled ties, where np.round's half-even would diverge)."""
     from pyspark.sql import types as T
 
     out_schema = T.StructType(
@@ -116,37 +135,62 @@ def _pairs_vectorized(small: DataFrame, threshold: float) -> DataFrame:
         ]
     )
     thr = float(threshold)
+    pre = thr - _PREFILTER_APRON
 
     def pairs(key, pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {"label": [], "v1": [], "v2": [], "cos": []}
+        ).astype({"v1": "int64", "v2": "int64", "cos": "float64"})
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         m = len(ids)
         if m < 2:
-            return pd.DataFrame(
-                {"label": [], "v1": [], "v2": [], "cos": []}
-            ).astype({"v1": "int64", "v2": "int64", "cos": "float64"})
+            return empty
         mat = np.array(pdf["vec"].tolist(), dtype=np.float64)
+        # sequential sum of squares: elementwise square (rounds
+        # identically everywhere), then left-to-right cumsum — the
+        # exact doubles the SQL fold / DuckDB produce
+        nrm_seq = np.sqrt(np.cumsum(mat * mat, axis=1)[:, -1])
         nrm = np.linalg.norm(mat, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         unit = mat / nrm
-        v1s, v2s, cs = [], [], []
+        r_idx, c_idx = [], []
         for i0 in range(0, m, 1024):
             i1 = min(i0 + 1024, m)
             sims = unit[i0:i1] @ unit.T  # (chunk, m)
             for r in range(i0, i1):
                 row = sims[r - i0, r + 1 :]
-                hit = np.nonzero(row >= thr)[0]
+                hit = np.nonzero(row >= pre)[0]
                 if hit.size:
-                    v1s.append(np.full(hit.size, ids[r]))
-                    v2s.append(ids[r + 1 + hit])
-                    cs.append(np.round(row[hit], 6))
+                    r_idx.append(np.full(hit.size, r))
+                    c_idx.append(r + 1 + hit)
+        if not r_idx:
+            return empty
+        ri = np.concatenate(r_idx)
+        ci = np.concatenate(c_idx)
+        v1s, v2s, cs = [], [], []
+        # exact sequential recompute of candidates, chunked so the
+        # (pairs x dim) product matrix stays bounded (~32 MB/chunk)
+        for j0 in range(0, len(ri), 65536):
+            j1 = min(j0 + 65536, len(ri))
+            a, b = ri[j0:j1], ci[j0:j1]
+            dots = np.cumsum(mat[a] * mat[b], axis=1)[:, -1]
+            cos = dots / (nrm_seq[a] * nrm_seq[b])
+            keep = cos >= thr
+            if not keep.any():
+                continue
+            cos = cos[keep]
+            scaled = cos * 1e6
+            fl = np.floor(scaled)
+            r6v = np.where(scaled - fl == 0.5, fl + 1.0, np.round(scaled))
+            v1s.append(ids[a[keep]])
+            v2s.append(ids[b[keep]])
+            cs.append(r6v / 1e6)
         if not v1s:
-            return pd.DataFrame(
-                {"label": [], "v1": [], "v2": [], "cos": []}
-            ).astype({"v1": "int64", "v2": "int64", "cos": "float64"})
+            return empty
         return pd.DataFrame(
             {
                 "label": np.repeat(key[0], sum(len(x) for x in v1s)),
@@ -177,9 +221,12 @@ def near_dup_pairs(
     aggregate broadcast back onto the rows.
 
     ``vectorized=True`` swaps the small-block pairing for the
-    numpy-matmul applyInPandas twin (``_pairs_vectorized``) — ~100x on
-    dense corpora; use for rows-only consumers, keep the default fold
-    where DuckDB-bit-alignment of the scores matters."""
+    numpy applyInPandas twin (``_pairs_vectorized``) — matmul
+    prefilter + exact sequential recompute, ~10x on dense corpora and
+    bit-aligned with DuckDB since round 13, so it is now the CONTRACT
+    path too; the SQL-fold default remains as the plan-transparent
+    all-JVM formulation (and the independent arithmetic witness in
+    tests/test_similarity_scale.py)."""
     sizes = emb.groupBy("label").agg(F.count("*").alias("block_n"))
     # one tiny census action decides the routing (and sizes the LSH
     # tables for the fat population, so bucket occupancy stays bounded
@@ -229,11 +276,13 @@ def near_dup_pairs(
 def embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: same-label (blocked) pairs above a
     cosine threshold. Testdata blocks (~220 rows max) sit far under
-    the fat-block limit, so the contract result is the exact path."""
+    the fat-block limit, so the contract result is the exact path —
+    the vectorized kernel since round 13 (bit-aligned with the DuckDB
+    oracle via sequential recompute; was the 10.8x oracle seam)."""
     emb = embeddings(spark, sf_dir).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    return near_dup_pairs(emb)
+    return near_dup_pairs(emb, vectorized=True)
 
 
 LSH_TABLES = 16
