@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 # isolate rarer positives at default maxBins.
 LABEL_THRESHOLD = 166.0
 RECENT_TRAIN_N = 20000  # application.conf:14 (cassandra.full)
+N_TREES = 50  # forest size; also pinned in the q_rf_train oracle
 
 
 def _labeled_events(df: DataFrame) -> DataFrame:
@@ -64,7 +65,7 @@ def train_models(train_df: DataFrame, key_col: str = "event_type") -> dict[str, 
             rf = RandomForestClassifier(
                 featuresCol="features",
                 labelCol="anomaly",
-                numTrees=50,
+                numTrees=N_TREES,
                 # default maxBins=32 buckets rare positives together with
                 # negatives in one quantile bin and the tree never splits;
                 # 256 bins give the splitter boundaries fine enough for a
@@ -225,33 +226,87 @@ def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (rows-only): train per-key forests on the newest 20k
-    rows per key; report model facts. The forest columns (num_trees,
-    feature_importance) are MLlib-RNG-dependent; the training-set
-    metadata columns (n_train_rows / n_train_pos / train_vmin /
-    train_vmax) are deterministic and DuckDB-replayable."""
+    """Contract (oracle-checked since round 13): train per-key forests
+    on the newest 20k rows per key; report model facts as
+    DETERMINISTIC cells plus SELF-VALIDATING booleans (the
+    q_approx_distinct_users pattern — the cell the oracle checks is a
+    claim the query itself verifies about the RNG-dependent model):
+
+    - ``num_trees`` — the configured forest size (50), deterministic;
+    - ``n_train_rows / n_train_pos / train_vmin / train_vmax`` — the
+      exact training-window census, DuckDB-replayable (same W1 window);
+    - ``importance_normalized`` — MLlib normalizes featureImportances
+      to sum 1 (or all-zero when no tree split); over the single
+      feature that means fi in {0.0, 1.0} exactly, whatever the RNG;
+    - ``train_acc_ok`` — the fitted forest's accuracy ON ITS OWN
+      training window is at least the majority-class share (the
+      no-skill baseline): any seed/partitioning draw that produced a
+      worse-than-baseline model flips this cell and fails the hash
+      gate. The testdata margin is wide (acc ~0.999 vs majority
+      ~0.96 — the label is a value threshold, so the one feature
+      separates cleanly); 1e-9 guards exact-tie float compares only.
+
+    Through round 12 this row was rows-only with an RNG-dependent
+    feature_importance column; the booleans replace it so every cell
+    is either deterministic or a model-quality invariant, and the
+    oracle asserts them TRUE (ml/forest.py ORACLE)."""
     models = _contract_models(spark, sf_dir)
-    rows = [
-        (
-            k,
-            m.getNumTrees,
-            float(m.featureImportances[0]) if len(m.featureImportances) else 0.0,
-        )
-        for k, m in sorted(models.items())
-    ]
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(
+        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
+    )
+    assembled = VectorAssembler(
+        inputCols=["value"], outputCol="features"
+    ).transform(labeled).persist()
+    try:
+        rows = []
+        for k, m in sorted(models.items()):
+            fi = (
+                float(m.featureImportances[0])
+                if len(m.featureImportances)
+                else 0.0
+            )
+            acc_row = (
+                m.transform(assembled.where(F.col("event_type") == k))
+                .agg(
+                    F.avg(
+                        (F.col("prediction") == F.col("anomaly")).cast("double")
+                    ).alias("acc"),
+                    F.avg("anomaly").alias("pos_share"),
+                )
+                .first()
+            )
+            majority = max(acc_row.pos_share, 1.0 - acc_row.pos_share)
+            rows.append(
+                (
+                    k,
+                    int(m.getNumTrees),
+                    fi in (0.0, 1.0),
+                    acc_row.acc >= majority - 1e-9,
+                )
+            )
+    finally:
+        assembled.unpersist()
     facts = spark.createDataFrame(
-        rows, "event_type STRING, num_trees INT, feature_importance DOUBLE"
+        rows,
+        "event_type STRING, num_trees BIGINT, "
+        "importance_normalized BOOLEAN, train_acc_ok BOOLEAN",
     )
     # both sides are key-fleet-sized local frames; broadcast keeps the
     # plan exchange-free (plan-time SMJ would shuffle both tiny sides)
     return facts.join(F.broadcast(_train_stats(spark, sf_dir)), "event_type").select(
         "event_type",
         "num_trees",
-        "feature_importance",
         "n_train_rows",
         "n_train_pos",
         "train_vmin",
         "train_vmax",
+        "importance_normalized",
+        "train_acc_ok",
     )
 
 
@@ -389,11 +444,39 @@ def q_histogram_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_per_key_pandas(labeled)
 
 
-# q_rf_train stays rows-only (MLlib RNG has no SQL twin); q_rf_predict
-# scores with the deterministic histogram model since round 11 and is
-# fully oracle-checked, with the MLlib posterior kept as the
+# q_rf_train graduated from rows-only in round 13: its cells are the
+# deterministic training-window census + config constants + model
+# invariants the query itself verifies (see rf_train docstring), so
+# the oracle replays the census and asserts the invariants TRUE — a
+# regressed model flips a boolean and fails the hash, exactly the
+# q_approx_distinct_users pattern. q_rf_predict scores with the
+# deterministic histogram model since round 11 and is fully
+# oracle-checked, with the MLlib posterior kept as the
 # tolerance-banded production twin (rf_predict_mllib).
 ORACLE: dict[str, str] = {
+    "q_rf_train": f"""
+WITH recent AS (
+  SELECT event_type, value,
+         row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), lab AS (
+  SELECT event_type, value,
+         CASE WHEN value > {LABEL_THRESHOLD} THEN 1 ELSE 0 END AS anomaly
+  FROM recent WHERE rn <= {RECENT_TRAIN_N}
+)
+SELECT event_type,
+       CAST({N_TREES} AS BIGINT) AS num_trees,
+       CAST(count(*) AS BIGINT) AS n_train_rows,
+       CAST(sum(anomaly) AS BIGINT) AS n_train_pos,
+       round(min(value), 6) AS train_vmin,
+       round(max(value), 6) AS train_vmax,
+       TRUE AS importance_normalized,
+       TRUE AS train_acc_ok
+FROM lab GROUP BY event_type
+HAVING sum(anomaly) > 0 AND sum(anomaly) < count(*)
+""",
     "q_rf_predict": f"""
 WITH recent AS (
   SELECT event_type, value,
