@@ -329,3 +329,82 @@ def test_scrub_crash_between_output_and_merge_converges(spark, tmp_path):
     # overwrite), not an appended pair
     log_dirs = os.listdir(os.path.join(idx, "scrub_log"))
     assert log_dirs == ["batch=t-0"]
+
+
+def test_two_writer_scrub_interleaving_no_double_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 verdict task #8 — the adversarial multi-writer leg:
+    two scrub_batch writers share one gram index; writer A crashes in
+    the commit window (merged version dir + its meta on disk, pointer
+    NOT swapped), writer B then runs to completion on the same index,
+    and A replays. Required properties: B's first-version overwrite
+    heals A's orphan (including A's stale _COMMIT_META — B's commit
+    must not inherit it), A's replay is NOT skipped (its merge never
+    landed), the replayed merge lands exactly once (a double merge
+    would double A's gram counts), and the history scan answers both
+    writers' skip checks even though only the newest version's meta
+    names A."""
+    import random
+    import string
+
+    from lambda_sample_spark.operators.incremental_substring import (
+        _read_index,
+        scrub_batch,
+    )
+    from lambda_sample_spark.streaming.substring_scrub import batch_committed
+
+    idx = str(tmp_path / "idx")
+    counts_root = os.path.join(idx, "gram_counts")
+    rng = random.Random(9)
+
+    def rand(n):
+        return "".join(rng.choice(string.ascii_letters) for _ in range(n))
+
+    passage = rand(25)  # above min_len=20, shared across the writers
+    docs_a = spark.createDataFrame(
+        [(1, rand(30) + passage)], "doc_id BIGINT, text STRING"
+    )
+    docs_b = spark.createDataFrame(
+        [(2, passage + rand(30))], "doc_id BIGINT, text STRING"
+    )
+
+    # writer A: crash between the version write (data + meta) and the
+    # pointer swap — the only seam between "merged" and "committed"
+    _crash_pointer_once(monkeypatch)
+    with pytest.raises(Boom):
+        scrub_batch(spark, idx, docs_a, log_label="a-0", commit_meta="a:0")
+    assert W.current_version(counts_root) is None
+    assert not batch_committed(counts_root, "a", 0)
+    # the orphan dir holds A's meta — uncommitted, so invisible
+    assert W.version_meta(counts_root, 1) == "a:0"
+
+    # writer B interleaves on the same index and commits cleanly: its
+    # create-branch overwrite clears A's orphan (data AND meta)
+    scrub_batch(spark, idx, docs_b, log_label="b-0", commit_meta="b:0")
+    assert W.current_version(counts_root) == 1
+    assert W.version_meta(counts_root, 1) == "b:0"
+    assert batch_committed(counts_root, "b", 0)
+    assert not batch_committed(counts_root, "a", 0)
+
+    # A replays against the index as B left it; the passage is now its
+    # second sighting, so the replayed batch flags it as a dup span
+    spans = scrub_batch(
+        spark, idx, docs_a, log_label="a-0", commit_meta="a:0"
+    )
+    assert spans.count() == 1
+    assert W.current_version(counts_root) == 2
+    # history scan: both writers' skip checks answer True even though
+    # the CURRENT version's meta only names A
+    assert batch_committed(counts_root, "a", 0)
+    assert batch_committed(counts_root, "b", 0)
+
+    # single-merge truth: the shared passage gram was seen once per
+    # writer -> cnt 2; a double-merged A replay would read 3
+    mx = _read_index(spark, idx).agg(F.max("cnt")).collect()[0][0]
+    assert mx == 2
+    # one scrub_log partition per writer (labeled overwrite, no growth)
+    assert sorted(os.listdir(os.path.join(idx, "scrub_log"))) == [
+        "batch=a-0",
+        "batch=b-0",
+    ]
