@@ -7,13 +7,17 @@ remaining gap by driving an ACTUAL Connect server:
   - the server boot test needs only the shipped JVM jar
     (spark-connect_2.13, present in the pip pyspark distribution) —
     it proves the server-side leg of this environment works.
-  - the contract-subset tests need the Python Connect CLIENT, whose
-    hard dependencies (grpcio, protobuf) are not installed in this
-    container and cannot be (no pip) — they skip with that reason, the
-    same documented-env-gap treatment as the Kafka broker and Pillow.
-    In any grpc-enabled environment they run the shim consumers the
-    verdict named (CC's checkpoint loop, plan-audit text, shuffle
-    budget counting) through a genuine ``sc://`` session.
+  - the PYTHON-client tests need grpcio/grpcio-status/googleapis-
+    common-protos/protobuf wheels, which are absent and unobtainable
+    here (no network, nothing usable in the pip cache, grpcio is a
+    compiled C-extension) — they skip with that reason and run
+    wherever the client deps exist.
+  - since round 13 the real sc:// EXECUTION gap is closed anyway: the
+    shipped shaded JVM Connect client (jars/connect-repl), driven
+    from py4j through the spark-connect-client-jdbc driver, runs a
+    contract subset through a genuine Connect session (real gRPC to
+    the booted server) with no Python grpcio — see the fixture and
+    tests at the bottom of this module.
 """
 
 from __future__ import annotations
@@ -170,3 +174,178 @@ def test_contract_subset_under_real_connect(remote_spark):
             assert not compare(name, sdf, odf), f"{name} mismatch under Connect"
         else:
             assert sdf.count() >= 0
+
+
+# ------------------------------------------------------------------
+# Genuine sc:// execution WITHOUT the Python client (round-12 verdict
+# task #4). Definitive Python-client blocker, for the record: pyspark
+# 4.1.2's pyspark.sql.connect imports `grpc` at module load, so the
+# client needs the wheels grpcio, grpcio-status, googleapis-common-
+# protos, and protobuf — none are installed, the container has no
+# network (pypi.org does not resolve), the pip http cache holds only
+# packaging/wheel/setuptools bodies, and grpcio is a compiled
+# C-extension that cannot be vendored as pure Python. BUT the shipped
+# JVM distribution carries jars/connect-repl/spark-connect-client-
+# jvm (a shaded assembly with its own gRPC/netty under
+# org.sparkproject) and spark-connect-client-jdbc — so a GENUINE
+# Spark Connect session (real gRPC over the wire to the booted
+# server) is drivable from py4j (bundled with pyspark) through
+# java.sql.DriverManager and `jdbc:sc://`. The tests below run a
+# contract subset through that session and compare cell-for-cell
+# against the classic-session contract rows.
+# ------------------------------------------------------------------
+
+# client-jvm's unshaded edges: it expects a handful of Spark/runtime
+# classes from the host classpath (discovered by walking
+# NoClassDefFoundError chains; each pattern is load-bearing)
+_JDBC_DEP_PATTERNS = [
+    "scala-*.jar",            # scala runtime
+    "slf4j*.jar",             # logging facade
+    "spark-common-utils*.jar",  # org.apache.spark.util.SparkSystemUtils
+    "log4j*.jar",             # log4j-api message factories
+    "json4s*.jar",            # spark conf readers
+    "jackson*.jar",           # json4s backend
+    "spark-unsafe*.jar",      # CollationFactory
+    "kryo*.jar",              # KryoSerializable on utils classes
+    "icu4j*.jar",             # collation support
+    "paranamer*.jar",         # jackson-module-scala bean introspection
+]
+# the client's Arrow result decoder needs direct-buffer access
+_ARROW_JVM_OPTS = [
+    "--add-opens=java.base/java.nio=ALL-UNNAMED",
+    "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+    "--enable-native-access=ALL-UNNAMED",
+]
+
+
+@pytest.fixture(scope="module")
+def sc_jdbc():
+    """A live java.sql.Connection whose wire protocol is Spark
+    Connect: server booted from the shipped jar, client = the shipped
+    shaded JVM Connect client behind the JDBC driver, gateway = py4j
+    (bundled with pyspark — no grpcio anywhere in Python)."""
+    from py4j.java_gateway import (
+        GatewayParameters,
+        JavaGateway,
+        launch_gateway,
+    )
+
+    port = _free_port()
+    proc = _boot_server(port)
+    if not _wait_listening(port):
+        proc.kill()
+        pytest.fail("Connect server never opened its port")
+    dist = _spark_dist()
+    repl = dist / "jars" / "connect-repl"
+    jars = [
+        str(next(repl.glob("spark-connect-client-jdbc_*.jar"))),
+        str(next(repl.glob("spark-connect-client-jvm_*.jar"))),
+    ]
+    for pat in _JDBC_DEP_PATTERNS:
+        jars += [str(p) for p in (dist / "jars").glob(pat)]
+    gw_port = launch_gateway(
+        classpath=":".join(jars), die_on_exit=True, javaopts=_ARROW_JVM_OPTS
+    )
+    gw = JavaGateway(gateway_parameters=GatewayParameters(port=gw_port))
+    gw.jvm.java.lang.Class.forName(
+        "org.apache.spark.sql.connect.client.jdbc.SparkConnectDriver"
+    )
+    conn = gw.jvm.java.sql.DriverManager.getConnection(
+        f"jdbc:sc://localhost:{port}"
+    )
+    # the testdata parquet stores TIMESTAMP(NANOS); mirror
+    # io.load_table's runtime conf on the CONNECT session
+    st = conn.createStatement()
+    st.executeQuery("SET spark.sql.legacy.parquet.nanosAsLong=true").close()
+    st.close()
+    yield conn
+    conn.close()
+    gw.shutdown()
+    proc.terminate()
+    try:
+        proc.wait(timeout=30)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+
+
+def _jdbc_rows(conn, sql: str) -> list[tuple]:
+    st = conn.createStatement()
+    rs = st.executeQuery(sql)
+    md = rs.getMetaData()
+    n = md.getColumnCount()
+    rows = []
+    while rs.next():
+        rows.append(tuple(rs.getObject(i + 1) for i in range(n)))
+    rs.close()
+    st.close()
+    return rows
+
+
+def _sortable(rows):
+    return sorted(
+        rows, key=lambda r: tuple((v is None, str(v)) for v in r)
+    )
+
+
+def test_jdbc_connect_executes_sql(sc_jdbc):
+    """Smoke: real gRPC round trip — scalar select and a parquet scan
+    through the Connect server."""
+    assert _jdbc_rows(sc_jdbc, "SELECT CAST(40+2 AS BIGINT)") == [(42,)]
+    (n,) = _jdbc_rows(
+        sc_jdbc,
+        f"SELECT count(*) FROM parquet.`{SMOKE_SF}/events.parquet`",
+    )[0]
+    assert n == 1000
+
+
+def test_contract_subset_through_genuine_connect(spark, sc_jdbc):
+    """The verdict's real-sc:// contract leg: three contract rows
+    re-expressed as Spark SQL (same templates — exact_sum6's integer
+    SQL is generated from the shared _exact_sum_parts), executed
+    through the genuine Connect session, compared CELL-FOR-CELL with
+    the classic-session contract DataFrames."""
+    sys.path.insert(0, str(REPO))
+    try:
+        import __spark_entry__ as entrymod
+        from lambda_sample_spark.operators.common import _exact_sum_parts
+    finally:
+        sys.path.pop(0)
+    q = entrymod.queries()
+    ev = f"parquet.`{SMOKE_SF}/events.parquet`"
+
+    sqls = {
+        "q_group_stats": f"""
+            SELECT event_type, count(*) AS cnt,
+                   {_exact_sum_parts("value", "BIGINT", "div")} AS sum_value,
+                   round(avg(value), 6) AS avg_value,
+                   round(stddev_pop(value), 6) AS sd_pop
+            FROM {ev} GROUP BY event_type""",
+        "q_scan_filter_limit": f"""
+            SELECT event_id, unix_millis(CAST(ts AS TIMESTAMP)) AS ts_ms,
+                   user_id, event_type, value, props
+            FROM {ev} WHERE event_type = 'click'
+            ORDER BY ts DESC, event_id DESC LIMIT 100""",
+        "q_fast_anomaly": f"""
+            WITH recent AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM {ev}
+            ), agg AS (
+              SELECT event_type, count(*) AS n, avg(value) AS avg_raw,
+                     stddev_pop(value) AS sd_raw,
+                     max(CASE WHEN rn = 1 THEN value END) AS latest_value
+              FROM recent WHERE rn <= 200 GROUP BY event_type)
+            SELECT event_type, n, round(avg_raw, 6) AS avg_value,
+                   round(sd_raw, 6) AS sd_value, latest_value,
+                   round(CASE WHEN sd_raw = 0.0D THEN CAST(NULL AS DOUBLE)
+                         ELSE least(greatest(
+                             (abs(latest_value - avg_raw) - sd_raw)
+                             / (2.0D * sd_raw), 0.0D), 1.0D)
+                         END, 6) AS fast_anomaly
+            FROM agg""",
+    }
+    for name, sql in sqls.items():
+        classic = [tuple(r) for r in q[name](spark, SMOKE_SF).collect()]
+        remote = _jdbc_rows(sc_jdbc, sql)
+        assert _sortable(remote) == _sortable(classic), name
