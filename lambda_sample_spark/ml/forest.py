@@ -263,42 +263,54 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCols=["value"], outputCol="features"
     ).transform(labeled).persist()
     try:
-        # per-key validation jobs are independent — submit them
-        # concurrently like train_models' fits (each is a tiny
-        # transform+agg over the cached window). Measured at sf0.1:
-        # serial 2.4 s, one union-of-transforms action 2.1 s (a single
-        # 5x50-tree codegen plan), concurrent small jobs 1.8 s — the
-        # scheduler interleaving wins.
-        from concurrent.futures import ThreadPoolExecutor
+        # ONE action validates the whole fleet: each model's transform
+        # applies to its own key's slice of the cached window, the
+        # slices union, one per-key aggregate yields every
+        # accuracy/majority pair. Measured at sf0.1: serial per-key
+        # collects 2.4 s, this union 2.1 s, thread-pooled per-key
+        # collects 1.8 s — but concurrent collectToPython calls race
+        # on the session's ObservationManager ("Task not serializable"
+        # flake under the full suite), so the single-action shape wins
+        # on determinism for 0.3 s.
+        from functools import reduce
 
-        def validate_one(item):
-            k, m = item
+        items = sorted(models.items())
+        legs = [
+            m.transform(assembled.where(F.col("event_type") == k)).select(
+                "event_type",
+                (F.col("prediction") == F.col("anomaly"))
+                .cast("double")
+                .alias("correct"),
+                F.col("anomaly").cast("double").alias("pos"),
+            )
+            for k, m in items
+        ]
+        acc = {
+            r.event_type: r
+            for r in reduce(lambda a, b: a.unionByName(b), legs)
+            .groupBy("event_type")
+            .agg(
+                F.avg("correct").alias("acc"),
+                F.avg("pos").alias("pos_share"),
+            )
+            .collect()
+        }
+        rows = []
+        for k, m in items:
             fi = (
                 float(m.featureImportances[0])
                 if len(m.featureImportances)
                 else 0.0
             )
-            acc_row = (
-                m.transform(assembled.where(F.col("event_type") == k))
-                .agg(
-                    F.avg(
-                        (F.col("prediction") == F.col("anomaly")).cast("double")
-                    ).alias("acc"),
-                    F.avg("anomaly").alias("pos_share"),
+            majority = max(acc[k].pos_share, 1.0 - acc[k].pos_share)
+            rows.append(
+                (
+                    k,
+                    int(m.getNumTrees),
+                    fi in (0.0, 1.0),
+                    acc[k].acc >= majority - 1e-9,
                 )
-                .first()
             )
-            majority = max(acc_row.pos_share, 1.0 - acc_row.pos_share)
-            return (
-                k,
-                int(m.getNumTrees),
-                fi in (0.0, 1.0),
-                acc_row.acc >= majority - 1e-9,
-            )
-
-        items = sorted(models.items())
-        with ThreadPoolExecutor(max_workers=min(4, max(1, len(items)))) as pool:
-            rows = list(pool.map(validate_one, items))
     finally:
         assembled.unpersist()
     facts = spark.createDataFrame(
