@@ -40,6 +40,50 @@ def _labeled_events(df: DataFrame) -> DataFrame:
     )
 
 
+def _fit_fleet(
+    assembled: DataFrame, trainable: list[str], key_col: str = "event_type"
+) -> dict[str, object]:
+    """Fit one forest per trainable key on an already-assembled (and
+    ideally persisted) frame. Fits are independent Spark jobs —
+    submitted concurrently so the scheduler interleaves their stages
+    instead of paying each fit's fixed costs serially.
+
+    Every returned model is ``copy()``-ed, which drops MLlib's
+    ``trainingSummary``. That is deliberate, not cosmetic: the summary
+    holds the SparkSession, and once any ``observe()`` has initialized
+    the session's lazy non-serializable ObservationManager (the
+    documented incremental_dedup/graph.py hazard), serializing a task
+    closure that captures a summary-bearing model dies with "Task not
+    serializable: ObservationManager" (serialization stack: model ->
+    trainingSummary -> sparkSession -> observationManager; the round-13
+    full-suite flake in test_shuffle_budget[q_rf_train]). Summary-free
+    models keep every downstream transform serializable regardless of
+    session state; nothing in this repo reads .summary."""
+    from pyspark.ml.classification import RandomForestClassifier
+
+    if not trainable:
+        return {}
+
+    def fit_one(key: str):
+        rf = RandomForestClassifier(
+            featuresCol="features",
+            labelCol="anomaly",
+            numTrees=N_TREES,
+            # default maxBins=32 buckets rare positives together with
+            # negatives in one quantile bin and the tree never splits;
+            # 256 bins give the splitter boundaries fine enough for a
+            # few-percent positive rate
+            maxBins=256,
+            seed=42,
+        )
+        return key, rf.fit(assembled.where(F.col(key_col) == key)).copy()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(4, len(trainable))) as pool:
+        return dict(pool.map(fit_one, trainable))
+
+
 def train_models(train_df: DataFrame, key_col: str = "event_type") -> dict[str, object]:
     """M1 (faithful): one MLlib RandomForest per key. Keys with a
     single label class are skipped (reference logs-and-skips).
@@ -49,7 +93,6 @@ def train_models(train_df: DataFrame, key_col: str = "event_type") -> dict[str, 
     ``train_per_key_pandas``. The input frame is cached so the per-key
     fits don't each recompute its lineage (the top-20k window), and the
     per-key class census is ONE aggregate pass, not a job per key."""
-    from pyspark.ml.classification import RandomForestClassifier
     from pyspark.ml.feature import VectorAssembler
 
     assembler = VectorAssembler(inputCols=["value"], outputCol="features")
@@ -61,31 +104,9 @@ def train_models(train_df: DataFrame, key_col: str = "event_type") -> dict[str, 
             .agg(F.countDistinct("anomaly").alias("n_classes"))
             .collect()
         }
-        def fit_one(key: str):
-            rf = RandomForestClassifier(
-                featuresCol="features",
-                labelCol="anomaly",
-                numTrees=N_TREES,
-                # default maxBins=32 buckets rare positives together with
-                # negatives in one quantile bin and the tree never splits;
-                # 256 bins give the splitter boundaries fine enough for a
-                # few-percent positive rate
-                maxBins=256,
-                seed=42,
-            )
-            return key, rf.fit(assembled.where(F.col(key_col) == key))
-
-        # fits are independent Spark jobs — submit them concurrently
-        # (Spark's scheduler interleaves their stages) instead of
-        # paying each fit's fixed costs serially
-        from concurrent.futures import ThreadPoolExecutor
-
-        trainable = [k for k in sorted(class_counts) if class_counts[k] >= 2]
         # keys below 2 classes are skipped: Trainer.scala:47-49 behavior
-        if not trainable:
-            return {}
-        with ThreadPoolExecutor(max_workers=min(4, len(trainable))) as pool:
-            return dict(pool.map(fit_one, trainable))
+        trainable = [k for k in sorted(class_counts) if class_counts[k] >= 2]
+        return _fit_fleet(assembled, trainable, key_col)
     finally:
         assembled.unpersist()
 
@@ -161,60 +182,55 @@ def train_per_key_pandas(train_df: DataFrame, key_col: str = "event_type") -> Da
     return train_df.groupBy(key_col).applyInPandas(fit_group, schema=schema)
 
 
-_MODEL_CACHE: dict[tuple[str, str], dict[str, object]] = {}
-
-
-def _contract_models(spark: SparkSession, sf_dir: str) -> dict[str, object]:
-    """Deterministic (seed=42) per-key forests for the contract
-    queries, memoized per (Spark app, sf_dir): q_rf_train and
-    q_rf_predict run back-to-back in the driver gate and would
-    otherwise each pay the full training cost."""
-    from ..operators.anomaly import recent_per_key
-    from ..operators.common import events
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _MODEL_CACHE:
-        labeled = _labeled_events(
-            recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
-        )
-        _MODEL_CACHE[key] = train_models(labeled)
-    return _MODEL_CACHE[key]
-
-
 _STATS_SCHEMA = (
     "event_type STRING, n_train_rows BIGINT, n_train_pos BIGINT, "
     "train_vmin DOUBLE, train_vmax DOUBLE"
 )
-_STATS_CACHE: dict[tuple[str, str], list] = {}
+_FLEET_CACHE: dict[tuple[str, str], dict[str, object]] = {}
 
 
-def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-key facts about the exact training frame the
-    contract models fit on (newest RECENT_TRAIN_N rows per key): row
-    count, class counts, feature extents. One aggregate pass; every
-    column is plain SQL over the same window, so DuckDB replays it
-    exactly — these ride along in the rows-only RF contract rows so
-    their structure is checkable even though MLlib posteriors are not
-    (see tests/test_ml.py::test_rf_metadata_matches_duckdb).
+def _contract_fleet(spark: SparkSession, sf_dir: str) -> dict[str, object]:
+    """Everything the RF contract rows need, built from ONE persisted
+    assembled training window and memoized per (Spark app, sf_dir):
 
-    Memoized like _MODEL_CACHE: q_rf_train and q_rf_predict both need
-    these facts, and the frame they aggregate (full events scan + top-n
-    window) is the one _contract_models already paid for — without the
-    cache each contract query re-ran that pass. The cached value is the
-    COLLECTED rows (one per key — bounded by the key fleet, not data
-    size), rebuilt into a local DataFrame per call, so nothing persists
-    into the shared session's block manager."""
+    - ``models`` — deterministic (seed=42) per-key forests, summary-
+      stripped (see _fit_fleet);
+    - ``stats`` — the per-key training census (rows/pos/extents —
+      plain SQL over the same window, so DuckDB replays it exactly);
+    - ``acc`` — each model's accuracy and positive share on its own
+      training window, from ONE union-of-transforms action.
+
+    Through round 13 these were three separate memoizers
+    (_MODEL_CACHE, _STATS_CACHE, plus rf_train's own validation
+    persist), each re-materializing the newest-RECENT_TRAIN_N window:
+    three full events scans + window sorts where one suffices. Folding
+    them into one persisted frame with one census pass (class counts
+    and stats cells share an aggregate) is the round-14 q_rf_train
+    cost shave. Cached values are driver-local (models + collected
+    rows, bounded by the key fleet, not data size); the persisted
+    window is unpersisted before returning, so nothing lingers in the
+    shared session's block manager."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _STATS_CACHE:
-        from ..operators.anomaly import recent_per_key
-        from ..operators.common import events
+    if key in _FLEET_CACHE:
+        return _FLEET_CACHE[key]
+    from pyspark.ml.feature import VectorAssembler
 
-        labeled = _labeled_events(
-            recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
-        )
-        _STATS_CACHE[key] = (
-            labeled.groupBy("event_type")
+    from ..operators.anomaly import recent_per_key
+    from ..operators.common import events
+
+    labeled = _labeled_events(
+        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
+    )
+    assembled = (
+        VectorAssembler(inputCols=["value"], outputCol="features")
+        .transform(labeled)
+        .persist()
+    )
+    try:
+        census = (
+            assembled.groupBy("event_type")
             .agg(
+                F.countDistinct("anomaly").alias("n_classes"),
                 F.count("*").alias("n_train_rows"),
                 F.sum("anomaly").cast("bigint").alias("n_train_pos"),
                 F.round(F.min("value"), 6).alias("train_vmin"),
@@ -222,7 +238,79 @@ def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
-    return spark.createDataFrame(_STATS_CACHE[key], _STATS_SCHEMA)
+        trainable = sorted(r.event_type for r in census if r.n_classes >= 2)
+        models = _fit_fleet(assembled, trainable)
+        # ONE action validates the whole fleet: each model's transform
+        # applies to its own key's slice of the persisted window, the
+        # slices union, one per-key aggregate yields every
+        # accuracy/majority pair. Not thread-pooled per-key collects:
+        # concurrent collectToPython calls race on the session's
+        # ObservationManager (the documented Spark 4.1 flake).
+        acc: dict[str, object] = {}
+        if models:
+            from functools import reduce
+
+            legs = [
+                m.transform(
+                    assembled.where(F.col("event_type") == k)
+                ).select(
+                    "event_type",
+                    (F.col("prediction") == F.col("anomaly"))
+                    .cast("double")
+                    .alias("correct"),
+                    F.col("anomaly").cast("double").alias("pos"),
+                )
+                for k, m in sorted(models.items())
+            ]
+            acc = {
+                r.event_type: r
+                for r in reduce(lambda a, b: a.unionByName(b), legs)
+                .groupBy("event_type")
+                .agg(
+                    F.avg("correct").alias("acc"),
+                    F.avg("pos").alias("pos_share"),
+                )
+                .collect()
+            }
+    finally:
+        assembled.unpersist()
+    _FLEET_CACHE[key] = {
+        "models": models,
+        "stats": [
+            (
+                r.event_type,
+                r.n_train_rows,
+                r.n_train_pos,
+                r.train_vmin,
+                r.train_vmax,
+            )
+            for r in census
+        ],
+        "acc": acc,
+    }
+    return _FLEET_CACHE[key]
+
+
+def _contract_models(spark: SparkSession, sf_dir: str) -> dict[str, object]:
+    """Deterministic (seed=42) per-key forests for the contract
+    queries — one fleet build shared with the census/validation (see
+    _contract_fleet): q_rf_train and rf_predict_mllib run back-to-back
+    in the driver gate and would otherwise each pay the training cost."""
+    return _contract_fleet(spark, sf_dir)["models"]
+
+
+def _train_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-key facts about the exact training frame the
+    contract models fit on (newest RECENT_TRAIN_N rows per key): row
+    count, class counts, feature extents — every column is plain SQL
+    over the same window, so DuckDB replays it exactly (see
+    tests/test_ml.py::test_rf_metadata_matches_duckdb). The cached
+    value is the COLLECTED census (one row per key — bounded by the
+    key fleet, not data size), rebuilt into a local DataFrame per
+    call, so the contract plan stays exchange-free."""
+    return spark.createDataFrame(
+        _contract_fleet(spark, sf_dir)["stats"], _STATS_SCHEMA
+    )
 
 
 def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,70 +337,28 @@ def rf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     Through round 12 this row was rows-only with an RNG-dependent
     feature_importance column; the booleans replace it so every cell
     is either deterministic or a model-quality invariant, and the
-    oracle asserts them TRUE (ml/forest.py ORACLE)."""
-    models = _contract_models(spark, sf_dir)
-    from pyspark.ml.feature import VectorAssembler
-
-    from ..operators.anomaly import recent_per_key
-    from ..operators.common import events
-
-    labeled = _labeled_events(
-        recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
-    )
-    assembled = VectorAssembler(
-        inputCols=["value"], outputCol="features"
-    ).transform(labeled).persist()
-    try:
-        # ONE action validates the whole fleet: each model's transform
-        # applies to its own key's slice of the cached window, the
-        # slices union, one per-key aggregate yields every
-        # accuracy/majority pair. Measured at sf0.1: serial per-key
-        # collects 2.4 s, this union 2.1 s, thread-pooled per-key
-        # collects 1.8 s — but concurrent collectToPython calls race
-        # on the session's ObservationManager ("Task not serializable"
-        # flake under the full suite), so the single-action shape wins
-        # on determinism for 0.3 s.
-        from functools import reduce
-
-        items = sorted(models.items())
-        legs = [
-            m.transform(assembled.where(F.col("event_type") == k)).select(
-                "event_type",
-                (F.col("prediction") == F.col("anomaly"))
-                .cast("double")
-                .alias("correct"),
-                F.col("anomaly").cast("double").alias("pos"),
+    oracle asserts them TRUE (ml/forest.py ORACLE). The training
+    window, census, fits, and the one union-of-transforms validation
+    action all come from the shared fleet build (_contract_fleet), so
+    this function does no heavy work of its own."""
+    fleet = _contract_fleet(spark, sf_dir)
+    acc = fleet["acc"]
+    rows = []
+    for k, m in sorted(fleet["models"].items()):
+        fi = (
+            float(m.featureImportances[0])
+            if len(m.featureImportances)
+            else 0.0
+        )
+        majority = max(acc[k].pos_share, 1.0 - acc[k].pos_share)
+        rows.append(
+            (
+                k,
+                int(m.getNumTrees),
+                fi in (0.0, 1.0),
+                acc[k].acc >= majority - 1e-9,
             )
-            for k, m in items
-        ]
-        acc = {
-            r.event_type: r
-            for r in reduce(lambda a, b: a.unionByName(b), legs)
-            .groupBy("event_type")
-            .agg(
-                F.avg("correct").alias("acc"),
-                F.avg("pos").alias("pos_share"),
-            )
-            .collect()
-        }
-        rows = []
-        for k, m in items:
-            fi = (
-                float(m.featureImportances[0])
-                if len(m.featureImportances)
-                else 0.0
-            )
-            majority = max(acc[k].pos_share, 1.0 - acc[k].pos_share)
-            rows.append(
-                (
-                    k,
-                    int(m.getNumTrees),
-                    fi in (0.0, 1.0),
-                    acc[k].acc >= majority - 1e-9,
-                )
-            )
-    finally:
-        assembled.unpersist()
+        )
     facts = spark.createDataFrame(
         rows,
         "event_type STRING, num_trees BIGINT, "
