@@ -425,8 +425,8 @@ def winnow_near_dup(
     pair fan-out as n grows; the absolute bound keeps per-fingerprint
     join work constant at any corpus size (measured at 10× in
     docs/SCALE.md addendum 2). Defaults switch from fractional to
-    absolute at n = 5k docs; the contract row pins ``max_df_abs=None``
-    because its frozen oracle encodes the pure fractional cap.
+    absolute at n = 5k docs; since round 14 the contract row grades
+    this same default (its oracle encodes the min of both caps).
 
     Scale: stop-fingerprint census is one count per distinct
     (fp, doc) — the stop list itself is provably small (at most
@@ -567,17 +567,18 @@ def q_winnow_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-passage detection). Plain SQL over the already-oracle-checked
     sketch (fingerprint equi-join + count + overlap filter), so the
     whole pipeline value-checks in DuckDB. Uses the md5 contract hash;
-    production callers take the xxhash64 default. Runs the default
-    10% stop-fingerprint cap (mirrored in the oracle) — the uncapped
-    shape is degenerate on template-heavy corpora (see
-    winnow_near_dup). max_df_abs is explicitly disabled HERE only:
-    the oracle SQL encodes the pure fractional trunc(n*0.1) cap, and
-    the frozen contract row must stay that way; the library default
-    (min(frac·n, 500)) is the scale-closed configuration real callers
-    get."""
-    return winnow_near_dup(
-        documents(spark, sf_dir), gram_hash="md5", max_df_abs=None
-    ).select(
+    production callers take the xxhash64 default. Runs the LIBRARY
+    DEFAULT stop-fingerprint cap — max(2, min(trunc(0.1·n), 500)),
+    mirrored cap-for-cap in the oracle SQL (greatest/least/trunc are
+    plain ANSI) — so the graded row IS the scale-closed configuration.
+    Through round 13 this row pinned max_df_abs=None for the then-
+    frozen fractional oracle; that shape legally admitted 0.1·n-doc
+    fingerprints and OOMed the sf10 bench (~1.8e9 candidate pairs,
+    docs/SCALE.md r13) — the verdict-14 fix folds the absolute bound
+    into both legs. At sf≤0.1 (n≤5k docs) the two caps coincide
+    (trunc(0.1·n) ≤ 500), so frozen sf0.01/sf0.1 hashes are unchanged;
+    at sf1+ the capped shape is the one graded AND benched."""
+    return winnow_near_dup(documents(spark, sf_dir), gram_hash="md5").select(
         "d1",
         "d2",
         F.col("n_shared").cast("bigint").alias("n_shared"),
@@ -632,13 +633,14 @@ FROM win WHERE wcnt = {WINNOW_W} OR pos = 0
 
 def _winnow_near_dup_oracle(min_shared: int = 5, min_overlap: float = 0.5) -> str:
     """winnow_near_dup transcription: the sketch CTE (nested WITH —
-    the same text as the q_winnowing oracle) feeding the 10%
-    stop-fingerprint filter, a fingerprint self-join, shared-count
-    filter, and smaller-sketch containment ratio, mirroring the Spark
-    ops column for column. The cap arithmetic is
-    greatest(2, trunc(0.1 * n_docs)) in both engines — DuckDB's
-    decimal 0.1 and Python's float 0.1 truncate identically at
-    contract scales."""
+    the same text as the q_winnowing oracle) feeding the stop-
+    fingerprint filter, a fingerprint self-join, shared-count filter,
+    and smaller-sketch containment ratio, mirroring the Spark ops
+    column for column. The cap arithmetic is the library default
+    greatest(2, least(trunc(0.1 * n_docs), 500)) in both engines
+    (_stop_cap) — DuckDB's decimal 0.1 and Python's float 0.1
+    truncate identically at contract scales, and the absolute 500
+    bound is exact integer arithmetic everywhere."""
     return f"""
 WITH fps0 AS ({_winnowing_oracle()}),
 fps AS (
@@ -646,7 +648,9 @@ fps AS (
   WHERE f.fp NOT IN (
     SELECT fp FROM fps0 GROUP BY fp
     HAVING count(*) > greatest(
-      2, CAST(trunc(0.1 * (SELECT count(*) FROM documents)) AS BIGINT))
+      2, least(
+        CAST(trunc(0.1 * (SELECT count(*) FROM documents)) AS BIGINT),
+        CAST(500 AS BIGINT)))
   )
 ),
 sizes AS (

@@ -256,13 +256,19 @@ def test_stop_cap_switches_from_fractional_to_absolute():
     assert _stop_cap(50_000, 0.1, None) == 5_000
 
 
-def test_contract_row_keeps_pure_fractional_cap(spark):
-    """q_winnow_near_dup pins max_df_abs=None (its frozen oracle
-    encodes trunc(n*0.1)); the library default differs only past 5k
-    docs, so at contract SFs results are identical either way."""
+def test_contract_row_grades_the_scale_closed_cap(spark):
+    """Since round 14 q_winnow_near_dup grades the library-default
+    stop cap max(2, min(trunc(0.1·n), 500)) and its oracle mirrors it
+    (the r13 verdict's scale-killer fix: the pure-fractional shape
+    admitted 0.1·n-doc fingerprints and OOMed at sf10). Below the
+    5k-doc switch point the capped and pure-fractional shapes
+    coincide, so the frozen small-SF hashes were unchanged by the
+    fold — pinned here at sf0.001."""
     from lambda_sample_spark.operators.common import documents
-    from lambda_sample_spark.operators.text import winnow_near_dup
+    from lambda_sample_spark.operators.text import ORACLE, winnow_near_dup
 
+    sql = ORACLE["q_winnow_near_dup"]
+    assert "least" in sql and "500" in sql  # the absolute bound is graded
     docs = documents(spark, "/root/testdata/sf0.001")
     a = sorted(map(tuple, winnow_near_dup(docs, gram_hash="md5").collect()))
     b = sorted(
