@@ -55,18 +55,36 @@ def _git(*args: str) -> str:
     ).stdout
 
 
-def round_boundary_ref() -> str:
-    """The commit that last touched the newest BENCH_r{N}.json — the
-    driver's round-start commit. Everything committed before it is
+def _tracked_bench_files() -> list[str]:
+    """Git-TRACKED BENCH_r*.json names, oldest to newest. Tracked-only
+    matters: the driver can drop BENCH_r{N}.json in the working tree
+    before anything commits it, and globbing the filesystem would then
+    `git log` an untracked name, get nothing, and silently fall back
+    to HEAD — reintroducing the mid-round self-baseline bug this
+    function exists to prevent (round-13 ADVICE)."""
+    names = [
+        n
+        for n in _git("ls-files", "BENCH_r*.json").splitlines()
+        if n.strip()
+    ]
+    return sorted(names, key=lambda n: int(Path(n).stem[7:]))
+
+
+def round_boundary_ref(back: int = 0) -> str:
+    """The commit that last touched the newest tracked BENCH_r{N}.json
+    — the driver's round-start commit (``back=1``: the previous
+    round's boundary). Everything committed before it is
     previous-round state; a sweep committed after it (this round) must
-    not become its own baseline."""
-    rounds = sorted(
-        REPO.glob("BENCH_r*.json"), key=lambda p: int(p.stem[7:])
-    )
-    if not rounds:
-        return "HEAD"
-    ref = _git("log", "-n1", "--format=%H", "--", rounds[-1].name).strip()
-    return ref or "HEAD"
+    not become its own baseline. Walks newest-to-oldest until git log
+    yields a commit, so a tracked-but-unborn name can't strand us."""
+    names = _tracked_bench_files()
+    if back:
+        names = names[: -back] if len(names) > back else []
+    for name in reversed(names):
+        ref = _git("log", "-n1", "--format=%H", "--", name).strip()
+        if ref:
+            return ref
+    return "HEAD"
 
 
 def load_old(path: str | None, new_path: str) -> tuple[dict, str]:
@@ -81,6 +99,53 @@ def load_old(path: str | None, new_path: str) -> tuple[dict, str]:
         ref = "HEAD"  # file did not exist at the boundary commit
         blob = _git("show", f"HEAD:{name}")
     return json.loads(blob), f"{ref[:12]}:{name}"
+
+
+DRIVER_DIVERGE_RATIO = 1.3  # verdict-14 task 3 annotation threshold
+
+
+def driver_divergence(new: dict) -> dict:
+    """Diff the DRIVER's own committed sweeps round-over-round: the
+    bench_detail.json blob at this round's boundary commit (the file
+    the driver overwrites and commits at round start) against the
+    blob at the previous round's boundary. The builder's cross-round
+    gate otherwise only ever diffs its OWN committed artifact, so a
+    regression visible only in driver runs would never trip anything
+    (the round-13 sketch_ml divergence went unadjudicated for exactly
+    this reason). Rows where the driver moved >1.3x are annotated
+    with the builder's fresh number for the same row, so noise
+    (driver moved, builder parity) separates from code (both moved).
+    Informational — exit status stays governed by the builder diff;
+    driver runs carry the documented exogenous host noise."""
+    ref_now = round_boundary_ref()
+    ref_prev = round_boundary_ref(back=1)
+    if ref_prev in ("HEAD", ref_now):
+        return {"note": "no previous-round boundary commit"}
+    try:
+        d_now = json.loads(_git("show", f"{ref_now}:bench_detail.json"))
+        d_prev = json.loads(_git("show", f"{ref_prev}:bench_detail.json"))
+    except subprocess.CalledProcessError:
+        return {"note": "bench_detail.json missing at a boundary commit"}
+    qn, qp, qb = d_now["queries"], d_prev["queries"], new.get("queries", {})
+    rows = {}
+    for name in sorted(set(qn) & set(qp)):
+        a, b = qp[name], qn[name]
+        if min(a, b) < ABS_FLOOR_SEC or max(a, b) <= min(a, b) * DRIVER_DIVERGE_RATIO:
+            continue
+        entry = {
+            "driver_prev": a,
+            "driver_now": b,
+            "driver_ratio": round(b / a, 2),
+        }
+        if name in qb:
+            entry["builder_now"] = qb[name]
+            entry["driver_vs_builder"] = round(b / qb[name], 2)
+        rows[name] = entry
+    return {
+        "driver_now": ref_now[:12],
+        "driver_prev": ref_prev[:12],
+        "rows": rows,
+    }
 
 
 def main() -> int:
@@ -110,6 +175,7 @@ def main() -> int:
         "removed": sorted(set(oq) - set(nq)),
         "regressions": regressions,
         "improved": len(improvements),
+        "driver_diff": driver_divergence(new),
         "ok": not regressions,
     }
     print(json.dumps(verdict))
