@@ -22,13 +22,22 @@ Determinism: pure integer pair counts; best pair = max by
 (count, pair) with the lexicographic tie-break, so learned merges are
 a pure function of the word census. No RNG anywhere.
 
-Contract: iterative merge learning is not SQL-expressible, so
-``q_bpe_tokens`` registers rows-only (the q_rf_train /
-q_semantic_dedup class). The exactness evidence lives in
-tests/test_bpe.py: the classic low/lower/newest fixture reproduces
-the textbook merge sequence, and segmenting the training vocabulary
-with the learned ranks reproduces the learn loop's own final symbol
-sequences word-for-word (the subword-nmt replay property).
+Contract: iterative merge learning is not SQL-expressible, so through
+round 13 ``q_bpe_tokens`` registered rows-only. Since round 14 it is
+fully oracle-checked via the q_rf_train pattern: every cell is either
+a DETERMINISTIC census DuckDB replays exactly (per-doc word count,
+per-doc word-character count, the corpus vocabulary size the learner
+actually collected) or a SELF-VALIDATING boolean the query itself
+verifies about the learned tokenizer and the oracle asserts TRUE
+(lossless round-trip: each word's subtokens concatenate back to
+word+EOW; token bounds: 1 <= n_sub <= len(word)+1 — any merge-table
+or segmentation bug flips a boolean and fails the hash). The merge
+SEQUENCE exactness evidence lives in tests/test_bpe.py: the classic
+textbook fixture reproduces the canonical merge sequence, the
+incremental learner equals a brute-force recount learner
+merge-for-merge on random vocabularies, and segmenting the training
+vocabulary with the learned ranks replays the learn loop's own final
+symbol sequences word-for-word (the subword-nmt replay property).
 """
 
 from __future__ import annotations
@@ -118,6 +127,31 @@ def learn_bpe_from_counts(
     return merges
 
 
+def learn_bpe_with_stats(
+    docs: DataFrame,
+    n_merges: int = 100,
+    min_count: int = 2,
+    max_vocab: int | None = 1_000_000,
+    text_col: str = "text",
+) -> tuple[list[tuple[str, str]], int]:
+    """Fit BPE merges on a corpus; also return the size of the word
+    table the learner actually consumed (the contract row's
+    ``vocab_size`` cell — DuckDB replays it as the min_count-filtered
+    distinct-word count capped at max_vocab). The collect is the word
+    table AFTER the ``min_count`` floor and ``max_vocab`` frequency
+    cap — the same bounds every production trainer applies (rare words
+    can't win a merge anyway: a pair needs count >= 2). Deterministic
+    cap order: (cnt desc, word) so equal-frequency words never flap."""
+    wc = word_counts(docs, text_col).where(F.col("cnt") >= min_count)
+    if max_vocab is not None:
+        wc = wc.orderBy(F.col("cnt").desc(), "word").limit(max_vocab)
+    rows = wc.collect()
+    merges = learn_bpe_from_counts(
+        [(r["word"], r["cnt"]) for r in rows], n_merges
+    )
+    return merges, len(rows)
+
+
 def learn_bpe(
     docs: DataFrame,
     n_merges: int = 100,
@@ -125,16 +159,10 @@ def learn_bpe(
     max_vocab: int | None = 1_000_000,
     text_col: str = "text",
 ) -> list[tuple[str, str]]:
-    """Fit BPE merges on a corpus. The collect is the word table AFTER
-    the ``min_count`` floor and ``max_vocab`` frequency cap — the same
-    bounds every production trainer applies (rare words can't win a
-    merge anyway: a pair needs count >= 2). Deterministic cap order:
-    (cnt desc, word) so equal-frequency words never flap."""
-    wc = word_counts(docs, text_col).where(F.col("cnt") >= min_count)
-    if max_vocab is not None:
-        wc = wc.orderBy(F.col("cnt").desc(), "word").limit(max_vocab)
-    rows = wc.collect()
-    return learn_bpe_from_counts([(r["word"], r["cnt"]) for r in rows], n_merges)
+    """Fit BPE merges on a corpus (see learn_bpe_with_stats)."""
+    return learn_bpe_with_stats(
+        docs, n_merges, min_count, max_vocab, text_col
+    )[0]
 
 
 def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -169,32 +197,34 @@ def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-def apply_bpe(
-    docs: DataFrame,
-    merges: list[tuple[str, str]],
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def corpus_words(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Segment a corpus with learned merges. Work is proportional to
-    the DISTINCT-word table, not the corpus: each distinct word is
-    segmented once (mapInPandas over the word frame, ranks broadcast),
-    then the (word -> subtokens) map joins back onto the exploded
-    corpus and re-aggregates per doc in token order. Returns
-    (id, n_words, n_subwords, subword string sample via first tokens).
-    """
-    from pyspark.sql import types as T
-
-    spark = docs.sparkSession
-    ranks = {p: i for i, p in enumerate(merges)}
-    bc = spark.sparkContext.broadcast(ranks)
-    eow = EOW  # plain closure var — see self-containment note below
-
-    words = docs.select(
+    """(id, pos, word) — the exploded whitespace tokenization both the
+    apply pass and the contract census run on."""
+    return docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
             "pos", "word"
         ),
     ).where(F.col("word") != "")
+
+
+def segment_vocab(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(word, subtoks, n_sub) for every DISTINCT word in ``words`` —
+    the vocabulary-sized segmentation table the corpus joins back
+    onto. Each distinct word is segmented once (mapInPandas over the
+    word frame, ranks broadcast); per-doc work downstream is a join,
+    not a re-segmentation."""
+    from pyspark.sql import types as T
+
+    spark = words.sparkSession
+    ranks = {p: i for i, p in enumerate(merges)}
+    bc = spark.sparkContext.broadcast(ranks)
+    eow = EOW  # plain closure var — see self-containment note below
+
     # explicit fan-out: AQE sizes the distinct's output stage by BYTES
     # and coalesces a million short strings to ~2 tasks, serializing
     # the CPU-bound Python segmentation below (measured 15.4 s -> ~2 s
@@ -260,7 +290,23 @@ def apply_bpe(
             T.StructField("n_sub", T.IntegerType()),
         ]
     )
-    word_map = distinct_words.mapInPandas(seg, seg_schema)
+    return distinct_words.mapInPandas(seg, seg_schema)
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment a corpus with learned merges. Work is proportional to
+    the DISTINCT-word table, not the corpus (see segment_vocab), then
+    the (word -> subtokens) map joins back onto the exploded corpus
+    and re-aggregates per doc in token order. Returns
+    (id, n_words, n_subwords, subword string sample via first tokens).
+    """
+    words = corpus_words(docs, id_col, text_col)
+    word_map = segment_vocab(words, merges)
     # vocab-sized map; broadcast at test SF, co-keyed shuffle at scale
     joined = words.join(word_map, "word")
     # head sample: the first 8 SUBTOKENS can only come from the first
@@ -290,17 +336,60 @@ def apply_bpe(
 
 
 N_MERGES = 50
+MAX_VOCAB = 1_000_000
 
 
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (tail, rows-only by design — iterative merge learning
-    has no SQL equivalent; exactness is pinned in tests/test_bpe.py):
-    learn 50 merges on the documents table (min_count=2), segment
-    every document, return per-doc word/subword counts + the first 8
-    subword tokens."""
+    """Contract (tail; oracle-checked since round 14 via the
+    q_rf_train graduation pattern — see module docstring): learn 50
+    merges on the documents table (min_count=2), segment every
+    document, return per-doc deterministic census cells (word count,
+    word-character count, the learner's consumed vocabulary size) plus
+    self-validating tokenizer booleans the oracle asserts TRUE:
+
+    - ``roundtrip_ok`` — every word's subtokens concatenate back to
+      exactly word+EOW (lossless segmentation; any merge-application
+      bug flips it);
+    - ``token_bounds_ok`` — every word yields between 1 and
+      len(word)+1 subtokens (a merge can only ever REDUCE the
+      char+EOW baseline; more tokens than characters+1 or an empty
+      segmentation means a broken merge table).
+
+    The RNG-free merge SEQUENCE itself is pinned merge-for-merge in
+    tests/test_bpe.py (textbook fixture + brute-force equivalence);
+    the production per-doc shape with n_subwords/head_tokens stays
+    available as :func:`apply_bpe`."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = learn_bpe(docs, n_merges=N_MERGES)
-    return apply_bpe(docs, merges)
+    merges, vocab_size = learn_bpe_with_stats(
+        docs, n_merges=N_MERGES, max_vocab=MAX_VOCAB
+    )
+    words = corpus_words(docs)
+    word_map = segment_vocab(words, merges)
+    per_word = words.join(word_map, "word")
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars_ws"),
+            F.every(
+                F.concat_ws("", F.col("subtoks"))
+                == F.concat(F.col("word"), F.lit(EOW))
+            ).alias("roundtrip_ok"),
+            F.every(
+                (F.col("n_sub") >= 1)
+                & (F.col("n_sub") <= F.length("word") + 1)
+            ).alias("token_bounds_ok"),
+        )
+        .withColumn("vocab_size", F.lit(vocab_size).cast("bigint"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars_ws",
+            "vocab_size",
+            "roundtrip_ok",
+            "token_bounds_ok",
+        )
+    )
 
 
 QUERIES: dict = {}
@@ -309,4 +398,28 @@ QUERIES_TAIL = {
     "q_bpe_tokens": q_bpe_tokens,
 }
 
-ORACLE: dict = {}  # rows-only by design (see module docstring)
+# The census cells replay in plain SQL (same whitespace split as the
+# q_vocab_topn oracle — parity proven there); the tokenizer booleans
+# are asserted TRUE (self-validated in-query, the q_rf_train pattern).
+ORACLE: dict = {
+    "q_bpe_tokens": rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+), words AS (
+  SELECT doc_id, word FROM toks WHERE word <> ''
+), vs AS (
+  SELECT least(count(*), {MAX_VOCAB}) AS vocab_size
+  FROM (SELECT word FROM words GROUP BY word HAVING count(*) >= 2)
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(length(w.word)) AS BIGINT) AS n_chars_ws,
+       (SELECT CAST(vocab_size AS BIGINT) FROM vs) AS vocab_size,
+       TRUE AS roundtrip_ok,
+       TRUE AS token_bounds_ok
+FROM words w
+GROUP BY w.doc_id
+""",
+}

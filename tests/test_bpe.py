@@ -99,8 +99,34 @@ def test_segmentation_replays_training():
 def test_corpus_contract_row(spark):
     df = q_bpe_tokens(spark, SMOKE_SF_DIR).toPandas()
     assert len(df) == 500
+    # the self-validating booleans hold on the real corpus (the oracle
+    # asserts them TRUE, so a FALSE here is the hash gate's failure
+    # mode caught early)
+    assert df.roundtrip_ok.all()
+    assert df.token_bounds_ok.all()
+    assert (df.n_words >= 1).all()
+    assert (df.n_chars_ws >= df.n_words).all()
+    assert df.vocab_size.nunique() == 1 and int(df.vocab_size.iloc[0]) > 0
+    # deterministic across runs
+    again = q_bpe_tokens(spark, SMOKE_SF_DIR).toPandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_apply_bpe_compresses_corpus(spark):
+    """The production per-doc shape (n_subwords/head_tokens lives in
+    apply_bpe since the contract row graduated): learned merges
+    compress vs char-level tokens (chars + one EOW per word)."""
+    from lambda_sample_spark.io import load_table
+
+    docs = load_table(spark, SMOKE_SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    merges = learn_bpe(docs, n_merges=50)
+    df = apply_bpe(docs, merges).toPandas()
+    assert len(df) == 500
     assert (df.n_subwords >= df.n_words).all()  # >= one subtoken/word
-    # merges compress vs char-level tokens (chars + one EOW per word)
     char_level = (
         spark.read.parquet(f"{SMOKE_SF_DIR}/documents.parquet")
         .selectExpr(
@@ -110,11 +136,6 @@ def test_corpus_contract_row(spark):
         .collect()[0][0]
     )
     assert df.n_subwords.sum() < 0.75 * char_level
-    # deterministic across runs
-    again = q_bpe_tokens(spark, SMOKE_SF_DIR).toPandas()
-    a = df.sort_values("doc_id").reset_index(drop=True)
-    b = again.sort_values("doc_id").reset_index(drop=True)
-    assert a.equals(b)
 
 
 def test_apply_matches_per_word_segmentation(spark):
