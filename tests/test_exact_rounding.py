@@ -100,6 +100,55 @@ def test_exact_wide_variants_match_duckdb_on_halfway_ties(spark):
     assert (got.s, got.a) == want
 
 
+def test_exact_fast_path_overflow_fails_loudly(spark):
+    """The round-14 runtime guard: an over-bound corpus must RAISE
+    from the fast-path aggregate (assert_true sentinel in the same
+    hash-aggregate pass), never silently wrap and hash-mismatch.
+    The `_wide` pair must keep working on the same corpus."""
+    from lambda_sample_spark.operators.common import (
+        exact_avg6,
+        exact_sum6,
+        exact_sum6_wide,
+    )
+
+    # 1000 rows at 9.5e7: n*max|v| = 9.5e10 > EXACT_FAST_BOUND
+    # (~9.2e10), while each value stays inside the wide pair's
+    # DECIMAL(18,10) range (|v| < 1e8)
+    over = spark.createDataFrame(
+        [(95_000_000.25,)] * 1000, "value double"
+    )
+    # under the session's ANSI default the engine itself may raise
+    # ARITHMETIC_OVERFLOW on the wrapping sum before the sentinel's
+    # projection evaluates — either way the failure is LOUD
+    for agg in (exact_sum6("value"), exact_avg6("value")):
+        with pytest.raises(
+            Exception, match="EXACT_FAST_BOUND|ARITHMETIC_OVERFLOW"
+        ):
+            over.agg(agg.alias("x")).collect()
+    # the sentinel is what guarantees loudness when ANSI is OFF (the
+    # silent-wrap / decimal-cast-NULL desync configuration)
+    ansi = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        with pytest.raises(Exception, match="EXACT_FAST_BOUND"):
+            over.agg(exact_sum6("value").alias("x")).collect()
+        # the decimal-cast-NULL desync class (|v| >= 1e10 rows vanish
+        # from the sum with no wrap at all) must also trip it
+        huge = spark.createDataFrame(
+            [(1.5e10,), (1.0,)], "value double"
+        )
+        with pytest.raises(Exception, match="EXACT_FAST_BOUND"):
+            huge.agg(exact_sum6("value").alias("x")).collect()
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+    wide = over.agg(exact_sum6_wide("value").alias("x")).collect()[0].x
+    assert wide == pytest.approx(95_000_000_250.0, abs=0)
+    # all-NULL and empty groups stay on the pass path (count 0 / max
+    # NULL must not trip the sentinel)
+    nulls = spark.createDataFrame([(None,), (None,)], "value double")
+    assert nulls.agg(exact_sum6("value").alias("x")).collect()[0].x is None
+
+
 def test_exact_fast_path_bound_holds_on_testdata():
     """Guard for the BIGINT fast path's silent-wrap failure mode
     (ADVICE r12): Spark's non-ANSI sum(BIGINT) wraps while DuckDB
