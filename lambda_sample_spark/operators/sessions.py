@@ -175,10 +175,19 @@ def chunked_range_stats(
     base = ev.select(
         "event_id", key_col, ts_ms().alias("ts_ms"), "value"
     )
-    # integer floor-div: exact by construction (ADVICE r12 — the
+    # integer FLOOR-div: exact by construction (ADVICE r12 — the
     # double-division floor was safe at epoch-ms magnitudes only by
-    # float error analysis; `div` needs no such argument)
-    chunk = F.expr(f"ts_ms div {int(chunk_ms)}")
+    # float error analysis; integer arithmetic needs no such
+    # argument). Spark's `div` truncates toward zero, which for
+    # NEGATIVE ts_ms (pre-1970 timestamps) would break the
+    # at-most-2-chunks decomposition (ADVICE r13) — the CASE corrects
+    # truncation to true floor semantics on the negative non-exact
+    # residues, so the carry invariants hold for any epoch sign.
+    c = int(chunk_ms)
+    chunk = F.expr(
+        f"(ts_ms div {c}) - (CASE WHEN ts_ms < 0 AND ts_ms % {c} != 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
     own = base.withColumn("chunk", chunk).withColumn("carry", F.lit(False))
     tail = (
         base.where(F.col("ts_ms") >= (chunk + 1) * chunk_ms - window_ms)

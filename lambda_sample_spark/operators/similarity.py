@@ -185,7 +185,16 @@ def _pairs_vectorized(small: DataFrame, threshold: float) -> DataFrame:
             cos = cos[keep]
             scaled = cos * 1e6
             fl = np.floor(scaled)
-            r6v = np.where(scaled - fl == 0.5, fl + 1.0, np.round(scaled))
+            # half-AWAY-FROM-ZERO at exact ties (DuckDB std::round):
+            # fl+1 for positive scaled, fl for negative (a plain fl+1
+            # would be half-UP and diverge on negative-cosine ties —
+            # unreachable at the contract thresholds, but the function
+            # accepts arbitrary ones)
+            r6v = np.where(
+                scaled - fl == 0.5,
+                np.where(scaled >= 0.0, fl + 1.0, fl),
+                np.round(scaled),
+            )
             v1s.append(ids[a[keep]])
             v2s.append(ids[b[keep]])
             cs.append(r6v / 1e6)

@@ -68,8 +68,12 @@ def main() -> int:
     expected = set(entry_mod.queries()) - SF10_EXCLUDED
     missing = expected - set(merged)
     extra = set(merged) - expected
-    assert not missing, f"rows missing from both phases: {sorted(missing)}"
-    assert not extra, f"rows not in the contract registry: {sorted(extra)}"
+    # SystemExit, not assert: a gate-enforcing check must survive
+    # `python -O` (ADVICE r13)
+    if missing:
+        raise SystemExit(f"rows missing from both phases: {sorted(missing)}")
+    if extra:
+        raise SystemExit(f"rows not in the contract registry: {sorted(extra)}")
 
     fails = [n for n, r in merged.items() if r.get("err") and r["err"] != "no_oracle"]
     with open(out_path, "w") as f:

@@ -102,6 +102,22 @@ def test_window_exactly_chunk_sized_boundaries(spark):
     assert _pairs(got) == _pairs(want)
 
 
+def test_negative_timestamps_pre_1970(spark):
+    """Pre-1970 timestamps make ts_ms negative; Spark's `div`
+    truncates toward zero there, so chunk assignment needs the
+    floor-correction CASE (ADVICE r13) — pinned by straddling the
+    epoch with frames that cross chunk boundaries on both sides."""
+    ev = _corpus(spark, n=1200, span_ms=240_000, seed=23).withColumn(
+        "ts_ms", F.col("ts_ms") - F.lit(120_000)
+    )
+    evts = ev.select(
+        "event_id", "event_type", F.timestamp_millis("ts_ms").alias("ts"), "value"
+    )
+    got = chunked_range_stats(evts, window_ms=30_000, chunk_ms=50_000)
+    want = _naive(ev, window_ms=30_000)
+    assert _pairs(got) == _pairs(want)
+
+
 def test_precondition_rejected(spark):
     ev = _corpus(spark, n=10)
     evts = ev.select(
