@@ -21,15 +21,20 @@ BASE = (
     "watches from the warm windowsill in the afternoon sun light"
 )
 
-HASHES = ["xxhash64", "md5", "fast"]
+HASHES = ["xxhash64", "md5", "fast", "md5_fast"]
 
 
 def _fps(spark, rows, gram_hash="xxhash64"):
-    from lambda_sample_spark.operators.text import winnow_fingerprints_fast
+    from lambda_sample_spark.operators.text import (
+        winnow_fingerprints_fast,
+        winnow_fingerprints_md5_fast,
+    )
 
     df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
     if gram_hash == "fast":
         out = winnow_fingerprints_fast(df).collect()
+    elif gram_hash == "md5_fast":
+        out = winnow_fingerprints_md5_fast(df).collect()
     else:
         out = winnow_fingerprints(df, gram_hash=gram_hash).collect()
     by_doc: dict[int, set] = {}
@@ -223,6 +228,65 @@ def test_fast_matches_pure_python_reference(spark):
         )
         got = _fps(spark, [(1, text)], "fast")
         assert got[1] == expected, (text[:20], got[1], expected)
+
+
+def test_md5_fast_bit_equals_expression_path(spark):
+    """The vectorized exact-md5 kernel (the round-14 q_winnowing
+    contract engine) must equal the interpreted expression path
+    FINGERPRINT-FOR-FINGERPRINT — that is what keeps the DuckDB oracle
+    seam intact. Adversarial rows: multibyte utf-8 (2/3/4-byte
+    codepoints inside grams), shorter-than-k docs, empty text, NULL
+    text, duplicate grams."""
+    from lambda_sample_spark.operators.text import (
+        winnow_fingerprints_md5_fast,
+    )
+
+    rows = [
+        (1, BASE),
+        (2, "tiny"),
+        (3, ""),
+        (4, None),
+        (5, "héllo wörld ünïcode tèxt"),
+        (6, "日本語のテキストです、これは実験"),
+        (7, "mixed 日本 ascii ünd 𝕌nicode 𝔽ancy"),  # 4-byte astral chars
+        (8, "aaaaaaaaaaaaaaaaaaaaaa"),  # duplicate grams, min ties
+        (9, BASE + " " + BASE),  # shared passages with doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    want = sorted(
+        (r.doc_id, r.fp) for r in winnow_fingerprints(df, "md5").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints_md5_fast(df).collect()
+    )
+    assert got == want
+
+    # and on the real corpus
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    want = sorted(
+        (r.doc_id, r.fp) for r in winnow_fingerprints(docs, "md5").collect()
+    )
+    got = sorted(
+        (r.doc_id, r.fp)
+        for r in winnow_fingerprints_md5_fast(docs).collect()
+    )
+    assert got == want
+
+
+def test_md5_fast_overlong_doc_fails_loudly(spark):
+    from lambda_sample_spark.operators.text import (
+        WINNOW_K,
+        _WINNOW_POS_BITS,
+        winnow_fingerprints_md5_fast,
+    )
+
+    too_long = "x" * ((1 << _WINNOW_POS_BITS) + WINNOW_K - 1)
+    df = spark.createDataFrame([(1, too_long)], "doc_id BIGINT, text STRING")
+    with pytest.raises(Exception, match="winnowing"):
+        winnow_fingerprints_md5_fast(df).collect()
 
 
 def test_fast_overlong_doc_fails_loudly(spark):
