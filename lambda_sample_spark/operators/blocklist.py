@@ -60,7 +60,7 @@ def blocklist_hits(
             raise ValueError(f"blank blocklist phrase: {p!r}")
         by_len.setdefault(len(toks), []).append(" ".join(toks))
 
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")
     spark = docs.sparkSession
     docs = fan_out(docs)  # CPU-bound gram pass (the playbook gate)
     base = docs.select(F.col(id_col), toks.alias("__t"))
@@ -180,7 +180,7 @@ def _blocklist_oracle() -> str:
     unioned = "\n  UNION ALL\n".join(legs)
     return rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 hits AS (

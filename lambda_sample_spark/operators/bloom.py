@@ -83,7 +83,7 @@ def _gram_hash_pairs(
     (short docs emit their clamped full-text gram); hashing before the
     explode keeps rows narrow, array_distinct keeps the distinct
     map-side (within-doc)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
 
     def pair(i):
         g = F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -263,7 +263,7 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 gr AS (  -- distinct (doc, K-M hash pair); clamped full-text gram for short docs

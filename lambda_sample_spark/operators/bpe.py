@@ -57,7 +57,7 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     corpus — one explode + one map-side-combined shuffle."""
     return (
         docs.select(
-            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word")
+            F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("word")
         )
         .where(F.col("word") != "")
         .groupBy("word")
@@ -204,7 +204,7 @@ def corpus_words(
     apply pass and the contract census run on."""
     return docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias(
             "pos", "word"
         ),
     ).where(F.col("word") != "")
@@ -405,7 +405,7 @@ ORACLE: dict = {
     "q_bpe_tokens": rf"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS word
   FROM documents
 ), words AS (
   SELECT doc_id, word FROM toks WHERE word <> ''

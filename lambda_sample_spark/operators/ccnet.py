@@ -60,7 +60,7 @@ def _tokens(docs: DataFrame) -> DataFrame:
     consumers each pay a round-robin shuffle of the raw text for a
     map side that was never the bottleneck."""
     return docs.select(
-        "doc_id", "lang", F.split(F.trim("text"), r"\s+").alias("arr")
+        "doc_id", "lang", F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+").alias("arr")
     )
 
 
@@ -289,7 +289,7 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CCNET_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS arr
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS arr
   FROM documents
 ), uni AS (
   SELECT lang, u.w, count(*)::BIGINT AS cnt

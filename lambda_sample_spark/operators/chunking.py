@@ -49,7 +49,7 @@ def chunk_documents(
     if not (0 <= overlap < max_tokens):
         raise ValueError("need 0 <= overlap < max_tokens")
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     n = F.size(toks)
     n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
         1 + F.ceil((n - max_tokens) / F.lit(float(stride)))
@@ -92,8 +92,8 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHUNK_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t,
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n
   FROM documents
 ),
 meta AS (

@@ -551,7 +551,7 @@ def q_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NB_ORACLE = rf"""
 WITH toks AS (
   SELECT doc_id, lang, doc_id % 10 < 8 AS is_train, lang = 'en' AS pos,
-         regexp_split_to_array(trim(text), '\s+') AS t
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 grams AS (

@@ -95,11 +95,12 @@ def fan_out(df: DataFrame) -> DataFrame:
 # pins the margin on the live testdata. Above the bound, use the
 # `_wide` pair.
 #
-# RUNTIME GUARD (round 14): the bound is enforced IN-QUERY, not just
-# documented — every fast-path aggregate rides an
-# assert_true(count(v) * max(abs(v)) <= EXACT_FAST_BOUND) in the same
-# hash-aggregate pass (two extra cheap buffer slots; sufficient
-# condition since sum|u_i| <= n*max|u_i|), so an over-bound corpus
+# RUNTIME GUARD (round 14; rounding term round 15): the bound is
+# enforced IN-QUERY, not just documented — every fast-path aggregate
+# rides an assert_true(count(v) * (max(abs(v)) + 0.5e-8) <=
+# EXACT_FAST_BOUND) in the same hash-aggregate pass (two extra cheap
+# buffer slots; sufficient condition since each half-up-quantized
+# |u_i| <= max|v|*1e8 + 0.5), so an over-bound corpus
 # FAILS LOUDLY with a "use the _wide pair" message instead of
 # hash-mismatching the gate (the round-13 verdict's named failure
 # mode). tests/test_exact_rounding.py pins the loud failure on a
@@ -139,19 +140,26 @@ def _fast_guarded(value_sql: str, result_sql: str) -> str:
     NULL) on the pass path.
 
     TWO conditions, both on the RAW DOUBLE (not the DECIMAL(18,8)
-    cast): the wrap bound n*max|v| <= EXACT_FAST_BOUND, AND the
-    decimal RANGE bound max|v| < 10^(18-8) — in a non-ANSI session a
-    |v| >= 1e10 value's decimal cast silently NULLs the row OUT of
-    the sum (a desync with no wrap at all, reachable well inside the
-    wrap bound), and a decimal-based guard would NULL the same way
-    and wave it through. Double arithmetic is conservative here: the
-    bound floor leaves 0.54 value-units of slack against ~1e-5 ulp
-    error at the bound's magnitude. Under the ANSI default the engine
+    cast): the wrap bound n*(max|v| + 0.5/10^8) <= EXACT_FAST_BOUND,
+    AND the decimal RANGE bound max|v| < 10^(18-8) — in a non-ANSI
+    session a |v| >= 1e10 value's decimal cast silently NULLs the row
+    OUT of the sum (a desync with no wrap at all, reachable well
+    inside the wrap bound), and a decimal-based guard would NULL the
+    same way and wave it through. The +0.5e-8 per-row term covers the
+    half-up quantization: each DECIMAL(18,8) cast adds up to 0.5
+    unscaled units, so |unscaled sum| <= n*(max|v|*10^8 + 0.5) — a
+    bare n*max|v| bound leaves only the ~5.48e7-unit floor slack,
+    which a >~1.1e8-row group at the bound could exhaust while the
+    guard passed. With the term, guard-pass implies unscaled
+    |sum| <= BOUND*10^8 = 2^63-1 - 5.48e7, so the remaining floor
+    slack alone dwarfs double rounding error (~2e3 units at this
+    magnitude) for ANY group size. Under the ANSI default the engine
     already raises on the wrap/cast; the sentinel makes fail-loud
     independent of that conf."""
     mx = f"max(abs(CAST(({value_sql}) AS DOUBLE)))"
     cond = (
-        f"coalesce(count({value_sql}) * {mx} <= {EXACT_FAST_BOUND} "
+        f"coalesce(count({value_sql}) * ({mx} + 0.5e-{EXACT_AVG_IN}) "
+        f"<= {EXACT_FAST_BOUND} "
         f"AND {mx} < 1e{18 - EXACT_AVG_IN}, true)"
     )
     msg = (

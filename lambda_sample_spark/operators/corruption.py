@@ -61,7 +61,7 @@ def span_corrupt(
     ``target_text`` (each sentinel + its hidden tokens, closed by the
     final sentinel ``<extra_id_n_spans>``)."""
     did = F.col(id_col)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     n = F.size(toks)
     n_blocks = F.floor(n / F.lit(block)).cast("int")
     blocks = F.when(
@@ -166,8 +166,8 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORRUPT_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t,
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n
   FROM documents
 ),
 meta AS (

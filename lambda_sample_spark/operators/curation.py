@@ -32,7 +32,7 @@ def _ngram_hashes(
     (BIGINT, not the n-gram string). ``gram_hash='md5'`` uses the
     first md5 word instead — the DuckDB-replayable oracle seam (the
     winnowing idiom); production stays on xxhash64."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     if gram_hash == "md5":
         def one(i):
             digest = F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -427,7 +427,7 @@ WITH dg AS (
            i -> (('0x' || substr(md5(array_to_string(
                    list_slice(t, i, i + {_DECON_N} - 1), ' ')), 1, 8))::BIGINT)
          ))) AS gram_h
-  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
         FROM documents)
 )
 SELECT d.doc_id, b.bench_id, count(DISTINCT d.gram_h) AS shared_ngrams

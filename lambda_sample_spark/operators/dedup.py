@@ -69,7 +69,7 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         "lang",
-        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"))).alias("tok"),
     )
 
 
@@ -488,7 +488,7 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id",
             F.explode(
-                F.array_distinct(F.split(F.trim("text"), r"\s+"))
+                F.array_distinct(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"))
             ).alias("tok"),
         )
         .withColumn("mh", F.md5("tok"))
@@ -534,7 +534,7 @@ def _dedup_near_oracle() -> str:
     return rf"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), digests AS (
   SELECT doc_id, md5(tok) AS mh FROM toks
@@ -569,7 +569,7 @@ FROM documents GROUP BY text
     "q_ngram_jaccard": r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, lang,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
@@ -593,7 +593,7 @@ WHERE inter * 1.0 / (s1.sz + s2.sz - inter) >= 0.95
         r"""
 WITH toks AS (
   SELECT DISTINCT doc_id,
-         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+         unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), h AS (
   SELECT doc_id, md5(tok) AS mh FROM toks

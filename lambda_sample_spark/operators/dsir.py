@@ -63,7 +63,7 @@ def _bucketed_grams(
     exploded rows narrow (one INT bucket, not the gram string);
     ``carry_cols`` ride along (cheap per-row constants — carrying
     them beats a second corpus join downstream)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     if gram_hash == "md5":
         def one(i):
             digest = F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -259,7 +259,7 @@ def q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DSIR_ORACLE = rf"""
 WITH toks AS (
-  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS t
   FROM documents
 ),
 grams AS (

@@ -68,7 +68,7 @@ def minhash_bands_for(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) for arbitrary input docs (doc_id, text)."""
     toks = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok"),
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+"))).alias("tok"),
     )
     return _minhash_bands(toks)
 

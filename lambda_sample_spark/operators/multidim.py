@@ -373,7 +373,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     every row by construction."""
     docs = documents(spark, sf_dir)
     toks = docs.select(
-        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        "source", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("tok")
     )
     per_source = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
     cells = cms_merge(cms_cells(per_source, "tok", "cnt", ["source"]))
@@ -631,7 +631,7 @@ SELECT * FROM d UNION ALL SELECT * FROM m
     # special case the top-N tokens happen to exercise
     "q_cms_heavy_hitters": rf"""
 WITH toks AS (
-  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+  SELECT source, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
   FROM documents
 ), per_source AS (
   SELECT source, tok, count(*) AS cnt FROM toks GROUP BY 1, 2

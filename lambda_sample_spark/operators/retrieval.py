@@ -34,7 +34,7 @@ TOP_K = 20
 def _toks(c: Column) -> Column:
     # the pinned whitespace tokenizer seam (text.py:26 <-> DuckDB
     # regexp_split_to_array, parity asserted by q_token_count)
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")
 
 
 def bm25_topk(
@@ -139,7 +139,7 @@ def _oracle(terms: tuple[str, ...] = QUERY_TERMS) -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  SELECT doc_id, regexp_split_to_array(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS tk
   FROM documents
 ), stats AS (
   SELECT count(*) AS n, sum(len(tk)) AS tl,

@@ -23,7 +23,7 @@ from .common import documents, exact_ratio6, exact_ratio6_sql, r6
 
 # tokenization: trim + split on runs of whitespace (empty-safe)
 def _tokens(c):
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.trim(c), r"[ \t\n\x0B\f\r]+")
 
 
 STOPWORDS = ["the", "a", "of", "and"]
@@ -877,7 +877,7 @@ ORACLE = {
     "q_winnow_near_dup": _winnow_near_dup_oracle(),
     "q_vocab_topn": r"""
 WITH toks AS (
-  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  SELECT unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), counts AS (
   SELECT token, count(*) AS cnt FROM toks GROUP BY token
@@ -891,8 +891,8 @@ SELECT token_id, token, cnt FROM ranked WHERE token_id < 1000
     "q_text_stats": r"""
 WITH per_doc AS (
   SELECT lang, n_chars,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                          t -> t IN ('the', 'a', 'of', 'and'))) AS n_stop
   FROM documents
 )
@@ -905,8 +905,8 @@ FROM per_doc GROUP BY lang
 """,
     "q_token_count": r"""
 SELECT doc_id,
-       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+       CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'))) AS BIGINT) AS n_distinct_tokens,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT) AS n_bpe_tokens,
        CAST(len(list_distinct(regexp_extract_all(text, '\w+|[^\w\s]', 0))) AS BIGINT) AS n_distinct_bpe
 FROM documents
@@ -948,8 +948,8 @@ FROM (
     "q_doc_profile": r"""
 WITH t AS (
   SELECT doc_id, text, n_chars,
-         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok,
-         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+         len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS n_tok,
+         len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                          x -> x IN ('the', 'a', 'of', 'and'))) AS n_stop
   FROM documents
 )
@@ -994,7 +994,7 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_unigram_logprob"] = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), counts AS (
   SELECT token, count(*) AS cnt FROM toks GROUP BY 1
@@ -1016,7 +1016,7 @@ GROUP BY t.doc_id
 
 ORACLE["q_repetition_stats"] = r"""
 WITH base AS (
-  SELECT doc_id, n, regexp_split_to_array(trim(text), '\s+') AS toks
+  SELECT doc_id, n, regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS toks
   FROM documents, (VALUES (2), (3)) t(n)
 ), g AS (
   SELECT doc_id, n, len(toks) AS n_tok,
@@ -1055,7 +1055,7 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
     agree within 1 ulp and the 6-decimal round is boundary-free on
     the graded corpus (the q_unigram_logprob precedent)."""
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        "doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
@@ -1086,7 +1086,7 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["q_tfidf_topterms"] = r"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS token
   FROM documents
 ), tf AS (
   SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2
@@ -1151,7 +1151,7 @@ def quality_rules(
     base = docs.select(
         "doc_id",
         _tokens(F.col("text")).alias("toks"),
-        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("nc"),
+        F.length(F.regexp_replace(F.col("text"), r"[ \t\n\x0B\f\r]+", "")).alias("nc"),
     )
     n_words = F.size("toks")
     mean_wl = F.col("nc") / n_words
@@ -1192,8 +1192,8 @@ def q_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_quality_rules"] = r"""
 WITH t AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '\s+') AS tk,
-         length(regexp_replace(text, '\s+', '', 'g')) AS nc
+         regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+') AS tk,
+         length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS nc
   FROM documents
 ), m AS (
   SELECT doc_id,
@@ -1282,7 +1282,7 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE["q_inverted_index"] = r"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\x0B\f\r]+')) AS term
   FROM documents
 ), pairs AS (
   SELECT term, doc_id FROM tok WHERE term <> '' GROUP BY 1, 2

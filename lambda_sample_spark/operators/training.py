@@ -61,7 +61,7 @@ def build_vocab(docs: DataFrame, top_n: int = 1000) -> DataFrame:
     build step needs. One token aggregate + one global top-k
     (TakeOrdered — per-partition heads, single k-row merge)."""
     toks = docs.select(
-        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("token")
     )
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     # The unpartitioned window LOOKS like the classic single-partition
@@ -125,7 +125,7 @@ def unigram_logprob_score(docs: DataFrame, vocab: DataFrame) -> DataFrame:
         F.sum("cnt").alias("_total"), F.count("*").alias("_vsize")
     )
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+        "doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("token")
     )
     scored = (
         toks.join(F.broadcast(vocab.select("token", "cnt")), "token", "left")
@@ -211,7 +211,7 @@ def pack_documents(
         F.col(group_col).alias("grp"),
         "doc_id",
         shard.alias("_shard"),
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).cast("bigint").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("grp", "_shard")
@@ -368,7 +368,7 @@ def build_mixture(
     # weighted_sample convention, replayed verbatim in the oracle)
     u = (word + F.lit(0.5)) / F.lit(float(1 << 32))
     n_tokens = (
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+        F.size(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).cast("bigint").alias("n_tokens")
     )
     sized = docs.where(
         F.col("source").isin(list(budgets))
@@ -447,7 +447,7 @@ def temperature_shares(
 
     100 TB: the doc scan partial-aggregates into a #keys-row census;
     everything after is arithmetic on that census."""
-    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    n_tokens = F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"))
     census = (
         docs.select(F.col(key_col).alias("key"), n_tokens.alias("nt"))
         .groupBy("key")
@@ -621,7 +621,7 @@ FROM assigned GROUP BY 1
 WITH sized AS (
   SELECT lang AS grp, doc_id,
          (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 8 AS shard,
-         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens
   FROM documents
 ), c AS (
   SELECT grp, doc_id, shard, n_tokens,
@@ -640,11 +640,11 @@ FROM c
     "q_data_mixture": r"""
 WITH scored AS (
   SELECT doc_id, source,
-    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
     ln((CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)),
                              1, 8))::BIGINT AS DOUBLE)
         + CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE))
-      / CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+      / CAST(greatest(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')), 1)
              AS BIGINT) AS s
   FROM documents
   WHERE source IN ('src0', 'src1', 'src2', 'src3')
@@ -692,7 +692,7 @@ QUERIES_TAIL = {
 ORACLE["q_temperature_shares"] = rf"""
 WITH census AS (
   SELECT lang AS key,
-         CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+         CAST(sum(len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')))
               AS BIGINT) AS tokens
   FROM documents GROUP BY 1
 ),

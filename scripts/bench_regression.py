@@ -124,9 +124,16 @@ def driver_divergence(new: dict) -> dict:
     try:
         d_now = json.loads(_git("show", f"{ref_now}:bench_detail.json"))
         d_prev = json.loads(_git("show", f"{ref_prev}:bench_detail.json"))
-    except subprocess.CalledProcessError:
-        return {"note": "bench_detail.json missing at a boundary commit"}
-    qn, qp, qb = d_now["queries"], d_prev["queries"], new.get("queries", {})
+        qn, qp = d_now["queries"], d_prev["queries"]
+    except (subprocess.CalledProcessError, json.JSONDecodeError, KeyError) as e:
+        # informational feature: a missing/corrupt/shapeless boundary
+        # blob must not fail the gate (exit status is governed solely
+        # by the builder diff)
+        return {
+            "note": "bench_detail.json unusable at a boundary commit: "
+            f"{type(e).__name__}"
+        }
+    qb = new.get("queries", {})
     rows = {}
     for name in sorted(set(qn) & set(qp)):
         a, b = qp[name], qn[name]
