@@ -242,13 +242,30 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Per-leg walls for composite rows (verdict-14 task 5): a composite
+# that can attribute its cost appends {leg: sec} samples here; the
+# detail artifact records min-of-repeats per leg so a future
+# regression lands on a named leg, not the opaque composite total.
+# Cleared after the warmup sweep so legs match the measured repeats.
+LEG_TIMES: dict[str, dict[str, list[float]]] = {}
+
+
+def _record_legs(name: str, legs: dict[str, float]) -> None:
+    slot = LEG_TIMES.setdefault(name, {})
+    for leg, sec in legs.items():
+        slot.setdefault(leg, []).append(sec)
+
+
 def bench_ingest_batch(spark, sf_dir: str) -> None:
     """Composite: the X14 steady-state ingest workflow end-to-end —
     commit half the corpus as the initial minhash index, then ingest
     the other half against it (match + fixpoint + merge + maintenance).
     A fresh index root per invocation keeps every repeat identical
     work; ingest_batch materializes its own outputs (scratch rounds +
-    ingest log + index merge), so no extra force() is needed."""
+    ingest log + index merge), so no extra force() is needed. Each
+    call reports per-phase walls for BOTH batches (initial.* = the
+    cold index commit, incr.* = the steady-state leg a nightly
+    pipeline pays per batch)."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -257,12 +274,23 @@ def bench_ingest_batch(spark, sf_dir: str) -> None:
     from lambda_sample_spark.operators import incremental_dedup as inc
 
     root = tempfile.mkdtemp(prefix="bench_mhidx_")
+    t_initial: dict[str, float] = {}
+    t_incr: dict[str, float] = {}
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        inc.ingest_batch(spark, root, docs.where(F.col("doc_id") % 2 == 0))
-        inc.ingest_batch(spark, root, docs.where(F.col("doc_id") % 2 == 1))
+        inc.ingest_batch(
+            spark, root, docs.where(F.col("doc_id") % 2 == 0), timings=t_initial
+        )
+        inc.ingest_batch(
+            spark, root, docs.where(F.col("doc_id") % 2 == 1), timings=t_incr
+        )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+    _record_legs(
+        "x_ingest_batch",
+        {f"initial.{k}": v for k, v in t_initial.items()}
+        | {f"incr.{k}": v for k, v in t_incr.items()},
+    )
 
 
 def bench_winnow_prod(spark, sf_dir: str) -> None:
@@ -539,6 +567,7 @@ def _run_names(names: list[str], sf_dir: str, repeats: int):
     # file-listing caches land here instead of inflating sweep 1
     for name in names:
         fns[name](spark, sf_dir)
+    LEG_TIMES.clear()  # drop warmup-sweep leg samples
 
     # Interleave: sweep the whole list once per repeat instead of
     # running each query's repeats back-to-back. A transient host stall
@@ -555,15 +584,19 @@ def _run_names(names: list[str], sf_dir: str, repeats: int):
             runs[name].append(time.perf_counter() - t0)
         sweeps.append(round(time.perf_counter() - t_sweep, 4))
     spark.stop()
-    return runs, sweeps
+    legs = {
+        name: {leg: round(min(samples), 4) for leg, samples in slots.items()}
+        for name, slots in LEG_TIMES.items()
+    }
+    return runs, sweeps, legs
 
 
 def _worker(spec_path: str, out_path: str) -> None:
     with open(spec_path) as f:
         spec = json.load(f)
-    runs, sweeps = _run_names(spec["names"], spec["sf_dir"], spec["repeats"])
+    runs, sweeps, legs = _run_names(spec["names"], spec["sf_dir"], spec["repeats"])
     with open(out_path, "w") as f:
-        json.dump({"runs": runs, "sweeps": sweeps}, f)
+        json.dump({"runs": runs, "sweeps": sweeps, "legs": legs}, f)
 
 
 def main() -> None:
@@ -593,11 +626,13 @@ def main() -> None:
 
     all_runs: dict[str, list[float]] = {}
     family_sweeps: dict[str, list[float]] = {}
+    composite_legs: dict[str, dict[str, float]] = {}
     if single:
         names = [n for fam in families.values() for n in fam]
-        runs, sweeps = _run_names(names, sf_dir, repeats)
+        runs, sweeps, legs = _run_names(names, sf_dir, repeats)
         all_runs.update(runs)
         family_sweeps["all"] = sweeps
+        composite_legs.update(legs)
     else:
         for fam, names in families.items():
             # the floor protects COMMITTED full sweeps; ONLY-filtered
@@ -629,6 +664,7 @@ def main() -> None:
                 payload = json.loads(out.read_text())
             all_runs.update(payload["runs"])
             family_sweeps[fam] = payload["sweeps"]
+            composite_legs.update(payload.get("legs", {}))
 
     timings = {name: round(min(rs), 4) for name, rs in all_runs.items()}
     timings_max = {name: round(max(rs), 4) for name, rs in all_runs.items()}
@@ -693,6 +729,7 @@ def main() -> None:
         family_sweeps=family_sweeps,
         seam_overhead=seam_overhead,
         families_production_equiv=fam_totals_prod,
+        composite_legs=composite_legs,
     )
     # SPARK_GRAFT_BENCH_DETAIL redirects the detail artifact (the sf1
     # sweep writes bench_detail_sf1.json so the committed sf0.1 detail

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,7 +119,11 @@ def match_plan(
 
 
 def ingest_batch(
-    spark: SparkSession, index_root: str, new_docs: DataFrame, commit: bool = True
+    spark: SparkSession,
+    index_root: str,
+    new_docs: DataFrame,
+    commit: bool = True,
+    timings: dict | None = None,
 ) -> DataFrame:
     """Dedup ``new_docs`` against the index (and each other), then —
     with ``commit`` — merge the SURVIVORS' band signatures in as the
@@ -126,8 +131,23 @@ def ingest_batch(
     ``<index_root>/ingest_log/batch=N``):
     ``doc_id, rep_id, is_near_dup`` — ``rep_id`` is the KEPT doc it
     duplicates (a corpus doc when one matches, else the surviving
-    within-batch representative), or itself when kept."""
+    within-batch representative), or itself when kept.
+
+    ``timings`` (optional): a dict the call fills with per-phase wall
+    seconds (minhash / match / fixpoint / log_write / commit_merge /
+    maintenance) — the bench harness passes one so the x_ingest_batch
+    composite's cost lands on a leg instead of the whole composite
+    (verdict-14 task 5). ``None`` skips all bookkeeping."""
     from math import ceil, log2
+
+    t_prev = time.perf_counter()
+
+    def mark(leg: str) -> None:
+        nonlocal t_prev
+        now = time.perf_counter()
+        if timings is not None:
+            timings[leg] = round(timings.get(leg, 0.0) + (now - t_prev), 4)
+        t_prev = now
 
     scratch = os.path.join(index_root, "_ingest_scratch")
     shutil.rmtree(scratch, ignore_errors=True)
@@ -140,6 +160,7 @@ def ingest_batch(
     bands_path = os.path.join(scratch, "bands")
     minhash_bands_for(new_docs).write.parquet(bands_path)
     bands = spark.read.parquet(bands_path)
+    mark("minhash")
     rep0 = match_plan(spark, index_root, new_docs, bands=bands)
     # pointer-jump to fixpoint: a chain D -> C -> B -> A must resolve
     # every doc to the KEPT root A (min-propagation only strictly
@@ -163,6 +184,7 @@ def ingest_batch(
     # summaries) with "Task not serializable".
     rep0.write.parquet(os.path.join(scratch, "r0"))
     cur = spark.read.parquet(os.path.join(scratch, "r0"))
+    mark("match")
     n_batch = cur.count()  # metadata-only on freshly-written parquet
     max_rounds = max(1, ceil(log2(max(n_batch, 2))))
     r = 0
@@ -185,6 +207,7 @@ def ingest_batch(
         cur = written.select("doc_id", "rep_id")
         if changed == 0:
             break
+    mark("fixpoint")
     flags = cur.withColumn(
         "is_near_dup", F.col("rep_id") != F.col("doc_id")
     )
@@ -197,11 +220,13 @@ def ingest_batch(
     final = os.path.join(log_dir, f"batch={batch_no}")
     flags.write.parquet(final)
     flags = spark.read.parquet(final)
+    mark("log_write")
     if commit:
         survivors = flags.where(~F.col("is_near_dup")).select("doc_id")
         # the materialized bands again — no second minhash pass
         keep_bands = bands.join(survivors, "doc_id")
         v = merge_versioned(spark, index_root, keep_bands, INDEX_KEYS)
+        mark("commit_merge")
         # steady-state maintenance, in the ingest loop itself so a
         # nightly pipeline gets it without a separate job: periodic
         # bucket-preserving compaction bounds read fan-in (file count
@@ -215,6 +240,7 @@ def ingest_batch(
         if v % COMPACT_EVERY == 0:
             compact_versioned_bucketed(spark, index_root)
         vacuum_versions(index_root, keep=VACUUM_KEEP)
+        mark("maintenance")
     # scratch (rounds + bands) outlives the commit: the merge reads
     # the materialized bands
     shutil.rmtree(scratch, ignore_errors=True)
