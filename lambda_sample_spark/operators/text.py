@@ -643,6 +643,23 @@ def winnow_near_dup(
         fps = winnow_fingerprints_md5_fast(docs)
     else:
         fps = winnow_fingerprints(docs, gram_hash=gram_hash)
+    # Materialize the sketch ONCE (round 15): it has THREE consumers
+    # whose subtrees the planner cannot share — the stop-census job,
+    # the pair-join exchange (its b-side IS a ReusedExchange), and the
+    # sketch-size aggregate — so without this the hashing kernel
+    # lineage re-evaluates 3x (the dominant per-row cost at sf10:
+    # ~3x the q_winnowing wall buried inside this row).
+    # localCheckpoint, NOT persist(): the cache manager matches by
+    # analyzed-plan equality, so a persist here would let a repeated
+    # identical call (bench repeats, retried jobs) silently read the
+    # first call's cache and measure nothing; checkpointing ties the
+    # materialization to THIS DataFrame only. Lineage truncation means
+    # an executor loss re-runs the job instead of recomputing
+    # partitions — the standard batch-operator trade, same as the
+    # ingest_batch scratch-parquet idiom. The sketch is ~2 BIGINTs per
+    # w tokens (orders of magnitude under the text), so executor
+    # storage bounds it at any corpus size.
+    fps = fps.localCheckpoint(eager=True)
     cap = _stop_cap(
         docs.count() if (max_df_frac or max_df_abs) else 0,
         max_df_frac,
