@@ -26,26 +26,43 @@ from pyspark.sql import functions as F
 def _ngram_hashes(
     docs: DataFrame, id_col: str, text_col: str, n: int, gram_hash: str = "xxhash64"
 ) -> DataFrame:
-    """One row per (id, distinct n-gram hash). Token n-grams (the
-    GPT-3-style contamination unit) via a sliding zip over the token
-    array; hashing before the explode keeps shuffled rows narrow
-    (BIGINT, not the n-gram string). ``gram_hash='md5'`` uses the
+    """One row per (id, n-gram occurrence hash) — token n-grams (the
+    GPT-3-style contamination unit). ``gram_hash='md5'`` uses the
     first md5 word instead — the DuckDB-replayable oracle seam (the
-    winnowing idiom); production stays on xxhash64."""
+    winnowing idiom); production stays on xxhash64.
+
+    Plan shape (round 15, guide §4.1 "prefer built-ins/codegen"): the
+    sliding window is ``arrays_zip`` of ``n`` shifted ``slice``s of the
+    token array, EXPLODED first, with concat_ws + hash running as
+    row-level codegen expressions. The previous formulation computed
+    the hash inside ``F.transform`` — higher-order lambdas are
+    CodegenFallback, so every slice/concat/hash evaluated interpreted
+    per element (measured 3.7 s -> 0.8 s for the md5 corpus pass at
+    sf0.1, 5x for xxhash64). concat_ws skips the NULLs arrays_zip pads
+    past the end, so gram i equals concat_ws(' ', slice(toks, i, n))
+    exactly, clamped tail included.
+
+    Duplicate grams within a doc are now emitted (the old shape
+    array_distinct'ed per doc before exploding): both consumers
+    aggregate with count_distinct / distinct downstream, so results
+    are identical — and at scale not materializing the distinct gram
+    array per doc is the cheaper side of the trade anyway."""
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    win = F.greatest(F.size(F.col("_t")) - n, F.lit(0)) + F.lit(1)
+    zipped = F.arrays_zip(
+        *[
+            F.slice(F.col("_t"), F.lit(j + 1), win).alias(f"w{j}")
+            for j in range(n)
+        ]
+    )
+    rows = base.select(F.col(id_col), F.explode(zipped).alias("_z"))
+    gram = F.concat_ws(" ", *[F.col(f"_z.w{j}") for j in range(n)])
     if gram_hash == "md5":
-        def one(i):
-            digest = F.md5(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-            return F.conv(F.substring(digest, 1, 8), 16, 10).cast("bigint")
+        h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
     else:
-        def one(i):
-            return F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))), one
-    )
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram_h")
-    )
+        h = F.xxhash64(gram)
+    return rows.select(F.col(id_col), h.alias("gram_h"))
 
 
 def contamination_check(
