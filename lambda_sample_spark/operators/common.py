@@ -64,6 +64,34 @@ def fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def exploded_ngrams(
+    df: DataFrame, cols: tuple, toks: Column, n: int, alias: str = "gram"
+) -> DataFrame:
+    """One row per token n-gram OCCURRENCE (clamped tail gram
+    included: docs shorter than ``n`` tokens emit their full-text
+    gram), with ``cols`` riding along. The gram string is produced by
+    CODEGEN row expressions: the sliding window is ``arrays_zip`` of
+    ``n`` shifted ``slice``s of the token array, exploded BEFORE
+    ``concat_ws`` — higher-order ``transform`` lambdas are
+    CodegenFallback, so the previous per-element slice/concat/hash
+    chains ran interpreted (guide §4.1; measured 3-6x across the
+    round-15 gram kernels). ``concat_ws`` skips the NULLs arrays_zip
+    pads past the end, so gram i == concat_ws(' ', slice(toks, i, n))
+    exactly. Emits the BAG of grams — callers needing within-doc
+    distinct dedupe downstream (count_distinct / groupBy), which every
+    current consumer already does."""
+    base = df.select(*cols, toks.alias("_t"))
+    win = F.greatest(F.size(F.col("_t")) - n, F.lit(0)) + F.lit(1)
+    zipped = F.arrays_zip(
+        *[F.slice(F.col("_t"), F.lit(j + 1), win).alias(f"w{j}") for j in range(n)]
+    )
+    rows = base.select(*cols, F.explode(zipped).alias("_z"))
+    return rows.select(
+        *cols,
+        F.concat_ws(" ", *[F.col(f"_z.w{j}") for j in range(n)]).alias(alias),
+    )
+
+
 # --- exact cross-engine average rounding ------------------------------
 # round(avg(value), 6) computed ENTIRELY in integer arithmetic: the sf1
 # gate (round 11) caught a group whose exact 10dp-quantized average is

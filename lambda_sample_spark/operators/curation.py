@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .common import exploded_ngrams
+
 # --- decontamination ---------------------------------------------------
 
 
@@ -48,16 +50,8 @@ def _ngram_hashes(
     are identical — and at scale not materializing the distinct gram
     array per doc is the cheaper side of the trade anyway."""
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
-    base = docs.select(F.col(id_col), toks.alias("_t"))
-    win = F.greatest(F.size(F.col("_t")) - n, F.lit(0)) + F.lit(1)
-    zipped = F.arrays_zip(
-        *[
-            F.slice(F.col("_t"), F.lit(j + 1), win).alias(f"w{j}")
-            for j in range(n)
-        ]
-    )
-    rows = base.select(F.col(id_col), F.explode(zipped).alias("_z"))
-    gram = F.concat_ws(" ", *[F.col(f"_z.w{j}") for j in range(n)])
+    rows = exploded_ngrams(docs, (id_col,), toks, n)
+    gram = F.col("gram")
     if gram_hash == "md5":
         h = F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("bigint")
     else:

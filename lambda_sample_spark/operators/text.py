@@ -717,15 +717,22 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicted lang = argmax overlap count (ties broken by lang asc).
     """
     docs = documents(spark, sf_dir)
+    # explode the position sequence FIRST, then substr as a row-level
+    # codegen expression — the transform() lambda ran interpreted per
+    # trigram (guide §4.1); GenerateExec streams, so the text column is
+    # referenced (not copied) per position and dropped in the same
+    # codegen stage. Identical gram bag, clamped short docs included.
     grams = docs.select(
         "doc_id",
         "lang",
+        "text",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
-        ).alias("gram"),
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1)))
+        ).alias("__i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.col("text").substr(F.col("__i"), F.lit(3)).alias("gram"),
     )
     train = grams.where(F.col("doc_id") % 10 < 8)
     counts = train.groupBy("lang", "gram").agg(F.count("*").alias("cnt"))
