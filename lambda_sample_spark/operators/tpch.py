@@ -313,11 +313,16 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins. Late = shipped after the order date + 60 days. Promoted to
     an oracle-checked contract tail row in round 8.
 
-    Scale shape: the flagged frame (one orderkey co-shuffle of
-    lineitem⋈orders) is aggregated to DISTINCT (orderkey, suppkey)
-    once per role; the semi/anti self-joins then hash on orderkey —
-    the same key lineage — so no second fact-table shuffle ever
-    happens, and the inequality on suppkey rides as a residual."""
+    Scale shape (round-15 rewrite): the EXISTS/NOT-EXISTS pair is a
+    pure per-order census — a late pair survives iff its order has
+    >= 2 distinct suppliers AND exactly 1 distinct late supplier (in
+    which case that supplier IS the survivor). Deriving both
+    predicates from ONE per-orderkey aggregate over the distinct-pair
+    reduction removes the semi/anti self-joins entirely: the previous
+    shape re-derived the lineitem⋈orders subtree once per self-join
+    branch (pruning made the exchanges non-canonical so ReuseExchange
+    could not merge them — 3 fact joins / 12 scans in the before
+    plan); now the fact is scanned and joined exactly once."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     flagged = li.join(o, li.l_orderkey == o.o_orderkey).select(
@@ -330,33 +335,25 @@ def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("late"),
     )
-    # one (orderkey, suppkey) aggregate defines BOTH the any-supplier
-    # and the late-supplier roles. Catalyst still derives the subtree
-    # per branch (pruning drops max(late) from the unfiltered branch,
-    # so the exchanges don't canonicalize equal and ReuseExchange
-    # can't merge them) — but every self-join input is the DISTINCT
-    # pair reduction, orders of magnitude below fact cardinality; at
-    # 100 TB the per_pair frame is the thing to materialize once
-    # (scratch parquet, as the semantic-dedup contract row does).
+    # distinct-pair reduction (map-side partial agg eats the fact
+    # fan-in), then ONE per-orderkey census replaces both self-joins:
+    # EXISTS(other supplier)      <=> n_supp >= 2
+    # NOT EXISTS(other late supp) <=> n_late == 1   (the pair itself
+    # is late, so "no other late" means it is the only one — and then
+    # max(late suppkey) IS the surviving supplier). Both exchanges
+    # move the distinct-pair frame, orders of magnitude below fact
+    # cardinality; the fact join happens exactly once.
     per_pair = flagged.groupBy("l_orderkey", "l_suppkey").agg(
         F.max("late").alias("late")
     )
-    late = per_pair.where("late").select("l_orderkey", "l_suppkey")
-    other_supp = per_pair.select("l_orderkey", "l_suppkey")
-    o1, o2 = late.alias("o1"), other_supp.alias("o2")
-    has_other = o1.join(
-        o2,
-        (F.col("o1.l_orderkey") == F.col("o2.l_orderkey"))
-        & (F.col("o1.l_suppkey") != F.col("o2.l_suppkey")),
-        "left_semi",
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count(F.when(F.col("late"), F.lit(1))).alias("n_late"),
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias("late_supp"),
     )
-    l1, l2 = has_other.alias("l1"), late.alias("l2")
-    sole_late = l1.join(
-        l2,
-        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-        "left_anti",
-    )
+    sole_late = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select(F.col("late_supp").alias("l_suppkey"))
     return sole_late.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
 
 
@@ -887,12 +884,17 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs observed in lineitem (no partsupp table), and the denylist
     is suppliers whose name contains '7' (no comment column).
 
-    Scale shape: the relation-building distinct is one
-    (partkey, suppkey) exchange over the fact; the denylist and the
-    filtered part dim both broadcast; count_distinct plans the
-    standard expand + two-stage aggregate on the grouping keys."""
+    Scale shape (round-15 rewrite): the old (l_partkey, l_suppkey)
+    DISTINCT pre-pass shuffled the FULL fact's pair set before any
+    filter — pure waste, because count_distinct(l_suppkey) is
+    set-valued per bucket and dedups regardless of pair multiplicity.
+    Now the broadcast part join (the ~10%-selective predicate) and the
+    broadcast denylist anti-join run scan-side FIRST, and the only
+    exchanges are count_distinct's own two-stage dedup ladder over the
+    filtered rows: 3 exchanges -> 2, and the first one carries the
+    filtered, map-side-deduped (bucket, suppkey) set instead of every
+    fact pair."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
     excl = (
         load_table(spark, sf_dir, "supplier")
         .where(F.col("s_name").like("%7%"))
@@ -903,11 +905,13 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
     )
-    kept = ps.join(
-        F.broadcast(excl), ps.l_suppkey == excl.s_suppkey, "left_anti"
-    ).join(
-        F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
-        F.col("l_partkey") == F.col("p_partkey"),
+    kept = (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(excl), F.col("l_suppkey") == excl.s_suppkey, "left_anti")
     )
     return (
         kept.groupBy("p_brand", "p_type", "p_size")

@@ -73,12 +73,12 @@ BUDGET = {
     "q_tpch_q10": 1,
     "q_tpch_q17": 1,
     # round 8, third batch: Q2's three agg/join legs co-partition on
-    # l_partkey (min-per-pair, min-per-part, join-back); Q21 plans the
-    # per-pair reduction per branch (pruning defeats ReuseExchange —
-    # see the op docstring) plus the two pair-level self-joins and the
-    # final suppkey census
+    # l_partkey (min-per-pair, min-per-part, join-back); Q21 (round-15
+    # rewrite) is one fact join + the pair/orderkey/suppkey aggregate
+    # ladder — the self-joins and their per-branch fact re-derivations
+    # are gone (see the op docstring)
     "q_tpch_q2": 3,
-    "q_tpch_q21": 7,
+    "q_tpch_q21": 3,
     # Q8/Q9/Q12: every dim leg broadcasts (filtered part, supplier
     # with nation name, region semi-join on customer) and the fact
     # joins co-shuffle or broadcast under AQE, leaving exactly the one
@@ -89,13 +89,14 @@ BUDGET = {
     # Q11: partkey value agg + its re-derivation under the grand-total
     # scalar (the broadcast-back); Q15: suppkey revenue agg planned on
     # both sides of the max-equality self-join; Q16: the
-    # (partkey, suppkey) distinct + count_distinct's two-stage expand;
+    # count_distinct two-stage dedup ladder over the broadcast-filtered
+    # scan (the round-15 rewrite dropped the full-fact pair distinct);
     # Q20: per-(part,supp) and per-part sums co-shuffle on partkey +
     # the qualifying-suppkey distinct; Q22: the single cntrycode census
     # (scalars and the anti side broadcast)
     "q_tpch_q11": 2,
     "q_tpch_q15": 2,
-    "q_tpch_q16": 3,
+    "q_tpch_q16": 2,
     "q_tpch_q20": 3,
     "q_tpch_q22": 1,
     # round 8, pipeline-utility promotions: stratified sampling is a
