@@ -105,18 +105,47 @@ def train_bigram_lm(
     gram.
 
     ``materialize``, if given, is ``fn(df, name) -> df`` applied to
-    the vocabulary as soon as it is ranked: vocab feeds FOUR
-    downstream consumers (totals, both bigram legs, lm_uni), and
-    without a cut Spark's lazy plan re-runs the corpus-wide unigram
-    census + rank window once per consumer. A trained LM is a model
-    artifact — persisting it is the production shape, not a
-    workaround."""
+    the combined gram census and to the vocabulary as soon as each is
+    ranked: the census is ONE corpus pass feeding both count tables,
+    and vocab feeds FOUR downstream consumers (totals, both bigram
+    legs, lm_uni) — without the cuts Spark's lazy plan re-runs the
+    corpus-wide census + rank window once per consumer. A trained LM
+    is a model artifact — persisting it is the production shape, not
+    a workaround.
+
+    Round 15: the unigram and bigram censuses were two separate
+    tokenize+explode passes over the train split; now ONE pass emits
+    both shapes — unigram occurrences ride as (w1, NULL) structs
+    concat'd next to the bigram zip (NULL cannot collide with a
+    token), so a single explode + exchange produces the combined
+    count table and the two legs are cheap filters of it (measured
+    2.4 s -> 1.3 s for the train leg at sf0.1)."""
     toks = _tokens(docs)
-    uni = (
-        toks.select("lang", F.explode("arr").alias("w"))
-        .groupBy("lang", "w")
+    n = F.size("arr")
+    grams = toks.select(
+        "lang",
+        F.explode(
+            F.concat(
+                F.arrays_zip(
+                    F.col("arr").alias("w1"),
+                    F.array_repeat(F.lit(None).cast("string"), n).alias("w2"),
+                ),
+                F.arrays_zip(
+                    F.slice("arr", 1, n - 1).alias("w1"),
+                    F.expr("slice(arr, 2, size(arr) - 1)").alias("w2"),
+                ),
+            )
+        ).alias("g"),
+    ).select("lang", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    census = (
+        grams.groupBy("lang", "w1", "w2")
         .agg(F.count("*").alias("cnt"))
         .where(F.col("cnt") >= min_count)
+    )
+    if materialize is not None:
+        census = materialize(census, "census")
+    uni = census.where(F.col("w2").isNull()).select(
+        "lang", F.col("w1").alias("w"), "cnt"
     )
     rk_u = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("w"))
     vocab = (
@@ -129,11 +158,8 @@ def train_bigram_lm(
     totals = vocab.groupBy("lang").agg(
         F.sum("cnt").alias("total"), F.count("*").alias("vsize")
     )
-    big = (
-        _bigram_pairs(toks)
-        .groupBy("lang", "w1", "w2")
-        .agg(F.count("*").alias("cnt12"))
-        .where(F.col("cnt12") >= min_count)
+    big = census.where(F.col("w2").isNotNull()).select(
+        "lang", "w1", "w2", F.col("cnt").alias("cnt12")
     )
     bigv = (
         big.join(
