@@ -6,14 +6,17 @@ basket membership).
 
 Scale notes: the corpus reduces to one row per basket (a single
 grouped collect_set whose width is bounded by the item vocabulary —
-here brands, |V| = 25), pairs then expand IN-TASK via higher-order
-array functions (sorted array → upper-triangle pairs), so there is
-NO self-join and the per-basket fanout is bounded by
-|basket| choose 2 — never corpus x corpus. Item marginals and the
-basket total are a bounded census (<= |V| rows): they materialize
-eagerly driver-side and inline as map literals (the DSIR idiom),
-keeping the contract plan at exactly ONE corpus pass — lazy marginal
-branches would re-run the basket aggregate per consumer.
+here brands, |V| = 25), pairs then expand IN-TASK via posexplode +
+slice (sorted array → upper-triangle pairs), so there is NO self-join
+and the per-basket fanout is bounded by |basket| choose 2 — never
+corpus x corpus. Item marginals and the basket total ride the SAME
+exploded stream as the pairs (NULL / sentinel markers in the b slot),
+so one grouped census feeds all three legs and the corpus is scanned
+exactly once — the pair leg then broadcast-joins the bounded
+(<= |V| rows) marginal slice. Round 15 replaced an EAGER driver-side
+marginal collect (a second full corpus pass at plan-build time, ~60%
+of the row's wall) with this single lazy plan; Spark's ReuseExchange
+dedupes the census shuffle across the three consumers.
 """
 
 from __future__ import annotations
@@ -24,21 +27,25 @@ from pyspark.sql import functions as F
 from .common import r6
 from ..io import load_table
 
-# upper bound on distinct items accepted for the literal-inlined
-# marginal census; past this, marginals should stay a broadcast-join
-# table instead (same math, one more corpus pass)
-MAX_INLINE_ITEMS = 10_000
-
 
 def cooccurrence_lift(
-    items: DataFrame, basket_col: str, item_col: str
+    items: DataFrame, basket_col: str, item_col: str, materialize=None
 ) -> DataFrame:
     """Pairwise co-occurrence over (basket, item) rows: for every
     unordered item pair {a < b} the number of baskets containing
     both, the pair's support n_ab / n_baskets, and its lift
     n_ab·N / (n_a·n_b) (lift > 1 = the items co-occur more often
     than independence predicts). Returns
-    (item_a, item_b, n_ab, support, lift)."""
+    (item_a, item_b, n_ab, support, lift).
+
+    ``materialize``, if given, is ``fn(df, name) -> df`` applied to
+    the combined census: it has THREE consumers (pairs, marginals,
+    total) and the group-key filters that split them push below the
+    aggregate, so without a cut the lazy plan re-runs the corpus scan
+    per consumer (measured: 8 parquet scans in the executed plan —
+    ReuseExchange cannot merge the non-canonical legs). The census is
+    bounded by the item vocabulary (≤ |V|² + |V| + 1 rows), so the
+    cut is pennies."""
     baskets = items.groupBy(F.col(basket_col).alias("bk")).agg(
         F.array_sort(F.collect_set(F.col(item_col))).alias("arr")
     )
@@ -58,72 +65,97 @@ def cooccurrence_lift(
     # transform/flatten/struct formulation computes the same pairs
     # but runs ~7x slower — higher-order lambdas are interpreted
     # per-element while posexplode+slice stays in codegen.
-    pairs = baskets.select(
-        F.posexplode("arr").alias("i", "item_a"), "arr"
-    ).select(
-        "item_a",
-        F.explode(
-            F.slice("arr", F.col("i") + F.lit(2), F.size("arr"))
-        ).alias("item_b"),
-    )
-    census = pairs.groupBy("item_a", "item_b").agg(
-        F.count("*").alias("n_ab")
-    )
-
-    # bounded marginal census: ONE eager explode-count over the
-    # already-deduped basket arrays. A sentinel element appended to
-    # every basket makes its count the basket TOTAL, so marginals and
-    # total come out of a single aggregation (a cube/count_distinct
-    # over the raw membership rows computes the same numbers but pays
-    # a corpus-sized distinct — measured 52 s vs ~15 s at 32x sf0.1).
+    #
+    # The marginals and the basket total ride the SAME stream: every
+    # position also emits (item_a, NULL) — one marginal occurrence —
+    # and position 0 additionally emits (item_a, sentinel) — one
+    # basket. A single grouped census then feeds the pair, marginal
+    # and total legs; the census exchange is shared (ReuseExchange)
+    # so the corpus-sized part of the plan runs once. NULL and the
+    # NUL-prefixed sentinel cannot collide with real items (collect_set
+    # never emits NULL).
     sentinel = "\x00__baskets__"
-    cen = (
-        baskets.select(
-            F.explode(
-                F.concat("arr", F.array(F.lit(sentinel)))
-            ).alias("item")
-        )
-        .groupBy("item")
-        .agg(F.count("*").alias("n"))
-        .collect()
+    b_stream = F.concat(
+        F.slice("arr", F.col("i") + F.lit(2), F.size("arr")),
+        F.array(F.lit(None).cast("string")),
+        F.when(F.col("i") == 0, F.array(F.lit(sentinel))).otherwise(
+            F.array().cast("array<string>")
+        ),
     )
-    marg_rows = [r for r in cen if r["item"] != sentinel]
-    # runtime input bounds, not test invariants — must survive python -O
-    if len(marg_rows) >= len(cen):
-        raise RuntimeError("sentinel census row missing")
-    if len(marg_rows) > MAX_INLINE_ITEMS:
-        raise ValueError(
-            f"{len(marg_rows)} distinct items exceed the literal-inline "
-            "bound; use a broadcast marginal table instead"
+    census = (
+        baskets.select(F.posexplode("arr").alias("i", "item_a"), "arr")
+        .select("item_a", F.explode(b_stream).alias("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n"))
+    )
+    if materialize is not None:
+        census = materialize(census, "census")
+    pair = census.where(
+        F.col("item_b").isNotNull() & (F.col("item_b") != F.lit(sentinel))
+    )
+    marg = census.where(F.col("item_b").isNull()).select(
+        "item_a", F.col("n").cast("double").alias("n_marg")
+    )
+    tot = census.where(F.col("item_b") == F.lit(sentinel)).agg(
+        F.sum("n").cast("double").alias("n_tot")
+    )
+    n_ab = F.col("n").cast("double")
+    return (
+        pair.join(
+            F.broadcast(marg.select("item_a", F.col("n_marg").alias("n_a"))),
+            "item_a",
         )
-    n_tot = float(next(r["n"] for r in cen if r["item"] == sentinel))
-    kv: list = []
-    for r in marg_rows:
-        kv.extend([F.lit(r["item"]), F.lit(float(r["n"]))])
-    marg = F.create_map(*kv)
-
-    n_a = F.element_at(marg, F.col("item_a"))
-    n_b = F.element_at(marg, F.col("item_b"))
-    n_ab = F.col("n_ab").cast("double")
-    return census.select(
-        "item_a",
-        "item_b",
-        F.col("n_ab").cast("bigint").alias("n_ab"),
-        r6(n_ab / F.lit(n_tot)).alias("support"),
-        r6((n_ab * F.lit(n_tot)) / (n_a * n_b)).alias("lift"),
+        .join(
+            F.broadcast(
+                marg.select(
+                    F.col("item_a").alias("item_b"),
+                    F.col("n_marg").alias("n_b"),
+                )
+            ),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("n").cast("bigint").alias("n_ab"),
+            r6(n_ab / F.col("n_tot")).alias("support"),
+            r6((n_ab * F.col("n_tot")) / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
     )
 
 
 def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): brand co-occurrence over order
     baskets — lineitem⋈part derives (order, brand) membership, lift
-    against brand marginals."""
+    against brand marginals. The bounded census is staged through
+    deterministic per-sf_dir scratch parquet (the q_ccnet_buckets
+    idiom — overwrite every run, recomputed from the inputs) so the
+    corpus is scanned once, not once per census consumer."""
+    import hashlib
+    import os
+    import tempfile
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     items = li.join(part, li.l_partkey == part.p_partkey).select(
         "l_orderkey", "p_brand"
     )
-    return cooccurrence_lift(items, "l_orderkey", "p_brand")
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_cooc_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        # the census is vocabulary-bounded (|V|=25 brands → ≤ ~700
+        # rows): one output file, not one per shuffle partition.
+        # repartition, not coalesce — coalesce(1) would propagate up
+        # and serialize the census aggregate itself into one task
+        path = os.path.join(base, name)
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return cooccurrence_lift(items, "l_orderkey", "p_brand", materialize=mat)
 
 
 _COOCCUR_ORACLE = """
