@@ -70,6 +70,14 @@ def pagerank(
     # UnboundLocalError and mask the real exception
     ranks: DataFrame | None = None
     try:
+        # materialize the edge list FIRST: it feeds three lazy
+        # consumers (node universe, out-weight census, normalized
+        # edges) and is typically the reduction of a corpus-sized
+        # join — without this cut each consumer re-runs that
+        # derivation (round 15: the nations contract row re-ran the
+        # lineitem⋈orders fact join 3x, 4.4 s → 2.0 s)
+        edges = edges.localCheckpoint(eager=True)
+        retired.append(edges)
         nodes = (
             edges.select(F.col(src).alias("node"))
             .union(edges.select(F.col(dst).alias("node")))
