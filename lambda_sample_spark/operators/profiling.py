@@ -44,25 +44,96 @@ def profile(
     mean/min_num/max_num (string slots NULL) and vice versa. Means
     accumulate per-term in exact DECIMAL(28,10) (the tpch_q9 idiom)
     so the double division replays cell-exact cross-engine."""
-    aggs: list = [F.count("*").alias("n_rows")]
-    distinct = (
-        (lambda c: F.count_distinct(F.col(c)))
-        if exact_distinct
-        else (lambda c: F.approx_count_distinct(c))
-    )
-    for c in (*numeric_cols, *string_cols):
-        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
-        aggs.append(distinct(c).alias(f"nd_{c}"))
-    for c in numeric_cols:
-        aggs.append(
-            F.sum(F.col(c).cast("decimal(28,10)")).alias(f"s1_{c}")
+    cols = (*numeric_cols, *string_cols)
+    if exact_distinct:
+        # Manual two-level distinct (round 15, guide §2.3/§4): the
+        # single wide aggregate mixed exact count_distinct (rewritten
+        # via a 5x Expand) with min/max over STRINGS, whose var-length
+        # buffers force every aggregation level into SortAggregate —
+        # the partial level then SORTS the full expanded stream
+        # (measured 2.7 s vs 1.0 s for the same aggregate without the
+        # string extents at sf0.1). Instead: explode one typed struct
+        # per profiled column per row (exactly Expand's rows minus the
+        # gid-0 replica), HASH-aggregate on (col, values) — string
+        # GROUP KEYS are hash-friendly, only string BUFFERS are not —
+        # then one keyless aggregate over the deduped (col, value,
+        # cnt) table computes every metric: counts/sums weight by cnt
+        # (exact DECIMAL arithmetic is associative, so the per-group
+        # weighted sum equals the per-row sum bit-for-bit), extents
+        # and distinct counts read the deduped values directly. The
+        # keyless SortAggregate that remains has no grouping key to
+        # sort by and sees only the deduped rows.
+        fields = {c: df.schema[c].dataType.simpleString() for c in cols}
+        structs = []
+        for c in cols:
+            parts = [F.lit(c).alias("pcol")]
+            for k in cols:
+                v = F.col(k) if k == c else F.lit(None).cast(fields[k])
+                parts.append(v.alias(f"v_{k}"))
+            structs.append(F.struct(*parts))
+        lvl1 = (
+            df.select(F.explode(F.array(*structs)).alias("g"))
+            .select("g.*")
+            .groupBy("pcol", *[f"v_{c}" for c in cols])
+            .agg(F.count("*").alias("cnt"))
         )
-        aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
-    for c in string_cols:
-        aggs.append(F.min(F.col(c)).alias(f"mns_{c}"))
-        aggs.append(F.max(F.col(c)).alias(f"mxs_{c}"))
-    wide = df.agg(*aggs)
+        pcol = F.col("pcol")
+        first = cols[0]
+        aggs = [
+            F.coalesce(
+                F.sum(F.when(pcol == first, F.col("cnt"))), F.lit(0)
+            ).alias("n_rows")
+        ]
+        for c in cols:
+            val = F.col(f"v_{c}")
+            on_c = (pcol == c) & val.isNotNull()
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(on_c, F.col("cnt"))), F.lit(0)
+                ).alias(f"nn_{c}")
+            )
+            aggs.append(
+                F.coalesce(
+                    F.sum(F.when(on_c, F.lit(1))), F.lit(0)
+                ).alias(f"nd_{c}")
+            )
+        for c in numeric_cols:
+            val = F.col(f"v_{c}")
+            on_c = pcol == c
+            aggs.append(
+                F.sum(
+                    F.when(
+                        on_c, val.cast("decimal(28,10)") * F.col("cnt")
+                    )
+                ).alias(f"s1_{c}")
+            )
+            aggs.append(
+                F.min(F.when(on_c, val)).cast("double").alias(f"mn_{c}")
+            )
+            aggs.append(
+                F.max(F.when(on_c, val)).cast("double").alias(f"mx_{c}")
+            )
+        for c in string_cols:
+            val = F.col(f"v_{c}")
+            on_c = pcol == c
+            aggs.append(F.min(F.when(on_c, val)).alias(f"mns_{c}"))
+            aggs.append(F.max(F.when(on_c, val)).alias(f"mxs_{c}"))
+        wide = lvl1.agg(*aggs)
+    else:
+        aggs = [F.count("*").alias("n_rows")]
+        for c in cols:
+            aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+            aggs.append(F.approx_count_distinct(c).alias(f"nd_{c}"))
+        for c in numeric_cols:
+            aggs.append(
+                F.sum(F.col(c).cast("decimal(28,10)")).alias(f"s1_{c}")
+            )
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"mn_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"mx_{c}"))
+        for c in string_cols:
+            aggs.append(F.min(F.col(c)).alias(f"mns_{c}"))
+            aggs.append(F.max(F.col(c)).alias(f"mxs_{c}"))
+        wide = df.agg(*aggs)
 
     parts: list[str] = []
     for c in numeric_cols:
