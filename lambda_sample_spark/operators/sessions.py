@@ -188,11 +188,32 @@ def chunked_range_stats(
         f"(ts_ms div {c}) - (CASE WHEN ts_ms < 0 AND ts_ms % {c} != 0 "
         f"THEN 1 ELSE 0 END)"
     )
-    own = base.withColumn("chunk", chunk).withColumn("carry", F.lit(False))
-    tail = (
-        base.where(F.col("ts_ms") >= (chunk + 1) * chunk_ms - window_ms)
-        .withColumn("chunk", chunk + 1)
-        .withColumn("carry", F.lit(True))
+    # one scan, not a Union of two: each row explodes into its own
+    # (chunk, carry=false) assignment plus — iff it falls in the
+    # window_ms tail of its chunk — the (chunk+1, carry=true) replica
+    # (round 15: the own/tail Union read the corpus twice)
+    own_cc = F.struct(chunk.alias("chunk"), F.lit(False).alias("carry"))
+    tail_cc = F.struct(
+        (chunk + 1).alias("chunk"), F.lit(True).alias("carry")
+    )
+    is_tail = F.col("ts_ms") >= (chunk + 1) * chunk_ms - window_ms
+    rows = base.select(
+        "event_id",
+        key_col,
+        "ts_ms",
+        "value",
+        F.explode(
+            F.when(is_tail, F.array(own_cc, tail_cc)).otherwise(
+                F.array(own_cc)
+            )
+        ).alias("cc"),
+    ).select(
+        "event_id",
+        key_col,
+        "ts_ms",
+        "value",
+        F.col("cc.chunk").alias("chunk"),
+        F.col("cc.carry").alias("carry"),
     )
     w = (
         Window.partitionBy(key_col, "chunk")
@@ -200,7 +221,7 @@ def chunked_range_stats(
         .rangeBetween(-window_ms, Window.currentRow)
     )
     return (
-        own.unionByName(tail)
+        rows
         .select(
             "event_id",
             key_col,
