@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..io import load_table
 from .common import r6
 
@@ -277,23 +279,28 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     to an oracle-checked contract tail row in round 8 (was
     library-only, DuckDB-checked in tests/test_tpch_shapes.py).
 
-    Scale shape: both aggregates and the equality join share the
-    l_partkey key, so the per-(part,supp) min, the per-part min, and
-    the join-back co-partition on ONE shuffle lineage; at 100 TB
-    bucketing lineitem by partkey removes even that."""
+    Scale shape (round-15 rewrite): the per-part min and the
+    join-back were a second consumer of the lazy cost aggregate, so
+    lineitem was scanned and aggregated twice; a WINDOW min per
+    partkey over the aggregated cost table computes the identical
+    per-part minimum from one scan and one aggregate — the window
+    input is the (part, supp)-grained table, already reduced, and the
+    equality filter keeps exactly the rows the equi-join kept. At
+    100 TB bucketing lineitem by partkey removes the remaining
+    exchange pair."""
     li = load_table(spark, sf_dir, "lineitem")
     supplier = load_table(spark, sf_dir, "supplier")
     cost = li.groupBy("l_partkey", "l_suppkey").agg(
         F.min("l_extendedprice").alias("cost")
     )
-    min_cost = cost.groupBy("l_partkey").agg(
-        F.min("cost").alias("min_cost")
-    ).withColumnRenamed("l_partkey", "m_partkey")
-    best = cost.join(
-        min_cost,
-        (F.col("l_partkey") == F.col("m_partkey"))
-        & (F.col("cost") == F.col("min_cost")),
-    ).select(F.col("l_partkey").alias("p_key"), "l_suppkey", "cost")
+    best = (
+        cost.withColumn(
+            "min_cost",
+            F.min("cost").over(Window.partitionBy("l_partkey")),
+        )
+        .where(F.col("cost") == F.col("min_cost"))
+        .select(F.col("l_partkey").alias("p_key"), "l_suppkey", "cost")
+    )
     return (
         # no hint: supplier scales with SF (like customer); AQE decides
         best.join(supplier, best.l_suppkey == supplier.s_suppkey)
@@ -625,20 +632,22 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (small-quantity-order revenue): average yearly revenue
     lost if small orders of one brand's parts weren't filled. The
-    correlated scalar subquery (0.2 * per-part avg quantity) is
-    decorrelated the way Catalyst would: one per-partkey aggregate over
-    lineitem, joined back on partkey — co-partitioned with the probe
-    side, so the pair costs one shuffle each on the same key. The
-    threshold compare is engine-exact: quantities are integer-valued
-    doubles, so sum/count/0.2* are bit-identical in any order."""
+    correlated scalar subquery (0.2 * per-part avg quantity) runs as a
+    WINDOW average per partkey over the part-filtered join (round 15):
+    the broadcast brand filter keeps every lineitem row of a
+    qualifying part, so the window sees exactly the rows the
+    decorrelated per-partkey aggregate saw — but lineitem is scanned
+    ONCE instead of twice, and the shuffle carries only the ~1/|brands|
+    filtered slice instead of the all-parts aggregate. The threshold
+    compare is engine-exact: quantities are integer-valued doubles, so
+    sum/count/0.2* are bit-identical in any order."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    pa = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
-        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_lim")
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(pa, F.col("l_partkey") == F.col("pa_key"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .withColumn("qty_lim", F.lit(0.2) * F.avg("l_quantity").over(w))
         .where(F.col("l_quantity") < F.col("qty_lim"))
         .agg(_r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
