@@ -55,6 +55,17 @@ M_BITS = 65536  # contract-row bitmap size (2 KiB words array)
 K_PROBES = 4
 MAX_INLINE_WORDS = 1 << 17  # 128k longs ≈ 1 MiB of plan literals
 _U32 = 1 << 32
+# 1<<b for b in [0,32): integer masks as ONE array literal — pow(2.0,b)
+# double math (the previous mask) costs a transcendental call per probe
+# per gram; element_at on a literal is an O(1) integer lookup. Built
+# lazily: F.lit needs an active SparkContext.
+_WORD_MASK_VALUES = [1 << b for b in range(32)]
+
+
+def _mask(bit):
+    return F.element_at(
+        F.lit(_WORD_MASK_VALUES), (bit + 1).cast("int")
+    )
 
 
 def bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
@@ -79,29 +90,33 @@ def _gram_hash_pairs(
     gram_hash: str = "xxhash64",
 ) -> DataFrame:
     """One row per (id, distinct gram): the K-M hash pair
-    ``h1, h2 ∈ [0, 2^32)``. Token n-grams via the curation slide
-    (short docs emit their clamped full-text gram); hashing before the
-    explode keeps rows narrow, array_distinct keeps the distinct
-    map-side (within-doc)."""
+    ``h1, h2 ∈ [0, 2^32)``. Token n-grams via the sliding arrays_zip
+    window (short docs emit their clamped full-text gram, exactly the
+    curation slide). Round 15 (guide §4.1): the previous
+    ``transform(sequence, λ)`` evaluated the concat/hash chain
+    INTERPRETED per gram (higher-order lambdas are CodegenFallback);
+    now ``array_distinct`` runs on the zipped token STRUCTS map-side —
+    struct-distinct ≡ gram-string-distinct because whitespace-split
+    tokens never contain the join space, so concat_ws(' ') is
+    injective on the fixed-arity tuples — and the concat + hash run
+    as row-level whole-stage-codegen expressions after the explode."""
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
-
-    def pair(i):
-        g = F.concat_ws(" ", F.slice(toks, i + 1, n))
-        if gram_hash == "md5":
-            d = F.md5(g)
-            h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint")
-            h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("bigint")
-        else:
-            h1 = F.pmod(F.xxhash64(g), F.lit(_U32))
-            h2 = F.pmod(F.xxhash64(g, F.lit(1)), F.lit(_U32))
-        return F.struct(h1.alias("h1"), h2.alias("h2"))
-
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))), pair
+    win = F.greatest(F.size(toks) - n, F.lit(0)) + F.lit(1)
+    zipped = F.arrays_zip(
+        *[F.slice(toks, j + 1, win).alias(f"w{j}") for j in range(n)]
     )
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(grams)).alias("p")
-    ).select(id_col, F.col("p.h1").alias("h1"), F.col("p.h2").alias("h2"))
+    rows = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(zipped)).alias("_z")
+    )
+    g = F.concat_ws(" ", *[F.col(f"_z.w{j}") for j in range(n)])
+    if gram_hash == "md5":
+        d = F.md5(g)
+        h1 = F.conv(F.substring(d, 1, 8), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(d, 9, 8), 16, 10).cast("bigint")
+    else:
+        h1 = F.pmod(F.xxhash64(g), F.lit(_U32))
+        h2 = F.pmod(F.xxhash64(g, F.lit(1)), F.lit(_U32))
+    return rows.select(id_col, h1.alias("h1"), h2.alias("h2"))
 
 
 def _positions(m_bits: int, k: int):
@@ -138,10 +153,7 @@ def bloom_build(
         )
         .groupBy("word")
         .agg(
-            F.bit_or(
-                # 2^bit is exact in a double up to 2^52; bit < 32
-                F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
-            ).alias("bits")
+            F.bit_or(_mask(F.col("bit"))).alias("bits")
         )
     )
 
@@ -197,7 +209,7 @@ def bloom_probe(
         ok = F.lit(True)
         for pos in positions:
             word = F.shiftright(pos, 5)
-            mask = F.pow(F.lit(2.0), F.pmod(pos, F.lit(32))).cast("bigint")
+            mask = _mask(F.pmod(pos, F.lit(32)))
             ok = ok & (
                 F.element_at(arr, (word + 1).cast("int")).bitwiseAND(mask)
                 != 0
@@ -211,9 +223,7 @@ def bloom_probe(
             "h1",
             "h2",
             F.shiftright(F.col("pos"), 5).alias("word"),
-            F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(32)))
-            .cast("bigint")
-            .alias("mask"),
+            _mask(F.pmod(F.col("pos"), F.lit(32))).alias("mask"),
         )
         hit = (
             probed.join(F.broadcast(bitmap), "word", "left")
