@@ -418,8 +418,30 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("bucket_rep").alias("rep_id"))
     )
-    # pointer-jumping rounds: rep := rep(rep) for transitivity
-    for _ in range(REP_ROUNDS - 1):
+    # pointer-jumping rounds: rep := rep(rep) for transitivity. Each
+    # round joins rep with ITSELF, so the round-0 lineage (the whole
+    # corpus-sized tokenize → 64-minhash → band-window pipeline) would
+    # run once per join side without a cut — round 15: stage the
+    # narrow (doc_id, rep_id) table through deterministic per-sf_dir
+    # scratch parquet between rounds (the q_ccnet idiom — contract
+    # paths must NOT localCheckpoint: the returned frame's blocks
+    # would outlive the query in the driver's shared session,
+    # test_no_cache_leak). Interleaved A/B at sf0.1: 2.04 → 1.89 s,
+    # and the corpus pipeline runs once instead of once per join side.
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_dnear_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    rep = mat(rep, "rep0")
+    for i in range(REP_ROUNDS - 1):
         parent = rep.select(
             F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
         )
@@ -429,6 +451,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("p_rep", "rep_id").alias("rep_id"),
         )
+        if i < REP_ROUNDS - 2:
+            rep = mat(rep, f"rep{i + 1}")
     return rep.select(
         "doc_id",
         "rep_id",

@@ -939,9 +939,12 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums and 0.5* are bit-identical in any accumulation order.
 
     Scale shape: the part-name filter broadcasts onto the lineitem
-    scan as a left-semi; the two aggregates share one partkey-rooted
-    shuffle lineage; the final supplier probe is a broadcast semi of
-    the (tiny) qualifying suppkey set."""
+    scan as a left-semi; the per-part total is a WINDOW sum over the
+    per-(part,supp) aggregate (round 15 — sums of disjoint
+    per-supplier sums ARE the part total, so the second corpus scan
+    and aggregate the lazy `shipped` re-derivation paid is gone); the
+    final supplier probe is a broadcast semi of the (tiny) qualifying
+    suppkey set."""
     parts = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_name").like("small%"))
@@ -958,11 +961,11 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = shipped.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("qty")
     )
-    per_p = shipped.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("l_quantity").alias("part_total")
-    )
     qual = (
-        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        per_ps.withColumn(
+            "part_total",
+            F.sum("qty").over(Window.partitionBy("l_partkey")),
+        )
         .where(F.col("qty") > 0.5 * F.col("part_total"))
         .select("l_suppkey")
         .distinct()
