@@ -40,6 +40,7 @@ def drift_psi(
     value_col: str = "value",
     id_col: str = "event_id",
     n_bins: int = N_BINS,
+    materialize=None,
 ) -> DataFrame:
     """PSI per key between the slice before ``split_ts`` (reference)
     and the slice at/after it (current). Returns
@@ -55,8 +56,8 @@ def drift_psi(
     would silently diverge the edges) — track NULL-rate drift with a
     plain conditional count, not a quantile binning."""
     nn = F.col(value_col).isNotNull()
-    ref = events.where(nn & (F.col("ts") < F.lit(split_ts).cast("timestamp")))
-    cur = events.where(nn & (F.col("ts") >= F.lit(split_ts).cast("timestamp")))
+    is_ref = F.col("ts") < F.lit(split_ts).cast("timestamp")
+    ref = events.where(nn & is_ref)
 
     w = Window.partitionBy(key_col).orderBy(
         F.col(value_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
@@ -69,36 +70,50 @@ def drift_psi(
         .groupBy(key_col)
         .agg(F.sort_array(F.collect_list("edge")).alias("edges"))
     )
+    # the tiny (key, edges) table feeds THREE consumers (the combined
+    # binning pass and the grid); without a cut each re-runs the
+    # corpus-sized reference window (round 15: the before plan carried
+    # 5 event scans). Cut it when the caller provides a materializer.
+    if materialize is not None:
+        edges = materialize(edges, "edges")
 
-    def binned(df: DataFrame) -> DataFrame:
-        v = F.col(value_col)
-        return df.join(F.broadcast(edges), key_col).select(
+    # one corpus pass bins BOTH slices (round 15 — was one scan per
+    # slice): each non-null row carries its slice flag and the
+    # per-(key, bin) aggregate splits the counts
+    v = F.col(value_col)
+    binned_all = (
+        events.where(nn)
+        .join(F.broadcast(edges), key_col)
+        .select(
             key_col,
             F.size(F.filter("edges", lambda e: v > e)).alias("bin"),
+            is_ref.alias("is_ref"),
         )
-
-    def bin_counts(df: DataFrame, out: str) -> DataFrame:
-        return binned(df).groupBy(key_col, "bin").agg(F.count("*").alias(out))
+        .groupBy(key_col, "bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("r_cnt"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cnt"),
+        )
+    )
 
     grid = edges.select(
         key_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
     )
-    counts = (
-        grid.join(bin_counts(ref, "r_cnt"), [key_col, "bin"], "left")
-        .join(bin_counts(cur, "c_cnt"), [key_col, "bin"], "left")
-        .select(
-            key_col,
-            "bin",
-            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
-            F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
-        )
+    counts = grid.join(binned_all, [key_col, "bin"], "left").select(
+        key_col,
+        "bin",
+        F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
     )
-    totals = counts.groupBy(key_col).agg(
-        F.sum("r_cnt").alias("n_ref"), F.sum("c_cnt").alias("n_cur")
-    )
+    # per-key totals as a WINDOW over the tiny bin-count table, not an
+    # aggregate joined back — counts' lineage holds the corpus binning
+    # pass, and a totals join re-ran it once per consumer (round 15)
+    wk = Window.partitionBy(key_col)
     half = F.lit(0.5)
     smooth = F.lit(0.5 * n_bins)
-    j = counts.join(F.broadcast(totals), key_col)
+    j = counts.withColumn("n_ref", F.sum("r_cnt").over(wk)).withColumn(
+        "n_cur", F.sum("c_cnt").over(wk)
+    )
     p_r = (F.col("r_cnt") + half) / (F.col("n_ref") + smooth)
     p_c = (F.col("c_cnt") + half) / (F.col("n_cur") + smooth)
     term = ((p_c - p_r) * F.log(p_c / p_r)).cast("decimal(25,15)")
@@ -205,8 +220,24 @@ def jsd_from_counts(
 def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round-8 promotion): PSI per event_type across a
     mid-January split of the events table — edges, bin censuses,
-    smoothing, and the exact-decimal term sum all hash-compared."""
-    return drift_psi(load_table(spark, sf_dir, "events"), _SPLIT)
+    smoothing, and the exact-decimal term sum all hash-compared. The
+    bounded edge table stages through per-sf_dir scratch parquet (the
+    q_ccnet idiom) so the reference window runs once."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_drift_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return drift_psi(
+        load_table(spark, sf_dir, "events"), _SPLIT, materialize=mat
+    )
 
 
 def q_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
