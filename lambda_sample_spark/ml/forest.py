@@ -404,6 +404,21 @@ def rf_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = _labeled_events(
         recent_per_key(events(spark, sf_dir), n=RECENT_TRAIN_N)
     )
+    # stage the training window ONCE (round 15): it is bounded by
+    # keys × RECENT_TRAIN_N rows, and both the eager extent collect
+    # below and the per-(key, bin) census would otherwise each run the
+    # corpus-sized recent-window pass (the q_ccnet scratch idiom —
+    # contract rows must not hold persisted RDDs, test_no_cache_leak)
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_rfp_{tag}", "labeled")
+    labeled.select("event_type", "value", "anomaly").write.mode(
+        "overwrite"
+    ).parquet(path)
+    labeled = spark.read.parquet(path)
     # the extent census is key-fleet-sized and feeds THREE consumers
     # (per-bin probe side, probe cross join, output counts): collect it
     # eagerly and inline as a local frame, or the adaptive plan re-runs
