@@ -511,43 +511,93 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate's true rank sits within BOTTOMK_RANK_TOL of 0.5. The
     estimate values themselves are hash-compared — deterministic
     sampling makes them identical across engines."""
+    import hashlib
+    import os
+    import tempfile
+
     ev = events(spark, sf_dir)
-    day_s = bottomk_day_samples(ev)
+    # stage the day sketches once (round 15, guide §2.4): they feed
+    # the day estimate AND the month merge, so the corpus-sized
+    # bottom-k window would run once per consumer left lazy. Bounded:
+    # ≤ k rows per (day, event_type).
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_bk_{tag}", "day_s")
+    bottomk_day_samples(ev).write.mode("overwrite").parquet(path)
+    day_s = spark.read.parquet(path)
     month_s = bottomk_merge(day_s, "month")
 
-    def level(est: DataFrame, unit: str, name: str) -> DataFrame:
-        exact = ev.select(
-            F.date_trunc(unit, "ts").alias("bucket"), "event_type", "value"
-        )
-        joined = exact.join(
-            F.broadcast(est), ["bucket", "event_type"]
-        )
-        return (
-            joined.groupBy("bucket", "event_type")
-            .agg(
-                F.first("q50_est").alias("q50_est"),
-                F.first("sample_n").alias("sample_n"),
-                (
-                    F.sum((F.col("value") <= F.col("q50_est")).cast("long"))
-                    / F.count("*")
-                ).alias("rank_est"),
-            )
-            .select(
-                F.lit(name).alias("level"),
-                F.unix_millis("bucket").alias("bucket_ms"),
-                "event_type",
-                "q50_est",
-                "sample_n",
-                (
-                    F.abs(F.col("rank_est") - F.lit(0.5))
-                    <= F.lit(BOTTOMK_RANK_TOL)
-                ).alias("rank_ok"),
-            )
-        )
-
-    return level(_sample_median(day_s), "day", "day").unionByName(
-        level(_sample_median(month_s), "month", "month")
+    # ONE exact validation pass for both levels (round 15, guide
+    # §2.3 — was one events scan per level): every row carries its
+    # day AND month bucket, both broadcast estimates join in, and the
+    # day-grain partial aggregate rolls up to the month grain (long
+    # sums are exact, so the month rank is bit-identical to the
+    # direct per-row formulation; each (day, et) group belongs to
+    # exactly one month).
+    d_est = _sample_median(day_s).select(
+        F.col("bucket").alias("dbucket"),
+        "event_type",
+        F.col("q50_est").alias("d_q50"),
+        F.col("sample_n").alias("d_n"),
     )
+    m_est = _sample_median(month_s).select(
+        F.col("bucket").alias("mbucket"),
+        "event_type",
+        F.col("q50_est").alias("m_q50"),
+        F.col("sample_n").alias("m_n"),
+    )
+    part = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("dbucket"),
+            F.date_trunc("month", "ts").alias("mbucket"),
+            "event_type",
+            "value",
+        )
+        .join(F.broadcast(d_est), ["dbucket", "event_type"])
+        .join(F.broadcast(m_est), ["mbucket", "event_type"])
+        .groupBy("dbucket", "mbucket", "event_type")
+        .agg(
+            F.first("d_q50").alias("d_q50"),
+            F.first("d_n").alias("d_n"),
+            F.first("m_q50").alias("m_q50"),
+            F.first("m_n").alias("m_n"),
+            F.count("*").alias("n"),
+            F.sum((F.col("value") <= F.col("d_q50")).cast("long")).alias(
+                "le_d"
+            ),
+            F.sum((F.col("value") <= F.col("m_q50")).cast("long")).alias(
+                "le_m"
+            ),
+        )
+    )
+
+    def ok(rank_est):
+        return F.abs(rank_est - F.lit(0.5)) <= F.lit(BOTTOMK_RANK_TOL)
+
+    day_level = part.select(
+        F.lit("day").alias("level"),
+        F.unix_millis("dbucket").alias("bucket_ms"),
+        "event_type",
+        F.col("d_q50").alias("q50_est"),
+        F.col("d_n").alias("sample_n"),
+        ok(F.col("le_d") / F.col("n")).alias("rank_ok"),
+    )
+    month_level = (
+        part.groupBy("mbucket", "event_type")
+        .agg(
+            F.first("m_q50").alias("q50_est"),
+            F.first("m_n").alias("sample_n"),
+            (F.sum("le_m") / F.sum("n")).alias("rank_est"),
+        )
+        .select(
+            F.lit("month").alias("level"),
+            F.unix_millis("mbucket").alias("bucket_ms"),
+            "event_type",
+            "q50_est",
+            "sample_n",
+            ok(F.col("rank_est")).alias("rank_ok"),
+        )
+    )
+    return day_level.unionByName(month_level)
 
 
 def quantiles_approx(
