@@ -73,11 +73,24 @@ def _distinct_tokens(docs: DataFrame) -> DataFrame:
     )
 
 
-def _ngram_sets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _ngram_sets(
+    docs: DataFrame, materialize=None
+) -> tuple[DataFrame, DataFrame]:
     """Level-1 set collapse for ngram_jaccard: the doc -> set_key
     membership frame and the distinct-set ``groups`` table (rep doc,
     sorted token array, size). Split out so the scale-stress test can
-    feed ``_ppjoin_candidates`` directly."""
+    feed ``_ppjoin_candidates`` directly.
+
+    ``materialize``, if given, is ``fn(df, name) -> df`` applied to
+    ``sets`` and ``groups``: downstream, membership has 2 consumers
+    and groups ~7 (identity pairs, deletion keys ×2, PPJoin prefix ×2
+    + document frequencies, verification ×2) — round 15 measured the
+    EXECUTED contract plan at 11 parquet scans / 23 exchanges with
+    everything lazy (ReuseExchange does NOT merge the subplans, the
+    docstring's previous claim notwithstanding: the consumers' pruned
+    projections and filters make every exchange non-canonical). With
+    the two cuts the corpus tokenize+collect_set pipeline runs
+    exactly once."""
     toks = _distinct_tokens(docs)
     sets = (
         toks.groupBy("doc_id", "lang")
@@ -90,6 +103,8 @@ def _ngram_sets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
             ),
         )
     )
+    if materialize is not None:
+        sets = materialize(sets, "sets")
     membership = sets.select("doc_id", "lang", "set_key")
     groups = (
         sets.groupBy("lang", "set_key")
@@ -100,6 +115,8 @@ def _ngram_sets(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         )
         .withColumn("sz", F.size("tokset"))
     )
+    if materialize is not None:
+        groups = materialize(groups, "groups")
     return membership, groups
 
 
@@ -192,13 +209,29 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     One 64-bit hash would birthday-collide at 100 TB deletion-key
     counts (~1e11 keys => hundreds of expected collisions => wrong
     J=1.0 pairs); two seeds put collisions at ~1e-17. The shared
-    aggregate subtrees (sets, groups) are NOT persisted: Spark's
-    ReuseExchange rule dedupes the identical shuffle subplans at
-    execution, so nothing is cached into a long-lived session.
+    aggregate subtrees (sets, groups) stage through per-sf_dir scratch
+    parquet (round 15): ReuseExchange does NOT merge their many
+    consumers' subplans in practice (measured 11 scans / 23 exchanges
+    in the executed lazy plan — pruning makes the exchanges
+    non-canonical), and nothing may stay persisted in a long-lived
+    session (test_no_cache_leak), so the overwrite-scratch cut is the
+    sanctioned shape.
     """
     t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
-    membership, groups = _ngram_sets(docs)
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_njac_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    membership, groups = _ngram_sets(docs, materialize=mat)
 
     # 2. identical-set pairs are (k, k) set pairs with J = 1.0 — they
     # ride the same doc-pair expansion as the verified pairs below
