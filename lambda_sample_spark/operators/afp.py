@@ -197,11 +197,22 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 10): audio near-dup pairs (Hamming <= 7,
-    exact 8×8 banding) — populated by the planted near-copies."""
+    exact 8×8 banding) — populated by the planted near-copies. The
+    per-clip fingerprint table stages once through per-sf_dir scratch
+    parquet (the q_video_near_dup idiom — round 15): the band
+    self-join consumes it on BOTH sides, so left lazy the
+    synthesize+decode mapInPandas pipeline ran twice."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_afp_{tag}", "fp")
+    audio_fingerprints(synthesize_afp_media(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(path)
     return phash_near_dup(
-        audio_fingerprints(synthesize_afp_media(spark, sf_dir)),
-        max_hamming=7,
-        hash_col="fp",
+        spark.read.parquet(path), max_hamming=7, hash_col="fp"
     )
 
 

@@ -342,10 +342,21 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 10): perceptual near-dup pairs (Hamming
     <= 7 via exact 8×8 banding) over the same corpus — non-trivially
-    populated by the planted near-copies."""
-    return phash_near_dup(
-        dhash_images(synthesize_phash_media(spark, sf_dir)), max_hamming=7
-    )
+    populated by the planted near-copies. The per-image hash table is
+    written once to a deterministic per-sf_dir scratch path (the
+    q_video_near_dup idiom — round 15): the band self-join consumes it
+    on BOTH sides, so left lazy the synthesize+decode mapInPandas
+    pipeline (the only expensive stage) ran twice."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_phash_{tag}", "hashes")
+    dhash_images(synthesize_phash_media(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return phash_near_dup(spark.read.parquet(path), max_hamming=7)
 
 
 # DuckDB reconstructs pixels straight from the keystream definition —
