@@ -1072,23 +1072,25 @@ def tfidf_top_terms(docs: DataFrame, top_n: int = 5) -> DataFrame:
     EXPLANATION (which terms made two docs similar), and
     domain-balance audits.
 
-    Shapes: one (doc, tok) count aggregate, one df aggregate over it
-    (same token key — partial-agged), the doc count as a one-row
-    broadcast, a broadcastable df join back, and the per-doc top-n
-    window. ln() determinism across engines: JVM Math.log and libm
+    Shapes: one (doc, tok) count aggregate, document frequency as a
+    WINDOW count per token over that aggregate (round 15 — the df
+    aggregate joined back was a second lazy consumer of tf, so the
+    corpus tokenize pass ran twice; the window computes the identical
+    count of (doc, token) rows per token with no re-derivation), the
+    doc count as a one-row broadcast, and the per-doc top-n window.
+    ln() determinism across engines: JVM Math.log and libm
     agree within 1 ulp and the 6-decimal round is boundary-free on
     the graded corpus (the q_unigram_logprob precedent)."""
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("token")
     )
     tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("token")
     )
     return (
-        tf.join(F.broadcast(df_), "token")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
