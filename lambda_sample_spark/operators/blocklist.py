@@ -74,28 +74,39 @@ def blocklist_hits(
             gram_hash,
         )
 
-    probes = []
-    for length, plist in sorted(by_len.items()):
+    # ONE corpus scan for every phrase length (round 15 — was one
+    # base.select per length, so documents scanned once per distinct
+    # phrase length): a lengths->gram-array map explodes into
+    # (length, arr) rows, the inner explode yields the same
+    # (id, length, gram_h) stream the per-length probes produced, and
+    # the semi-join side carries the length so cross-length hash
+    # matches stay impossible (exactly the old per-length-probe
+    # semantics).
+    lens = sorted(by_len)
+    gram_arrays = []
+    side_rows = []
+    for length in lens:
         grams = F.transform(
             F.sequence(
                 F.lit(0), F.greatest(F.size("__t") - length, F.lit(0))
             ),
             gram_fn(length),
         )
-        side = spark.createDataFrame(
-            [(p,) for p in sorted(set(plist))], "phrase string"
-        ).select(
-            _gram_hash(F.col("phrase"), gram_hash).alias("gram_h")
+        gram_arrays.append(F.array_distinct(grams))
+        side_rows.extend(
+            (length, p) for p in sorted(set(by_len[length]))
         )
-        probes.append(
-            base.select(
-                id_col,
-                F.explode(F.array_distinct(grams)).alias("gram_h"),
-            ).join(F.broadcast(side), "gram_h", "left_semi")
-        )
-    hits = probes[0]
-    for p in probes[1:]:
-        hits = hits.unionByName(p)
+    m = F.map_from_arrays(
+        F.array(*[F.lit(L) for L in lens]), F.array(*gram_arrays)
+    )
+    side = spark.createDataFrame(
+        side_rows, "glen int, phrase string"
+    ).select("glen", _gram_hash(F.col("phrase"), gram_hash).alias("gram_h"))
+    hits = (
+        base.select(F.col(id_col), F.explode(m).alias("glen", "harr"))
+        .select(id_col, "glen", F.explode("harr").alias("gram_h"))
+        .join(F.broadcast(side), ["glen", "gram_h"], "left_semi")
+    )
     census = hits.groupBy(id_col).agg(
         F.count_distinct("gram_h").cast("bigint").alias("n_hits")
     )
