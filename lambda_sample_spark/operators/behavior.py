@@ -145,11 +145,15 @@ def markov_transitions(
     "what do users do next" product-analytics query, and the
     session-path cousin of the funnel above.
 
-    Shape: one lead() window partitioned by user (ordered by ms + the
-    event_id tiebreaker, the deterministic-window idiom), then a
-    grouped count on (src, dst) — a frame bounded by |types|², so the
-    per-src normalisation join broadcasts. Two data-sized shuffles
-    total, both on keys a cluster hashes evenly."""
+    Shape (round-15): one lead() window partitioned by user (ordered
+    by ms + the event_id tiebreaker, the deterministic-window idiom),
+    then a grouped count on (src, dst) — a frame bounded by |types|².
+    The per-src normalisation is a WINDOW sum over that bounded frame,
+    not an aggregate joined back: the lazy join-back shape re-derived
+    the fact window once per consumer (executed plan: events scanned
+    twice, 5 exchanges, 0 ReusedExchange), while the window consumes
+    the pairs lineage exactly once — one fact scan, one user-key
+    shuffle, one (src,dst) shuffle, plus one |types|²-row exchange."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(user_col).orderBy(ts_ms(), "event_id")
@@ -162,12 +166,12 @@ def markov_transitions(
         .groupBy("src", "dst")
         .agg(F.count("*").cast("bigint").alias("n_trans"))
     )
-    totals = pairs.groupBy("src").agg(F.sum("n_trans").alias("tot"))
-    return pairs.join(F.broadcast(totals), "src").select(
+    tot = F.sum("n_trans").over(Window.partitionBy("src"))
+    return pairs.select(
         "src",
         "dst",
         "n_trans",
-        r6(F.col("n_trans") / F.col("tot")).alias("prob"),
+        r6(F.col("n_trans") / tot).alias("prob"),
     )
 
 

@@ -402,12 +402,26 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per top token: (token, n_exact, n_est, no_undercount) — n_est is
     deterministic (md5 buckets), so both engines hash identical values;
     no_undercount (est >= exact, the CMS guarantee) must be TRUE on
-    every row by construction."""
+    every row by construction.
+
+    Round-15: the vocabulary-bounded (source, tok, cnt) census stages
+    through per-sf_dir scratch parquet — the sketch cells and the
+    exact totals both consume it, and left lazy each consumer re-ran
+    the corpus tokenize+explode pass (executed plan: documents
+    scanned twice, 0 ReusedExchange)."""
+    import hashlib
+    import os
+    import tempfile
+
     docs = documents(spark, sf_dir)
     toks = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("tok")
     )
     per_source = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_cms_{tag}", "per_source")
+    per_source.repartition(1).write.mode("overwrite").parquet(path)
+    per_source = spark.read.parquet(path)
     cells = cms_merge(cms_cells(per_source, "tok", "cnt", ["source"]))
     totals = per_source.groupBy("tok").agg(F.sum("cnt").alias("n_exact"))
     top = totals.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(

@@ -260,6 +260,7 @@ def resample_gapfill(
     step_ms: int = RESAMPLE_STEP_MS,
     key_col: str = "event_type",
     value_col: str = "value",
+    materialize=None,
 ) -> DataFrame:
     """Time-series resampling onto a fixed grid with gap-fill — the
     sensor-pipeline op between raw ingest and modeling: per key,
@@ -281,10 +282,15 @@ def resample_gapfill(
     small; one shuffle to slot-aggregate, one window pass per
     direction over the slot table (same partition key, same ordering:
     a single sort serves both frames). The slot-aggregate lineage is
-    consumed twice (extent + join) — two passes over the BOUNDED slot
-    table, cheaper than materializing at 100 TB where the raw events
-    behind it are the expensive part and are read once per pass by
-    the same aggregate.
+    consumed twice (extent + join): left lazy, each consumer
+    re-derives the aggregate from its own RAW events scan (executed
+    plan: events scanned twice, 0 ReusedExchange — the old claim
+    that the raw pass ran once per consumer undersold the cost,
+    because that raw pass IS the expensive part at 100 TB). The
+    contract row therefore passes ``materialize`` (round-15): the
+    bounded keys×slots table stages through per-sf_dir scratch
+    parquet, the raw events are scanned ONCE, and both consumers
+    read the staged table.
 
     Determinism/oracle: slot means are exact-integer-rounded 6dp
     averages (common.exact_avg6 — the q_tumbling_window hardening; the
@@ -300,6 +306,8 @@ def resample_gapfill(
         F.count("*").alias("n_obs"),
         exact_avg6(value_col).alias("v_raw"),
     )
+    if materialize is not None:
+        obs = materialize(obs, "slots")
     extent = obs.groupBy(key_col).agg(
         F.min("slot").alias("lo"), F.max("slot").alias("hi")
     )
@@ -347,8 +355,23 @@ def resample_gapfill(
 
 def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): hourly resample + LOCF + linear
-    interpolation of the events value series per event_type."""
-    return resample_gapfill(events(spark, sf_dir))
+    interpolation of the events value series per event_type.
+    Round-15: the bounded keys×slots aggregate stages through
+    per-sf_dir scratch parquet so the raw events scan runs once, not
+    once per consumer (extent + grid join)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_resample_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return resample_gapfill(events(spark, sf_dir), materialize=mat)
 
 
 

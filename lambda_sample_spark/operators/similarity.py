@@ -1255,7 +1255,7 @@ QUERIES_TAIL = {
 }
 
 
-def label_centroid_sim(emb: DataFrame) -> DataFrame:
+def label_centroid_sim(emb: DataFrame, materialize=None) -> DataFrame:
     """Embedding-space QA: per-label centroids and the pairwise
     cosine between them — the collapse/contamination monitor a
     training pipeline runs over labeled embedding corpora (two labels
@@ -1268,7 +1268,15 @@ def label_centroid_sim(emb: DataFrame) -> DataFrame:
     join runs entirely over that bounded centroid table. Per-term
     DECIMAL(28,10) accumulation at both levels keeps the oracle
     replay exact; float32 components widen to double losslessly
-    before any arithmetic."""
+    before any arithmetic.
+
+    ``materialize`` (round-15): optional hook that cuts the centroid
+    table's lineage before the self-join. Without it the pair join's
+    two sides each re-derive the corpus-sized explode+aggregate
+    (executed plan: embeddings scanned twice, 0 ReusedExchange); the
+    contract row passes the per-sf_dir scratch-parquet stager so the
+    corpus pass runs once and both join sides read the bounded
+    |labels|×dim table."""
     comp = emb.select(
         "label", F.posexplode("embedding").alias("pos", "xf")
     ).select("label", "pos", F.col("xf").cast("double").alias("x"))
@@ -1278,6 +1286,8 @@ def label_centroid_sim(emb: DataFrame) -> DataFrame:
             / F.count("x")
         ).alias("c")
     )
+    if materialize is not None:
+        cent = materialize(cent, "centroids")
     a = cent.select(F.col("label").alias("la"), "pos", F.col("c").alias("ca"))
     b = cent.select(F.col("label").alias("lb"), "pos", F.col("c").alias("cb"))
     dec = lambda c: c.cast("decimal(28,10)")  # noqa: E731
@@ -1302,10 +1312,24 @@ def label_centroid_sim(emb: DataFrame) -> DataFrame:
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): pairwise label-centroid cosines over
-    the embeddings table."""
+    the embeddings table. Round-15: the |labels|×dim centroid table
+    stages through per-sf_dir scratch parquet so the corpus-sized
+    explode+aggregate runs once, not once per self-join side."""
+    import hashlib
+    import os
+    import tempfile
+
     from .common import embeddings as _emb
 
-    return label_centroid_sim(_emb(spark, sf_dir))
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_labcent_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return label_centroid_sim(_emb(spark, sf_dir), materialize=mat)
 
 
 ORACLE["q_label_centroids"] = """

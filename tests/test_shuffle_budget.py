@@ -311,11 +311,17 @@ BUDGET = {
     # round 8: vocab token agg + the post-limit id window's single
     # exchange lineage + per-doc mean agg (vocab join broadcasts)
     "q_unigram_logprob": 3,
-    # round 7 promotion: day bottom-k window + month re-rank window +
-    # the two levels' exact-rank validation aggregates (each joined
-    # via a broadcast of the tiny estimate frame); the production read
-    # path is the day/month sample frames alone (2 exchanges)
-    "q_sampled_quantiles": 5,
+    # round 15 (staged day sketches, 4 corpus passes -> 2): the count
+    # rose 5 -> 7, but every exchange in the returned plan now moves
+    # bounded bytes — the staged-sketch re-aggregations (day estimate,
+    # month merge + re-rank, <= k rows per (day, event_type)) and the
+    # combined exact-rank validation's two grain aggregates (map-side
+    # partial combine first, so the exchange carries one row per grain
+    # group per map partition). The only corpus-sized shuffle left is
+    # the day bottom-k window inside the STAGING job (not this plan);
+    # the production read path is unchanged (day/month sample frames,
+    # 2 exchanges).
+    "q_sampled_quantiles": 7,
     "q_csv_scan": 0,
     "q_gen_regimes": 0,
     "q_json_codec": 0,
