@@ -127,12 +127,28 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The measure is the per-user event count (a right-skewed series, like
     the dashboard's response times); bounds computed per event_type.
+
+    Round-15: the per-user count table stages through per-sf_dir
+    scratch parquet — the bounds aggregate and the outlier filter both
+    consume it, and left lazy each consumer re-ran the raw events scan
+    and the (type, user) shuffle (executed plan: events scanned twice,
+    0 ReusedExchange). A per-type window for the bounds was rejected:
+    it would funnel every user of a type through one task, where the
+    staged table keeps the percentile's map-side partials distributed.
     """
+    import hashlib
+    import os
+    import tempfile
+
     per_user = (
         events(spark, sf_dir)
         .groupBy("event_type", "user_id")
         .agg(F.count("*").alias("cnt"))
     )
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"lss_iqr_{tag}", "per_user")
+    per_user.write.mode("overwrite").parquet(path)
+    per_user = spark.read.parquet(path)
     bounds = (
         per_user.groupBy("event_type")
         .agg(F.expr("percentile(cnt, array(0.25D, 0.75D))").alias("q"))
@@ -150,17 +166,22 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10: per-group count / grand total, two-level: aggregate first
-    (tiny frame), then divide by the grand total taken as a broadcast
-    scalar cross join — same single-pass-over-raw-data plan as the
-    ``sum over ()`` window formulation but with no single-partition
-    Window stage (and none of its WindowExec warnings)."""
+    """A10: per-group count / grand total. Round-15: the total is a
+    window sum over the aggregated counts — the old crossJoin-of-a-
+    scalar-aggregate shape claimed to share the single raw-data pass,
+    but the executed plan showed the total's lazy subtree re-deriving
+    the aggregate from a SECOND events scan (0 ReusedExchange). The
+    window's single-partition stage sees only the |event_types|-row
+    count frame, so the WindowExec single-partition warning it trades
+    for is bounded by construction."""
+    from pyspark.sql.window import Window
+
     counts = events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("total"))
-    return counts.crossJoin(F.broadcast(total)).select(
+    total = F.sum("cnt").over(Window.partitionBy())
+    return counts.select(
         "event_type",
         "cnt",
-        r6(F.col("cnt") / F.col("total")).alias("share"),
+        r6(F.col("cnt") / total).alias("share"),
     )
 
 

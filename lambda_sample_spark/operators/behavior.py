@@ -114,13 +114,23 @@ def cohort_retention(
     """Day-cohort retention matrix: users grouped by their first-seen
     day; for each (cohort day, day offset) the count of cohort users
     active that day and their event volume. Returns
-    (cohort_day_ms, offset_days, n_users, n_events)."""
+    (cohort_day_ms, offset_days, n_users, n_events).
+
+    Round-15: the cohort day is a min() WINDOW over the user
+    partition, not an aggregate joined back — the join-back shape
+    re-derived the fact scan on both join sides (executed plan:
+    events scanned twice, 0 ReusedExchange), while the window pays
+    the identical user-key shuffle the join paid and reads the fact
+    once."""
+    from pyspark.sql.window import Window
+
     day = F.unix_millis(F.date_trunc("day", "ts"))
-    firsts = ev.groupBy(user_col).agg(F.min(day).alias("cohort_day_ms"))
     DAY_MS = 86_400_000
     return (
         ev.select(user_col, day.alias("d"))
-        .join(firsts, user_col)
+        .withColumn(
+            "cohort_day_ms", F.min("d").over(Window.partitionBy(user_col))
+        )
         .groupBy(
             "cohort_day_ms",
             ((F.col("d") - F.col("cohort_day_ms")) / DAY_MS)

@@ -1279,9 +1279,14 @@ def inverted_index(
     materialize a full list anywhere; their df comes from a plain
     grouped count that never builds one.
 
-    Shape: distinct (term, doc) pairs via one grouped pass; per-term
-    df via a second; the cap is a sort-based (spill-safe) window on
-    the same term key; every shuffle hashes on the term."""
+    Shape (round-15): distinct (term, doc) pairs via one grouped
+    pass; per-term df is a window COUNT over the same term partition
+    the top-k cap's row_number already shuffles and sorts — the old
+    separate dfreq aggregate joined back re-derived the corpus-sized
+    tokenize+group pass on its own second scan (executed plan:
+    documents scanned twice, 0 ReusedExchange; the same defect —
+    and the same fix — as q_tfidf_topterms' df). One corpus pass,
+    every shuffle hashes on the term, no join."""
     from pyspark.sql.window import Window
 
     tok = docs.select(
@@ -1289,22 +1294,25 @@ def inverted_index(
         F.explode(_tokens(F.lower(F.col("text")))).alias("term"),
     ).where(F.col("term") != "")
     pairs = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    dfreq = pairs.groupBy("term").agg(
-        F.count("*").cast("bigint").alias("df")
-    ).where(F.col("df") >= min_df)
-    topk = pairs.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("term").orderBy("doc_id"))
-    ).where(F.col("rn") <= k)
-    postings = topk.groupBy("term").agg(
+    w_term = Window.partitionBy("term")
+    topk = (
+        pairs.withColumn("df", F.count("*").over(w_term).cast("bigint"))
+        .where(F.col("df") >= min_df)
+        .withColumn(
+            "rn", F.row_number().over(w_term.orderBy("doc_id"))
+        )
+        .where(F.col("rn") <= k)
+    )
+    return topk.groupBy("term").agg(
+        F.first("df").alias("df"),
         F.concat_ws(
             ",",
             F.transform(
                 F.array_sort(F.collect_list("doc_id")),
                 lambda x: x.cast("string"),
             ),
-        ).alias("postings")
-    )
-    return dfreq.join(postings, "term").select("term", "df", "postings")
+        ).alias("postings"),
+    ).select("term", "df", "postings")
 
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:

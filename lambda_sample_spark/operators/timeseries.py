@@ -91,11 +91,16 @@ def twap(ev: DataFrame) -> DataFrame:
     )
 
 
-def sensor_correlation(ev: DataFrame) -> DataFrame:
+def sensor_correlation(ev: DataFrame, materialize=None) -> DataFrame:
     """Pairwise Pearson correlation between event types over their
     hourly-mean series (types joined on shared hours, pairs kept once
     as a < b). The raw facts reduce to a |types| × |hours| series
-    table first; the pair join runs over that bounded frame. The five
+    table first; the pair join runs over that bounded frame —
+    ``materialize`` (round-15) cuts the series table's lineage before
+    the self-join, because left lazy each join side re-derived the
+    corpus-sized mean aggregate from its own raw scan (executed plan:
+    events scanned twice, 0 ReusedExchange); the contract row passes
+    the per-sf_dir scratch-parquet stager. The five
     moment sums (Σx, Σy, Σxy, Σx², Σy²) each accumulate per-term in
     DECIMAL(28,10) and the closed-form correlation is then a fixed
     double expression over exact inputs — both engines fold identical
@@ -111,6 +116,8 @@ def sensor_correlation(ev: DataFrame) -> DataFrame:
             ).alias("m")
         )
     )
+    if materialize is not None:
+        means = materialize(means, "hourly_means")
     a = means.select(
         F.col("event_type").alias("ta"),
         "hour_ms",
@@ -162,8 +169,23 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sensor_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contract (tail, round 9): pairwise hourly-mean correlations."""
-    return sensor_correlation(events(spark, sf_dir))
+    """Contract (tail, round 9): pairwise hourly-mean correlations.
+    Round-15: the |types|×|hours| series table stages through
+    per-sf_dir scratch parquet so the raw scan + mean aggregate run
+    once, not once per self-join side."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"lss_corr_{tag}")
+
+    def mat(df: DataFrame, name: str) -> DataFrame:
+        path = os.path.join(base, name)
+        df.repartition(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    return sensor_correlation(events(spark, sf_dir), materialize=mat)
 
 
 ORACLE = {
