@@ -41,14 +41,21 @@ def test_aggregates_partial(spark, sf_dir):
     assert audit.has_partial_agg(group_stats(spark, sf_dir))
 
 
-def test_share_of_total_has_no_global_window(spark, sf_dir):
-    """The grand total must come from a broadcast scalar aggregate of
-    the (tiny) grouped frame — no single-partition Window stage over
-    anything, and the raw events are scanned once per branch of the
-    self-referencing aggregate, never windowed."""
+def test_share_of_total_scans_events_once(spark, sf_dir):
+    """Round-15 invariant: the grand total is a window sum over the
+    ALREADY-AGGREGATED |event_types|-row count frame, so the raw
+    events are scanned exactly once (the old crossJoin-of-a-scalar
+    shape re-derived the aggregate from a second events scan — its
+    "no Window" pin protected a shape that was itself 2x the I/O).
+    A Window is allowed, but only ABOVE the aggregate: it must never
+    consume raw events."""
     plan = audit.simple_plan(share_of_total(spark, sf_dir))
-    assert "Window" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
     assert "HashAggregate" in plan
+    if "Window" in plan:
+        # plan prints top-down: the window must sit above (before)
+        # the aggregate, i.e. it windows the grouped frame, not events
+        assert plan.index("Window") < plan.index("HashAggregate"), plan
 
 
 def test_codegen_covers_hot_path(spark, sf_dir):
