@@ -3,11 +3,14 @@ composite workloads at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
 on local[$SPARK_GRAFT_CPUS] and prints ONE compact JSON line:
   {"metric": "...", "value": N, "unit": "sec", "sf": ..., ...}
 
-Per-query times live WHOLLY in bench_detail.json (committed to the
-repo): 120+ query names at ms precision do not fit the driver's ~2000
-char stdout tail window, so stdout carries aggregates (per-family
-totals, slowest queries, headline) and the detail file carries the
-complete {query: sec} map plus per-repeat maxima and sweep walls.
+The complete per-query map lives in bench_detail.json (committed to
+the repo): 145 query names at ms precision do not fit the driver's
+~2000 char stdout tail window (round 7 overflowed it and the driver's
+parse failed), so stdout carries aggregates (per-family totals,
+slowest queries, headline) plus a PINNED 43-row "queries" subset
+(STDOUT_QUERIES: flagship + most expensive rows, 63% of total wall;
+additions-only) and the detail file carries the complete {query: sec}
+map plus per-repeat maxima and sweep walls.
 
 Isolation: queries run in per-FAMILY subprocess sessions (a fresh JVM
 per ~10-15 queries) instead of one 91-query session. The round-9 A/B
@@ -224,6 +227,59 @@ FAMILIES: dict[str, list[str]] = {
 # longest-running family gets more samples so one stalled sweep can't
 # move a committed number by tens of percent.
 FAMILY_MIN_REPEATS = {"heavy": 5}
+
+# The per-query names echoed INSIDE the stdout JSON line (round-16,
+# verdict task 7). Pinned once — the flagship plus the 42 most
+# expensive rows by the committed r15 min-merge (63% of total wall) —
+# because the driver parses the line from a 2000-char stdout tail and
+# the full 145-row map cannot fit (round 7 proved the overflow breaks
+# the parse). Additions-only per the driver contract: names may be
+# appended, never removed or renamed.
+STDOUT_QUERIES = [
+    "q_fast_anomaly",
+    "x_ingest_batch",
+    "x_stream_bottomk",
+    "q_winnow_near_dup",
+    "q_connected_components",
+    "q_substring_dedup",
+    "x_winnow_neardup_prod",
+    "x_serving_sla",
+    "x_substring_prod",
+    "q_ccnet_buckets",
+    "q_nb_quality",
+    "x_nbq_prod",
+    "q_bloom_contamination",
+    "x_bloom_prod",
+    "q_dsir_scores",
+    "q_pagerank_nations",
+    "q_ngram_jaccard",
+    "q_range_window_stats",
+    "q_cooccur_lift",
+    "q_dedup_near",
+    "q_tpch_q21",
+    "q_lang_id",
+    "q_image_phash_dedup",
+    "q_rf_predict",
+    "q_video_near_dup",
+    "q_semantic_dedup",
+    "q_tpch_q2",
+    "q_sampled_quantiles",
+    "q_contamination",
+    "q_data_checks",
+    "q_repetition_stats",
+    "q_audio_near_dup",
+    "q_pq_adc_topk",
+    "q_blocklist_hits",
+    "q_data_profile",
+    "q_bpe_tokens",
+    "q_ann_lsh_topk",
+    "q_drift_psi",
+    "q_simhash",
+    "q_tpch_q11",
+    "q_semi_anti_join",
+    "q_tpch_q5",
+    "q_resample_gapfill",
+]
 
 # contract row -> its production twin (same semantics, no oracle
 # seam); seam_overhead in bench_detail.json is contract/production
@@ -703,9 +759,17 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only the LAST ~2000 chars of stdout and
-    # parses the JSON line it finds there. 91 per-query times do not
-    # fit, so stdout carries aggregates and the complete per-query map
+    # parses the JSON line it finds there (proven: round 7 emitted the
+    # full map, the line overflowed the window and the driver's parse
+    # FAILED — BENCH_r07.json parsed:null). 145 per-query times do not
+    # fit, so stdout carries aggregates plus a PINNED 43-row subset of
+    # the contract's per-query map (the flagship + the most expensive
+    # rows by the r15 min-merge, 63% of total wall — chosen once,
+    # additions-only per the driver contract) and the complete map
     # lives in bench_detail.json (COMMITTED — the judge reads it).
+    stdout_queries = {
+        n: round(timings[n], 2) for n in STDOUT_QUERIES if n in timings
+    }
     out = {
         "metric": "fast_anomaly_sec",
         # ONLY-filtered experiment runs may exclude the flagship
@@ -720,7 +784,8 @@ def main() -> None:
         # host-noise indicator: worst within-family spread of sweep walls
         "sweep_spread": round(max(spreads), 3) if spreads else None,
         "isolation": "single" if single else "per-family-session",
-        "queries": "see bench_detail.json (committed)",
+        "queries": stdout_queries,
+        "queries_note": "pinned 43-row subset; full 145-row map in bench_detail.json",
     }
     detail = dict(
         out,
@@ -740,7 +805,12 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     line = json.dumps(out)
-    # hard guard: never exceed the driver's capture window
+    # hard guard: never exceed the driver's capture window. Degrade
+    # gracefully (drop trailing pinned entries) instead of failing the
+    # whole bench on an unusually wide value.
+    while len(line) >= 1900 and out["queries"]:
+        out["queries"].pop(next(reversed(out["queries"])))
+        line = json.dumps(out)
     assert len(line) < 1900, f"bench JSON line {len(line)} chars; slim it"
     print(line)
 

@@ -50,6 +50,19 @@ def codegen_span_count(df: DataFrame) -> int:
     return plan.count("*(")
 
 
+_SCAN_NODE = re.compile(r"\b(?:File|Batch)Scan\b")
+
+
+def scan_count(df_or_plan) -> int:
+    """Count scan nodes by whole node name — matches both the DSv1
+    `FileScan` and DSv2 `BatchScan` spellings so single-scan pins are
+    about scan COUNT, not scan-node spelling (round-16 advice item 3:
+    `plan.count("Scan parquet")` silently reads 0 if the source moves
+    to a DSv2 reader, and miscounts if the format changes)."""
+    plan = df_or_plan if isinstance(df_or_plan, str) else simple_plan(df_or_plan)
+    return len(_SCAN_NODE.findall(plan))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df)
 

@@ -1,4 +1,4 @@
-"""Round-15 optimization measurement harness.
+"""Round-15/16 optimization measurement harness.
 
 For each named contract query: run it end-to-end through the noop sink
 (guide §1.4) in a fresh-ish session, record min/median wall seconds
@@ -40,6 +40,7 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", type=int, default=16, help="plans/r{N}/ dump dir")
     ap.add_argument("--out", default=None, help="write the JSON summary here too")
     args = ap.parse_args()
     names = [n.strip() for n in args.names.split(",") if n.strip()]
@@ -49,9 +50,9 @@ def main() -> None:
     from lambda_sample_spark.session import get_spark
 
     queries = entrymod.queries()
-    spark = get_spark(app_name="opt-measure-r15")
+    spark = get_spark(app_name=f"opt-measure-r{args.round}")
 
-    plans_dir = Path(REPO) / "plans" / "r15"
+    plans_dir = Path(REPO) / "plans" / f"r{args.round}"
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     fns = {}

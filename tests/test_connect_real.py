@@ -35,6 +35,9 @@ REPO = Path(__file__).resolve().parent.parent
 SMOKE_SF = "/root/testdata/sf0.001"
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

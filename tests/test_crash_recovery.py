@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from lambda_sample_spark.sources import warehouse as W
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 class Boom(RuntimeError):
     pass
 

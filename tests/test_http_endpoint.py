@@ -17,6 +17,9 @@ from pyspark.sql import functions as F
 from lambda_sample_spark.streaming.http_endpoint import ServingEndpoint
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 @pytest.fixture(scope="module")
 def entry_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("entries") / "log")

@@ -20,6 +20,9 @@ from tests.mqtt_broker import MiniBroker
 # --- codec -------------------------------------------------------------
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 def test_varint_spec_boundaries():
     # spec §2.2.3 table: the four length-band boundaries
     cases = {

@@ -20,6 +20,9 @@ from lambda_sample_spark.io import load_table
 from lambda_sample_spark.sources.warehouse import read_versioned
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 @pytest.fixture(scope="module")
 def state(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

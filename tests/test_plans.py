@@ -49,13 +49,18 @@ def test_share_of_total_scans_events_once(spark, sf_dir):
     "no Window" pin protected a shape that was itself 2x the I/O).
     A Window is allowed, but only ABOVE the aggregate: it must never
     consume raw events."""
+    import re
+
     plan = audit.simple_plan(share_of_total(spark, sf_dir))
-    assert plan.count("Scan parquet") == 1, plan
+    assert audit.scan_count(plan) == 1, plan
     assert "HashAggregate" in plan
-    if "Window" in plan:
+    # whole-node match: a bare "Window" substring would also match
+    # WindowGroupLimit (round-16 advice item 3)
+    w = re.search(r"\bWindow\b(?!GroupLimit)", plan)
+    if w:
         # plan prints top-down: the window must sit above (before)
         # the aggregate, i.e. it windows the grouped frame, not events
-        assert plan.index("Window") < plan.index("HashAggregate"), plan
+        assert w.start() < plan.index("HashAggregate"), plan
 
 
 def test_codegen_covers_hot_path(spark, sf_dir):

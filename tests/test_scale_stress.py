@@ -53,6 +53,9 @@ SHUFFLE_SLACK = 1.75  # shuffle bytes may grow <= slack * linear
 WALL_SLACK = 3.0  # wall time (noisy) may grow <= slack * linear
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 def _shuffle_written(spark) -> int:
     """Total shuffle-write bytes this app, summed over executor
     summaries (local mode: the one driver-executor). Deltas around an

@@ -25,6 +25,9 @@ from pyspark.sql import functions as F
 SF01 = "/root/testdata/sf0.1"
 
 
+pytestmark = pytest.mark.slow  # live-service/load/scale tier (round-16 task 1)
+
+
 @pytest.fixture(scope="module")
 def sf01_entry_dir(spark, tmp_path_factory):
     """Entry log derived from the sf0.1 events table: event_type is
@@ -60,22 +63,39 @@ def _p(spark, lats: list[float], q: float) -> float:
     return df.agg(F.expr(f"percentile(sec, {q}D)").alias("p")).collect()[0].p
 
 
+class _LatencyBreach(AssertionError):
+    """A pure-latency SLA assert failed — the only failure class the
+    best-of-2 retry may swallow. Functional contract pins (compute
+    counts, row counts, payload shapes) raise plain AssertionError and
+    are NEVER retried (round-16, advice item 1: retrying them would let
+    a probabilistic functional regression pass whenever one of two runs
+    got lucky)."""
+
+
+def _sla(cond: bool, msg: str) -> None:
+    if not cond:
+        raise _LatencyBreach(msg)
+
+
 def test_hey_envelope_sf01_p99_sla(spark, sf01_entry_dir, tmp_path):
     """Best-of-2 (round-15): this box shows documented multi-second
     host stalls (the r13/r14 family-stomp noise class; a stall during
     one of the 5 TTL-refresh waves inflates a single recompute past
     the 5 s envelope and with it the 500-sample p99). One full retry
     against a FRESH endpoint is the latency-test analogue of the
-    bench's min-of-N repeats: a real SLA regression fails both runs."""
+    bench's min-of-N repeats: a real SLA regression fails both runs.
+    Round-16: only _LatencyBreach (the p99/median asserts) is retried;
+    a functional-pin failure propagates from the first attempt."""
     for attempt in range(2):
         try:
             _run_hey_envelope(
                 spark, sf01_entry_dir, str(tmp_path / f"m{attempt}")
             )
             return
-        except AssertionError:
+        except _LatencyBreach as e:
             if attempt == 1:
                 raise
+            print(f"\n[serving-sla] attempt 1 latency breach, retrying: {e}")
 
 
 def _run_hey_envelope(spark, sf01_entry_dir, metrics_dir):
@@ -116,21 +136,23 @@ def _run_hey_envelope(spark, sf01_entry_dir, metrics_dir):
         p99_root = _p(spark, root_lats, 0.99)
         p99_stress = _p(spark, stress_lats, 0.99)
         p50_stress = _p(spark, stress_lats, 0.5)
-        assert p99_root < 5.0, f"/: p99={p99_root:.3f}s breaches the 5s SLA"
-        assert p99_stress < 5.0
+        _sla(p99_root < 5.0, f"/: p99={p99_root:.3f}s breaches the 5s SLA")
+        _sla(p99_stress < 5.0, f"/stress: p99={p99_stress:.3f}s breaches the 5s SLA")
         # the two-mode split: the cache route's TYPICAL read is an
         # order of magnitude under the recompute-paying route's tail
         # (p99 of / includes the 5+ mutex-blocked request groups around
         # each refresh), and its own tail never exceeds that tail. The
         # median is the split statistic — a single host-noise spike on
         # a cache read must not flip the verdict.
-        assert p99_stress <= p99_root, (
+        _sla(
+            p99_stress <= p99_root,
             f"/stress p99={p99_stress * 1e3:.1f}ms above "
-            f"/ p99={p99_root * 1e3:.1f}ms"
+            f"/ p99={p99_root * 1e3:.1f}ms",
         )
-        assert p50_stress < p99_root / 10.0, (
+        _sla(
+            p50_stress < p99_root / 10.0,
             f"/stress p50={p50_stress * 1e3:.1f}ms not << "
-            f"/ p99={p99_root * 1e3:.1f}ms"
+            f"/ p99={p99_root * 1e3:.1f}ms",
         )
 
         # the box-plot row the reference's dashboard computes from its
