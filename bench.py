@@ -493,6 +493,23 @@ def bench_stream_bottomk(spark, sf_dir: str) -> None:
             .start()
         )
         q.awaitTermination(600)
+        # per-leg walls from the engine's own progress events (verdict
+        # r15 task 3: name the dominant leg): durationMs is per
+        # micro-batch — sum across the run's batches. addBatch is the
+        # actual stateful work; the rest is trigger machinery.
+        legs: dict[str, float] = {}
+        n_batches = 0
+        for p in q.recentProgress:
+            n_batches += 1
+            for leg, ms in (p.get("durationMs") or {}).items():
+                legs[f"dur.{leg}"] = legs.get(f"dur.{leg}", 0.0) + ms / 1e3
+            for so in p.get("stateOperators") or []:
+                for leg in ("commitTimeMs",):
+                    legs[f"state.{leg}"] = (
+                        legs.get(f"state.{leg}", 0.0) + so.get(leg, 0) / 1e3
+                    )
+        legs["n_batches"] = float(n_batches)
+        _record_legs("x_stream_bottomk", {k: round(v, 4) for k, v in legs.items()})
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 
 def as_double(v: Column) -> Column:
-    return F.transform(v, lambda x: x.cast("double"))
+    """Native array cast, not transform(x -> cast(x)): Cast of
+    array<float> to array<double> is a codegen expression while the
+    higher-order transform is interpreted per element (round-16, guide
+    §4.1). Bit-identical — both widen each float32 exactly."""
+    return v.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

@@ -396,7 +396,6 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
     def bucket_ids(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        out = []
         mat = np.array(vecs.tolist(), dtype=np.float64)
         if mat.ndim != 2 or mat.size == 0:
             return pd.Series([[0] * n_tables] * len(vecs))
@@ -412,10 +411,9 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
         planes = 2.0 * (s / lcg_m) - 1.0  # (dim, n_tables*n_bits)
         bits = (mat @ planes) > 0  # (batch, n_tables*n_bits)
         weights = (1 << np.arange(n_bits)).astype(np.int64)
-        for row in bits:
-            sigs = row.reshape(n_tables, n_bits) @ weights
-            out.append([int(s) for s in sigs])
-        return pd.Series(out)
+        # one batch-wide matmul, not a per-row Python loop (guide §4.2)
+        sigs = bits.reshape(len(vecs), n_tables, n_bits) @ weights
+        return pd.Series(sigs.tolist())
 
     return emb.select(
         "vec_id",
@@ -425,10 +423,17 @@ def _lsh_signatures(emb: DataFrame, n_bits: int) -> DataFrame:
 
 
 def ann_candidates(
-    emb: DataFrame, n_bits: int, queries: DataFrame | None = None
+    emb: DataFrame,
+    n_bits: int,
+    queries: DataFrame | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """(q_id, q_vec, c_id, vec) candidate pairs: union over hash
     tables of same-bucket vectors, deduped per (query, candidate).
+    ``dedup=False`` returns the raw per-(table, probe) copies so a
+    scoring consumer can dedup AFTER projecting away the vector
+    payloads (see _rerank_topk — round-16): the wide dedup here costs
+    an exchange + two SortAggregates carrying both vectors per row.
 
     Multi-probe: each QUERY probes its own bucket plus every bucket at
     Hamming distance 1 (one flipped signature bit) in every table —
@@ -477,23 +482,38 @@ def ann_candidates(
             )
         ).alias("bucket"),
     )
-    return (
+    pairs = (
         sigs.join(F.broadcast(q), on=["table", "bucket"])
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
-        .dropDuplicates(["q_id", "c_id"])
     )
+    return pairs.dropDuplicates(["q_id", "c_id"]) if dedup else pairs
 
 
-def _rerank_topk(cands: DataFrame, k: int = TOP_K) -> DataFrame:
+def _rerank_topk(
+    cands: DataFrame, k: int = TOP_K, unique_pairs: bool = False
+) -> DataFrame:
     """Exact cosine re-rank of a (q_id, q_vec, c_id, vec) candidate
     frame to (q_id, c_id, cos, rk) — the shared tail of every ANN
     path (LSH, IVF in-memory, IVF persisted-index probe); one place
     owns the rounding and the (cos DESC, c_id ASC) tie-break so the
-    paths cannot drift apart."""
+    paths cannot drift apart.
+
+    Pair dedup happens HERE, after scoring (round-16, guide §2.3):
+    ``cos`` is a pure function of the pair, so duplicate candidate
+    copies (one per agreeing LSH table/probe) carry identical scores
+    and the dedup can run over the narrow (q_id, c_id, cos) frame —
+    a HashAggregate over 24-byte rows — instead of dragging both
+    dim-sized vector payloads through an exchange and two
+    SortAggregates (first() on array types forces the sort path).
+    ``unique_pairs=True`` skips the dedup outright for producers whose
+    pairs are unique by construction (IVF: a candidate lives in
+    exactly one cell, each query probes distinct cells)."""
     scored = cands.select(
         "q_id", "c_id", r6(cosine(F.col("q_vec"), F.col("vec"))).alias("cos")
     )
+    if not unique_pairs:
+        scored = scored.dropDuplicates(["q_id", "c_id"])
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -508,8 +528,11 @@ def ann_lsh_search(
     """Generic ANN search: top-k cosine neighbors from the multi-probe
     LSH candidates for an arbitrary (q_id, q_vec) query frame (or the
     contract probe set when None). The reusable surface behind
-    q_ann_lsh_topk."""
-    return _rerank_topk(ann_candidates(emb, n_bits, queries), k)
+    q_ann_lsh_topk. Candidates flow through raw (dedup=False) and are
+    deduped post-scoring on the narrow (q_id, c_id, cos) frame —
+    identical rows out (cos is a pure function of the pair), one
+    vector-payload exchange less (round-16, guide §2.3)."""
+    return _rerank_topk(ann_candidates(emb, n_bits, queries, dedup=False), k)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -732,11 +755,17 @@ def ivf_candidates(
         .where(F.col("cell_rk") <= nprobe)
         .select("q_id", "q_vec", "cluster")
     )
+    # no pair dedup needed: a corpus vector lives in exactly ONE cell
+    # (ivf_index assignment is argmax per vec_id) and each query probes
+    # DISTINCT cells (row_number over the centroid cross join), so the
+    # cluster join emits every (q_id, c_id) at most once — the old
+    # defensive dropDuplicates cost an exchange + SortAggregate
+    # carrying both vector payloads for an identity operation
+    # (round-16, guide §2.4)
     return (
         assigned.join(F.broadcast(probed), "cluster")
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec")
-        .dropDuplicates(["q_id", "c_id"])
     )
 
 
@@ -759,7 +788,7 @@ def ivf_topk(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
     cands = ivf_candidates(emb, nprobe, n=parquet_num_rows(sf_dir, "embeddings"))
-    return _rerank_topk(cands, TOP_K)
+    return _rerank_topk(cands, TOP_K, unique_pairs=True)
 
 
 def ivf_write_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
@@ -846,10 +875,12 @@ def ivf_probe_index(
     cands = cells.join(F.broadcast(probed), "cluster")
     if exclude_query_ids:
         cands = cands.where(F.col("vec_id") != F.col("q_id"))
+    # unique by construction: one cell per candidate, distinct probed
+    # cells per query — see ivf_candidates (round-16)
     cands = cands.select(
         "q_id", "q_vec", F.col("vec_id").alias("c_id"), "vec"
-    ).dropDuplicates(["q_id", "c_id"])
-    return _rerank_topk(cands, top_k)
+    )
+    return _rerank_topk(cands, top_k, unique_pairs=True)
 
 
 SEMDEDUP_THRESHOLD = 0.9

@@ -38,6 +38,26 @@ def read_schemas(df: DataFrame) -> list[str]:
     return re.findall(r"ReadSchema: (\S+)", plan)
 
 
+def scan_read_schemas(df: DataFrame) -> list[tuple[str, str]]:
+    """(location, ReadSchema) per scan node, in plan order — lets a
+    test assert column pruning PER TABLE when a query scans several
+    (round-16, guide §6.2). Location and ReadSchema lines belong to
+    the same scan's details block; scans print one Location each."""
+    plan = formatted_plan(df)
+    out: list[tuple[str, str]] = []
+    loc = None
+    for line in plan.splitlines():
+        m = re.search(r"Location: \w+ \[([^\]]*)\]", line)
+        if m:
+            loc = m.group(1)
+            continue
+        m = re.search(r"ReadSchema: (\S+)", line)
+        if m and loc is not None:
+            out.append((loc, m.group(1)))
+            loc = None
+    return out
+
+
 def codegen_span_count(df: DataFrame) -> int:
     """Count WholeStageCodegen spans. Under AQE the plan is only final
     after execution, so force the query through a noop sink first."""

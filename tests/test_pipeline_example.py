@@ -27,6 +27,11 @@ STAGES = [
 ]
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # scale/e2e tier (round-16 task 1)
+
+
 def _run(spark, sf_dir, tmp_path, tag):
     from pretrain_pipeline import run_pipeline
 

@@ -63,6 +63,45 @@ def test_share_of_total_scans_events_once(spark, sf_dir):
         assert w.start() < plan.index("HashAggregate"), plan
 
 
+def test_big_table_scans_are_column_pruned(spark, sf_dir):
+    """Round-16 (guide §6.2, verdict task 6): the hot contract paths'
+    scans of the big tables must read ONLY the columns they use — the
+    wide payload columns (events.props, documents.text where unused,
+    embeddings.label) are the cheapest remaining scan savings at
+    100 TB. Asserted per (query, table): every scan of that table in
+    the plan excludes the banned columns."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    cases = [
+        # flagship: events scan needs (event_type, ts, value) only
+        ("q_fast_anomaly", "events.parquet", {"props", "user_id"}),
+        # text kernel rows: documents metadata stays unread
+        ("q_simhash", "documents.parquet", {"lang", "source", "n_chars"}),
+        ("q_contamination", "documents.parquet", {"lang", "source", "n_chars"}),
+        # ANN rows: the label column must not ride the vector scan
+        ("q_ann_lsh_topk", "embeddings.parquet", {"label"}),
+        ("q_similarity_topk", "embeddings.parquet", {"label"}),
+        # tpch q6: only the four predicate/aggregate columns
+        (
+            "q_tpch_q6",
+            "lineitem.parquet",
+            {"l_orderkey", "l_returnflag", "l_linestatus", "l_tax"},
+        ),
+    ]
+    for name, table, banned in cases:
+        df = q[name](spark, sf_dir)
+        pairs = [
+            (loc, schema)
+            for loc, schema in audit.scan_read_schemas(df)
+            if table in loc
+        ]
+        assert pairs, f"{name}: no scan of {table} found"
+        for loc, schema in pairs:
+            hit = {c for c in banned if c in schema}
+            assert not hit, f"{name} reads unused {hit} from {table}: {schema}"
+
+
 def test_codegen_covers_hot_path(spark, sf_dir):
     df = group_stats(spark, sf_dir)
     assert audit.codegen_span_count(df) >= 1

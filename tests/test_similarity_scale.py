@@ -26,6 +26,11 @@ from lambda_sample_spark.operators.similarity import (
 )
 
 
+import pytest
+
+pytestmark = pytest.mark.slow  # scale/e2e tier (round-16 task 1)
+
+
 def test_lsh_bits_grow_with_corpus():
     # clamps at both ends
     assert lsh_bits_for(0) == LSH_MIN_BITS
