@@ -208,28 +208,27 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     way — no string serialization and no crypto hash in the hot loop.
     One 64-bit hash would birthday-collide at 100 TB deletion-key
     counts (~1e11 keys => hundreds of expected collisions => wrong
-    J=1.0 pairs); two seeds put collisions at ~1e-17. The shared
-    aggregate subtrees (sets, groups) stage through per-sf_dir scratch
-    parquet (round 15): ReuseExchange does NOT merge their many
-    consumers' subplans in practice (measured 11 scans / 23 exchanges
-    in the executed lazy plan — pruning makes the exchanges
-    non-canonical), and nothing may stay persisted in a long-lived
-    session (test_no_cache_leak), so the overwrite-scratch cut is the
-    sanctioned shape.
+    J=1.0 pairs); two seeds put collisions at ~1e-17.
+
+    Round 15 staged the shared aggregate subtrees (sets, groups)
+    through per-sf_dir scratch parquet (the lazy plan re-derives them
+    11-scans/23-exchanges wide). Round-16: the sf1 A/B measured the
+    staged shape 1.37x SLOWER at sf1 (7.79->10.70 s; +0.39 s at
+    sf0.1 too) — the lazy re-derivations run as parallel stages over
+    page-cached input while the two scratch writes serialize the whole
+    row — so LAZY is the default again and the staging sits behind
+    SPARK_GRAFT_STAGE_SHARED=1 (common.stage_shared_enabled;
+    equivalence pinned in test_eager_seams).
     """
+    from .common import scratch_stage, stage_shared_enabled
+
     t = JACCARD_THRESHOLD
     docs = documents(spark, sf_dir)
-    import hashlib
-    import os
-    import tempfile
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"lss_njac_{tag}")
-
-    def mat(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(base, name)
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    mat = None
+    if stage_shared_enabled():
+        def mat(df: DataFrame, name: str) -> DataFrame:
+            return scratch_stage(spark, df, "njac", sf_dir, name)
 
     membership, groups = _ngram_sets(docs, materialize=mat)
 

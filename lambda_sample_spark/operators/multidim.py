@@ -404,24 +404,24 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     no_undercount (est >= exact, the CMS guarantee) must be TRUE on
     every row by construction.
 
-    Round-15: the vocabulary-bounded (source, tok, cnt) census stages
-    through per-sf_dir scratch parquet — the sketch cells and the
-    exact totals both consume it, and left lazy each consumer re-ran
-    the corpus tokenize+explode pass (executed plan: documents
-    scanned twice, 0 ReusedExchange)."""
-    import hashlib
-    import os
-    import tempfile
+    Round-15 staged the vocabulary-bounded (source, tok, cnt) census
+    through per-sf_dir scratch parquet (the sketch cells and the exact
+    totals both consume it; lazy, documents is tokenized twice).
+    Round-16: the sf1 A/B measured the staged shape 1.29x SLOWER at
+    sf1 (7.11->9.17 s; also slower at sf0.1) — LAZY is the default
+    again, staging behind SPARK_GRAFT_STAGE_SHARED=1
+    (common.stage_shared_enabled; equivalence in test_eager_seams)."""
+    from .common import scratch_stage, stage_shared_enabled
 
     docs = documents(spark, sf_dir)
     toks = docs.select(
         "source", F.explode(F.split(F.trim("text"), r"[ \t\n\x0B\f\r]+")).alias("tok")
     )
     per_source = toks.groupBy("source", "tok").agg(F.count("*").alias("cnt"))
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"lss_cms_{tag}", "per_source")
-    per_source.repartition(1).write.mode("overwrite").parquet(path)
-    per_source = spark.read.parquet(path)
+    if stage_shared_enabled():
+        per_source = scratch_stage(
+            spark, per_source.repartition(1), "cms", sf_dir, "per_source"
+        )
     cells = cms_merge(cms_cells(per_source, "tok", "cnt", ["source"]))
     totals = per_source.groupBy("tok").agg(F.sum("cnt").alias("n_exact"))
     top = totals.orderBy(F.col("n_exact").desc(), F.col("tok").asc()).limit(
@@ -539,19 +539,18 @@ def sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate's true rank sits within BOTTOMK_RANK_TOL of 0.5. The
     estimate values themselves are hash-compared — deterministic
     sampling makes them identical across engines."""
-    import hashlib
-    import os
-    import tempfile
-
     ev = events(spark, sf_dir)
-    # stage the day sketches once (round 15, guide §2.4): they feed
-    # the day estimate AND the month merge, so the corpus-sized
-    # bottom-k window would run once per consumer left lazy. Bounded:
-    # ≤ k rows per (day, event_type).
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(), f"lss_bk_{tag}", "day_s")
-    bottomk_day_samples(ev).write.mode("overwrite").parquet(path)
-    day_s = spark.read.parquet(path)
+    # Round 15 staged the day sketches (they feed the day estimate AND
+    # the month merge; lazy the bottom-k window runs once per
+    # consumer). Round-16: sf1 A/B measured the staged shape 1.14x
+    # SLOWER (2.51->2.87 s; also slower at sf0.1) — lazy default, the
+    # staging behind SPARK_GRAFT_STAGE_SHARED=1. The round-15 fused
+    # single-pass validation below is kept (that one was a win).
+    from .common import scratch_stage, stage_shared_enabled
+
+    day_s = bottomk_day_samples(ev)
+    if stage_shared_enabled():
+        day_s = scratch_stage(spark, day_s, "bk", sf_dir, "day_s")
     month_s = bottomk_merge(day_s, "month")
 
     # ONE exact validation pass for both levels (round 15, guide

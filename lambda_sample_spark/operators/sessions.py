@@ -356,20 +356,20 @@ def resample_gapfill(
 def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): hourly resample + LOCF + linear
     interpolation of the events value series per event_type.
-    Round-15: the bounded keys×slots aggregate stages through
-    per-sf_dir scratch parquet so the raw events scan runs once, not
-    once per consumer (extent + grid join)."""
-    import hashlib
-    import os
-    import tempfile
+    Round 15 staged the bounded keys×slots aggregate through
+    per-sf_dir scratch so the raw events scan runs once, not once per
+    consumer (extent + grid join); round-16 sf1 A/B measured the
+    staged shape 1.15x SLOWER at sf1 (1.29->1.49 s; also slower at
+    sf0.1) — lazy default, staging behind SPARK_GRAFT_STAGE_SHARED=1
+    (equivalence in test_eager_seams)."""
+    from .common import scratch_stage, stage_shared_enabled
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"lss_resample_{tag}")
-
-    def mat(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(base, name)
-        df.repartition(1).write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    mat = None
+    if stage_shared_enabled():
+        def mat(df: DataFrame, name: str) -> DataFrame:
+            return scratch_stage(
+                spark, df.repartition(1), "resample", sf_dir, name
+            )
 
     return resample_gapfill(events(spark, sf_dir), materialize=mat)
 

@@ -1343,22 +1343,21 @@ def label_centroid_sim(emb: DataFrame, materialize=None) -> DataFrame:
 
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract (tail, round 9): pairwise label-centroid cosines over
-    the embeddings table. Round-15: the |labels|×dim centroid table
-    stages through per-sf_dir scratch parquet so the corpus-sized
-    explode+aggregate runs once, not once per self-join side."""
-    import hashlib
-    import os
-    import tempfile
-
+    the embeddings table. Round 15 staged the |labels|×dim centroid
+    table through per-sf_dir scratch so the corpus-sized
+    explode+aggregate runs once, not once per self-join side; round-16
+    sf1 A/B measured the staged shape 1.15x SLOWER at sf1 (2.25->2.59
+    s; also slower at sf0.1) — lazy default, staging behind
+    SPARK_GRAFT_STAGE_SHARED=1 (equivalence in test_eager_seams)."""
     from .common import embeddings as _emb
+    from .common import scratch_stage, stage_shared_enabled
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    base = os.path.join(tempfile.gettempdir(), f"lss_labcent_{tag}")
-
-    def mat(df: DataFrame, name: str) -> DataFrame:
-        path = os.path.join(base, name)
-        df.repartition(1).write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+    mat = None
+    if stage_shared_enabled():
+        def mat(df: DataFrame, name: str) -> DataFrame:
+            return scratch_stage(
+                spark, df.repartition(1), "labcent", sf_dir, name
+            )
 
     return label_centroid_sim(_emb(spark, sf_dir), materialize=mat)
 

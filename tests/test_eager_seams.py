@@ -32,6 +32,36 @@ def test_seasonal_baseline_eager_equals_lazy(spark):
     ) == _rows(seasonal_baseline(spark, SMOKE_SF_DIR))
 
 
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "q_ngram_jaccard",
+        "q_cms_heavy_hitters",
+        "q_iqr_outliers",
+        "q_label_centroids",
+        "q_resample_gapfill",
+        "q_sampled_quantiles",
+    ],
+)
+def test_scratch_staged_equals_lazy(spark, qname, monkeypatch):
+    """Round-16: these six rows went back to LAZY defaults (the sf1
+    A/B measured their round-15 scratch stagings slower at both
+    sf0.1 and sf1); the staged shape stays available behind
+    SPARK_GRAFT_STAGE_SHARED=1 for corpus scale and must return
+    IDENTICAL rows."""
+    import __spark_entry__ as e
+
+    q = e.queries()[qname]
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_SHARED", raising=False)
+    lazy = _rows(q(spark, SMOKE_SF_DIR))
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_SHARED", "1")
+    staged = _rows(q(spark, SMOKE_SF_DIR))
+    assert staged == lazy
+
+
 def test_hll_rollup_materialized_day_equals_lazy(spark, tmp_path):
     # the DAY level is merge-free, so staging must be bit-identical;
     # the month level merges sketches whose HIP estimator is
