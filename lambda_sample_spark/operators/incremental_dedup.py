@@ -167,21 +167,26 @@ def ingest_batch(
     # decreases rep ids, so chains are acyclic and doubling converges
     # in ceil(log2(chain)) rounds). Rounds materialize to scratch
     # parquet — the rep frame is batch-sized and narrow, and
-    # lineage-only iteration doubles the plan per round. The fixpoint
-    # test ("this round changed 0 rows" — equivalent to "no dangling
-    # rep": a dangling rep's parent row would rewrite it) is computed
-    # as a per-row _chg flag DURING each round's join and read back
-    # from the just-written parquet with an any-row probe
-    # (limit(1).count() — footer reads + early exit, pennies next to
-    # the old shape's full dangling-census semi-join + count() job per
-    # round). The unconditional doubling bound ceil(log2(n)) backstops
-    # the loop (chain length <= batch size n; the n count on the
-    # materialized round-0 parquet is metadata-only). NOTE: do NOT
-    # "optimize" the probe into a df.observe()/Observation metric —
-    # first use initializes the session's lazy ObservationManager
-    # (Spark 4.1), which is not serializable and breaks every later
-    # closure that captures the session (e.g. MLlib training
-    # summaries) with "Task not serializable".
+    # lineage-only iteration doubles the plan per round. Round-16:
+    # each materialized round applies TWO jumps (jump² — both are
+    # broadcast joins over the same batch-sized parquet, riding one
+    # stage), and the per-row _chg flag records whether the SECOND
+    # jump moved anything: _chg all-false means the first jump's
+    # result was already the fixpoint, so the round that reaches the
+    # fixpoint also CONFIRMS it — the previous shape (one jump per
+    # round, _chg between rounds) paid a whole extra write+read+probe
+    # round of pure confirmation on every call (this corpus's chains
+    # resolve in one jump; a semi-join chain probe was also tried and
+    # measured WORSE — the broadcast build per probe costs more than
+    # the saved write). The probe stays an any-row scan of the
+    # just-written parquet (limit(1).count() — footer stats + early
+    # exit). The doubling bound ceil(log2(n)) backstops the loop
+    # unchanged (jump² only converges faster). NOTE: do NOT "optimize"
+    # the probe into a df.observe()/Observation metric — first use
+    # initializes the session's lazy ObservationManager (Spark 4.1),
+    # which is not serializable and breaks every later closure that
+    # captures the session (e.g. MLlib training summaries) with "Task
+    # not serializable".
     rep0.write.parquet(os.path.join(scratch, "r0"))
     cur = spark.read.parquet(os.path.join(scratch, "r0"))
     mark("match")
@@ -189,16 +194,19 @@ def ingest_batch(
     max_rounds = max(1, ceil(log2(max(n_batch, 2))))
     r = 0
     while r < max_rounds:
-        parent = cur.select(
+        p1 = cur.select(
             F.col("doc_id").alias("p_doc"), F.col("rep_id").alias("p_rep")
         )
-        nxt = (
-            cur.join(parent, cur.rep_id == parent.p_doc, "left")
-            .select(
-                "doc_id",
-                F.coalesce("p_rep", "rep_id").alias("rep_id"),
-                (F.coalesce("p_rep", "rep_id") != F.col("rep_id")).alias("_chg"),
-            )
+        j1 = cur.join(p1, cur.rep_id == p1.p_doc, "left").select(
+            "doc_id", F.coalesce("p_rep", "rep_id").alias("rep1")
+        )
+        p2 = j1.select(
+            F.col("doc_id").alias("q_doc"), F.col("rep1").alias("q_rep")
+        )
+        nxt = j1.join(p2, j1.rep1 == p2.q_doc, "left").select(
+            "doc_id",
+            F.coalesce("q_rep", "rep1").alias("rep_id"),
+            (F.coalesce("q_rep", "rep1") != F.col("rep1")).alias("_chg"),
         )
         r += 1
         nxt.write.parquet(os.path.join(scratch, f"r{r}"))
